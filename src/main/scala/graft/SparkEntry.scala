@@ -1,13 +1,397 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.functions.TextFns
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Snapshot-merge cutoff (2024-01-08T00:00:00Z, epoch microseconds). */
+  private val CutUs = 1704672000000000L
+  /** Backfill window (2024-01-05 .. 2024-01-20 UTC, epoch microseconds). */
+  private val BackfillStartUs = 1704412800000000L
+  private val BackfillEndUs = 1705708800000000L
+
+  /** Session prep for every entry point: our hash pipelines rely on 64-bit
+    * wraparound (ANSI off) and events.ts is parquet TIMESTAMP(NANOS).
+    */
+  def prep(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+
+  private def q(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => fn(prep(s), dir)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q13_region_revenue")(spark, "/root/testdata/sf0.001")
+
+  // --------------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- core ETL semantics (reference behaviors) ---------------------------
+    "q01_latest_wins" -> q { (s, dir) =>
+      MergeOps
+        .latestByKey(Tables.events(s, dir), Seq("user_id"), Seq("ts_us", "event_id"))
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"), col("value"))
+    },
+    "q02_snapshot_merge" -> q { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+      val full = MergeOps
+        .latestByKey(ev.where(col("ts_us") < CutUs), Seq("user_id"), Seq("ts_us", "event_id"))
+        .withColumn("src", lit("full"))
+      val inc = ev.where(col("ts_us") >= CutUs).withColumn("src", lit("incremental"))
+      MergeOps.snapshotMerge(full, inc, Seq("user_id"), Seq("ts_us", "event_id"))
+    },
+    "q03_rowfilter" -> q { (s, dir) =>
+      val filterJson =
+        """{"$or": [
+          |  {"data.event_type": {"$in": ["purchase", "click"]}},
+          |  {"data.value": {"$gte": 150.0}, "data.event_type": {"$nin": ["error", "signup"]}}
+          |]}""".stripMargin
+      Tables.events(s, dir)
+        .where(RowFilter.compile(filterJson))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    },
+    "q04_backfill_range" -> q { (s, dir) =>
+      Tables.events(s, dir)
+        .where(col("ts_us") >= BackfillStartUs && col("ts_us") <= BackfillEndUs)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"), col("value"))
+    },
+    "q05_pk_dedup" -> q { (s, dir) =>
+      MergeOps
+        .latestByKey(Tables.events(s, dir), Seq("user_id", "event_type"), Seq("ts_us", "event_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts_us"), col("value"))
+    },
+    "q06_json_extract" -> q { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+    },
+    "q07_tracking" -> q { (s, dir) =>
+      Tables.events(s, dir)
+        .where(pmod(col("event_id"), lit(5)) =!= 0) // "completed" files
+        .groupBy(col("event_type"))
+        .agg(
+          max(col("ts_us")).as("last_ts_us"),
+          max_by(col("event_id"), struct(col("ts_us"), col("event_id"))).as("last_event_id"),
+          count(lit(1)).as("n_completed"))
+    },
+    "q08_profiles_view" -> q { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spend"),
+          coalesce(max(unix_millis(col("o_orderdate").cast("timestamp"))), lit(0L)).as("last_order_ms"))
+    },
+    "q09_graph_degree" -> q { (s, dir) =>
+      GraphOps.degrees(Tables.lineitem(s, dir), "l_suppkey", "l_partkey")
+    },
+    "q10_edge_merge" -> q { (s, dir) =>
+      val edges = Tables.events(s, dir).select(
+        col("user_id").as("src"),
+        get_json_object(col("props"), "$.k").cast("long").as("dst"),
+        col("ts_us"))
+      GraphOps.mergeEdges(edges, "src", "dst", "ts_us")
+    },
+
+    // --- analytics engine core (bench headliners) ---------------------------
+    "q12_pricing_summary" -> q { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+    "q13_region_revenue" -> q { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    "q14_top_customers" -> q { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rank"))
+    },
+    "q15_event_sessions" -> q { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+        .withColumn(
+          "new_session",
+          when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > 1800000000L, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+    },
+
+    // --- training-data pipeline ---------------------------------------------
+    "d01_dedup_exact" -> q { (s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+    },
+    "d02_dedup_minhash" -> q { (s, dir) =>
+      Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text", minEstJaccard = 0.5)
+        .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+    },
+    "d03_dedup_simhash" -> q { (s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+    },
+    "d04_ngram_jaccard" -> q { (s, dir) =>
+      Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text", minJaccard = 0.5)
+    },
+    "d05_embed_neardup" -> q { (s, dir) =>
+      Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.35)
+    },
+    "s01_ann_brute" -> q { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+    },
+    "s02_ann_lsh" -> q { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5, dim = 64)
+    },
+    "t01_langid" -> q { (s, dir) =>
+      // explode + conditional-sum keeps the whole scoring pass inside
+      // whole-stage codegen (higher-order filter() would be interpreted);
+      // one shuffle keyed on doc_id, partial aggregation map-side.
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(
+        col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+      val aggCols = TextFns.langMarkers.map { case (lang, words) =>
+        sum(when(col("tok").isin(words: _*), 1L).otherwise(0L)).as(s"s_$lang")
+      }
+      val scores = toks.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
+      val scoreCols = TextFns.langMarkers.map { case (lang, _) => col(s"s_$lang") }
+      val best = scoreCols.reduce((a, b) => greatest(a, b))
+      val pred = TextFns.langMarkers.foldRight(lit("und")) { case ((lang, _), acc) =>
+        when(col(s"s_$lang") === best && best > 0, lit(lang)).otherwise(acc)
+      }
+      docs.select(col("doc_id"))
+        .join(scores, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(pred, lit("und")).as("pred_lang"))
+    },
+    "t02_quality" -> q { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(
+        col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+      val stopWords = TextFns.langMarkers.head._2
+      val agg = toks.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(length(col("tok")).cast("long")).as("len_sum"),
+        sum(when(col("tok").isin(stopWords: _*), 1L).otherwise(0L)).as("n_stop"))
+      docs.select(col("doc_id"), col("text"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          round(when(coalesce(col("n_tokens"), lit(0L)) > 0,
+            col("len_sum").cast("double") / col("n_tokens").cast("double")).otherwise(0.0), 4)
+            .as("mean_token_len"),
+          round(when(length(col("text")) > 0,
+            regexp_count(col("text"), lit("[.,!?;:]")).cast("double") / length(col("text")).cast("double"))
+            .otherwise(0.0), 4).as("punct_ratio"),
+          round(when(coalesce(col("n_tokens"), lit(0L)) > 0,
+            col("n_stop").cast("double") / col("n_tokens").cast("double")).otherwise(0.0), 4)
+            .as("stopword_ratio"))
+    },
+    "t03_tokens" -> q { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("ws_tokens"),
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long").as("subword_tokens"))
+    },
+    "t04_fingerprint" -> q { (s, dir) =>
+      TextFns.withFingerprints(Tables.documents(s, dir), "text", k = 8, window = 4)
+        .select(
+          col("doc_id"),
+          size(col("fp")).cast("long").as("n_fp"),
+          array_min(col("fp")).as("fp_min"))
+    },
+    "m01_multimodal" -> q { (s, dir) =>
+      val media = Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.featureStats(Multimodal.decodeFeatures(s, media))
+    })
+
+  // --------------------------------------------------------------------------
+
+  /** DuckDB oracles; column names/types aligned with the Spark outputs.
+    * Ops whose semantics SQL can't express (hash-pipeline internals) are
+    * omitted → driver records a rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_latest_wins" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1""".stripMargin,
+    "q02_snapshot_merge" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+         |f AS (SELECT user_id, event_id, ts_us, value, 'full' AS src
+         |      FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+         |            FROM e WHERE ts_us < $CutUs) WHERE rn = 1),
+         |i AS (SELECT user_id, event_id, ts_us, value, 'incremental' AS src FROM e WHERE ts_us >= $CutUs),
+         |u AS (SELECT * FROM f UNION ALL SELECT * FROM i)
+         |SELECT user_id, event_id, ts_us, value, src
+         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn FROM u)
+         |WHERE rn = 1""".stripMargin,
+    "q03_rowfilter" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_type IN ('purchase', 'click')
+        |   OR (value >= 150.0 AND event_type NOT IN ('error', 'signup'))""".stripMargin,
+    "q04_backfill_range" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events
+         |WHERE epoch_us(ts) >= $BackfillStartUs AND epoch_us(ts) <= $BackfillEndUs""".stripMargin,
+    "q05_pk_dedup" ->
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1""".stripMargin,
+    "q06_json_extract" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
+    "q07_tracking" ->
+      """WITH c AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us FROM events WHERE event_id % 5 <> 0),
+        |l AS (SELECT event_type, event_id AS last_event_id
+        |      FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ts_us DESC, event_id DESC) AS rn FROM c)
+        |      WHERE rn = 1)
+        |SELECT c.event_type, max(c.ts_us) AS last_ts_us, any_value(l.last_event_id) AS last_event_id,
+        |       count(*) AS n_completed
+        |FROM c JOIN l ON c.event_type = l.event_type
+        |GROUP BY c.event_type""".stripMargin,
+    "q08_profiles_view" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+        |       round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend,
+        |       coalesce(max(epoch_ms(o_orderdate)), 0) AS last_order_ms
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name""".stripMargin,
+    "q09_graph_degree" ->
+      """SELECT 'src' AS role, l_suppkey AS node_id, count(DISTINCT l_partkey) AS degree FROM lineitem GROUP BY l_suppkey
+        |UNION ALL
+        |SELECT 'dst' AS role, l_partkey AS node_id, count(DISTINCT l_suppkey) AS degree FROM lineitem GROUP BY l_partkey""".stripMargin,
+    "q10_edge_merge" ->
+      """SELECT user_id AS src, CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst,
+        |       max(epoch_us(ts)) AS last_ts_us, count(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q12_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q13_region_revenue" ->
+      """SELECT r_name, n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q14_top_customers" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS "rank"
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |      FROM orders)
+        |WHERE rnk <= 3""".stripMargin,
+    "q15_event_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |g AS (SELECT user_id,
+        |             CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) IS NULL
+        |                    OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) > 1800000000
+        |                  THEN 1 ELSE 0 END AS new_session
+        |      FROM e)
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM g GROUP BY user_id""".stripMargin,
+    "d01_dedup_exact" ->
+      "SELECT min(doc_id) AS canonical_id, count(*) AS n_copies FROM documents GROUP BY text",
+    // NOTE: DuckDB's list_cosine_similarity computes in float32 and can never
+    // hash-match a double pipeline; these oracles re-derive cosine in double
+    // (list_sum is sequential left-to-right, matching the Spark loop).
+    "d05_embed_neardup" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE))) AS dot,
+        |    list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS na,
+        |    list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT a, b, round(dot/(sqrt(na)*sqrt(nb)), 4) AS cos
+        |FROM p WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.35""".stripMargin,
+    "s01_ann_brute" ->
+      """WITH q AS (SELECT * FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.embedding, c.embedding), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        |  FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
+        |r AS (SELECT q_id, neighbor_id, cos,
+        |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        |      FROM scored)
+        |SELECT q_id, neighbor_id, round(cos, 4) AS cos, CAST(rnk AS BIGINT) AS "rank"
+        |FROM r WHERE rnk <= 5""".stripMargin,
+    "t01_langid" -> {
+      val tokSql = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+      def score(words: Seq[String]): String = {
+        val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter($tokSql, t -> list_contains($arr, t)))"
+      }
+      val scores = TextFns.langMarkers.map { case (lang, words) => lang -> score(words) }
+      val maxExpr = s"greatest(${scores.map(_._2).mkString(", ")})"
+      val cases = scores
+        .map { case (lang, s) => s"WHEN $s = m AND m > 0 THEN '$lang'" }
+        .mkString(" ")
+      s"""SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang
+         |FROM (SELECT doc_id, text, $maxExpr AS m FROM documents)""".stripMargin
+    },
+    "t02_quality" -> {
+      val tokSql = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+      val stopArr = TextFns.langMarkers.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  round(CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS mean_token_len,
+         |  round(CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) ELSE 0.0 END, 4) AS punct_ratio,
+         |  round(CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains($stopArr, t))) AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS stopword_ratio
+         |FROM (SELECT doc_id, text, $tokSql AS toks FROM documents)""".stripMargin
+    },
+    "t03_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS subword_tokens
+        |FROM documents""".stripMargin)
 }

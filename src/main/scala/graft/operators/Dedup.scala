@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Document deduplication family for training-data pipelines.
+  *
+  * Scale notes (100 TB):
+  *  - exact: one shuffle keyed on a 256-bit content hash (never on the raw
+  *    text — shuffling full documents would move the whole corpus).
+  *  - MinHash/LSH: signatures are computed scan-side (codegen, no UDF);
+  *    candidate generation explodes b band keys per doc and self-joins on
+  *    (band, hash) — only docs sharing a band bucket ever meet, so the
+  *    shuffle volume is O(b·N) keys, not O(N²) pairs.
+  *  - SimHash: 64-bit signature per doc; near-dup candidates via banding the
+  *    hash into 4×16-bit chunks (any chunk equal ⇒ candidate, catches all
+  *    pairs with hamming distance ≤ 3 in the worst spread).
+  */
+object Dedup {
+
+  /** Exact dedup: canonical (min) id and copy count per distinct text. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), sha2(col(textCol), 256).as("_h"))
+      .groupBy(col("_h"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select(col("canonical_id"), col("n_copies"))
+
+  /** Candidate near-duplicate pairs via MinHash + LSH banding, with the
+    * MinHash-estimated Jaccard attached. Pairs are (a < b), distinct.
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = docs
+      .select(
+        col(idCol).as("id"),
+        TextFns
+          .minhashSignature(
+            TextFns.shingleHashes(TextFns.shingles(TextFns.tokens(col(textCol)), shingleK)),
+            numHashes)
+          .as("sig"))
+      // shuffle barrier: materializes the signature exactly once per doc.
+      // Without it Catalyst inlines the (expensive, interpreted) signature
+      // tree past the explode into per-join-row evaluation. It is also the
+      // co-locating exchange you want before a self-join at scale.
+      .repartition(col("id"))
+      .withColumn("band", explode(TextFns.lshBands(col("sig"), bands, rowsPerBand)))
+    // the band hash mixes the band index in via the xxhash64 seed, so
+    // joining on the band hash alone is sufficient
+    val left = sigs.select(col("id").as("a"), col("sig").as("sig_a"), col("band"))
+    val right = sigs.select(col("id").as("b"), col("sig").as("sig_b"), col("band"))
+    left
+      .join(right, Seq("band"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), TextFns.minhashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .groupBy(col("a"), col("b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+      .where(col("est_jaccard") >= lit(minEstJaccard))
+  }
+
+  /** SimHash near-dup pairs: 64-bit signatures, candidates via 16-bit chunk
+    * banding, kept when hamming distance <= maxHamming.
+    */
+  def simhash(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(
+      col(idCol).as("id"),
+      TextFns.simhash64(TextFns.tokens(col(textCol))).as("sim"))
+      .repartition(col("id")) // materialize sim once per doc (see minhashLsh)
+    val banded = sigs.withColumn(
+      "chunk",
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("j"), shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)))
+    val left = banded.select(col("id").as("a"), col("sim").as("sim_a"), col("chunk"))
+    val right = banded.select(col("id").as("b"), col("sim").as("sim_b"), col("chunk"))
+    left
+      .join(right, Seq("chunk"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(first(TextFns.hamming64(col("sim_a"), col("sim_b"))).as("hamming"))
+      .where(col("hamming") <= lit(maxHamming))
+  }
+
+  /** Exact n-gram Jaccard similarity on LSH-generated candidates: the
+    * scale-correct way to get true Jaccard pairs without an O(N²) cross join.
+    */
+  def ngramJaccard(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    val candidates = minhashLsh(docs, idCol, textCol, shingleK, 64, 16, minEstJaccard = 0.2)
+      .select(col("a"), col("b"))
+    val sets = docs.select(
+      col(idCol).as("id"),
+      array_distinct(TextFns.shingles(TextFns.tokens(col(textCol)), shingleK)).as("sh"))
+    candidates
+      .join(sets.withColumnRenamed("id", "a").withColumnRenamed("sh", "sh_a"), Seq("a"))
+      .join(sets.withColumnRenamed("id", "b").withColumnRenamed("sh", "sh_b"), Seq("b"))
+      .select(col("a"), col("b"), TextFns.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= lit(minJaccard))
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `minCosine`.
+    * Exact all-pairs baseline — O(N²/2) compare, the correctness reference
+    * for the LSH-bucketed scale path in [[Similarity]].
+    */
+  def embeddingNearDup(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double): DataFrame = {
+    val a = embeddings.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val b = embeddings.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    a.crossJoin(b)
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= lit(minCosine))
+      .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+  }
+}

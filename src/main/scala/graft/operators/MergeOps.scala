@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Latest-wins merge semantics.
+  *
+  * The reference upserts every row group with
+  * `INSERT ... ON CONFLICT (pk) DO UPDATE ... WHERE excluded.updated_at >=
+  * existing.updated_at` (db.py:884-893) — i.e. the current state of a table
+  * is the latest row per primary key, ordered by updated_at. Declaratively
+  * that is a grouped argmax, which Spark executes as ONE shuffle with
+  * map-side partial aggregation (each input partition pre-reduces to at most
+  * one candidate row per key before the exchange) — strictly better at scale
+  * than a window + filter, which must sort whole partitions.
+  */
+object MergeOps {
+
+  /** Latest row per `keys`, ordered lexicographically by `ord` (descending).
+    * `ord` should end in a unique tie-breaker column for determinism.
+    * Output keeps the original column order.
+    */
+  def latestByKey(df: DataFrame, keys: Seq[String], ord: Seq[String]): DataFrame = {
+    val rest = df.columns.toSeq.filterNot(c => keys.contains(c) || ord.contains(c))
+    val packed = struct((ord ++ rest).map(col): _*)
+    val agg = df
+      .groupBy(keys.map(col): _*)
+      .agg(max(packed).as("_latest"))
+    val unpacked = keys.map(col) ++ (ord ++ rest).map(c => col(s"_latest.$c").as(c))
+    agg.select(unpacked: _*).select(df.columns.map(col).toSeq: _*)
+  }
+
+  /** Full-snapshot + incremental merge (main.py:102-404): the current state
+    * after a full export plus a stream of incremental slices is the
+    * latest-wins union. Incrementals win ties (they are newer files), which
+    * the reference's `>=` upsert guard also guarantees; we encode that as a
+    * priority column appended to the ordering.
+    */
+  def snapshotMerge(
+      full: DataFrame,
+      incremental: DataFrame,
+      keys: Seq[String],
+      ord: Seq[String]): DataFrame = {
+    val cols = full.columns.toSeq
+    val u = full
+      .withColumn("_prio", lit(0))
+      .unionByName(incremental.select(cols.map(col): _*).withColumn("_prio", lit(1)))
+    latestByKey(u, keys, ord :+ "_prio").drop("_prio")
+  }
+}

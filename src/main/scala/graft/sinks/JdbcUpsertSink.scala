@@ -1,0 +1,96 @@
+package graft.sinks
+
+import java.sql.{Connection, PreparedStatement}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Postgres-dialect upsert sink with the reference's merge semantics.
+  *
+  * The reference emits `INSERT ... ON CONFLICT (pk) DO UPDATE SET ... WHERE
+  * excluded.updated_at >= tbl.updated_at` per row group (db.py:884-893).
+  * Spark's built-in JDBC writer only supports append/overwrite, so upsert is
+  * done with `foreachPartition`: each executor partition opens one
+  * connection and runs multi-row batched upserts — N partitions upsert in
+  * parallel, exactly the reference's row-group thread pool but distributed.
+  *
+  * No live Postgres exists in this container; `upsertSql` +
+  * `bindAndExecute` are unit-tested against a connection test double, and
+  * the merge *semantics* are cross-checked by `q01_latest_wins`'s oracle.
+  */
+object JdbcUpsertSink {
+
+  /** Build the multi-row upsert statement for `n` rows. */
+  def upsertSql(
+      table: String,
+      columns: Seq[String],
+      pkColumns: Seq[String],
+      orderingCol: String,
+      n: Int): String = {
+    require(n > 0 && columns.nonEmpty && pkColumns.nonEmpty)
+    val colList = columns.map(quoteIdent).mkString(", ")
+    val rowPlaceholder = columns.map(_ => "?").mkString("(", ", ", ")")
+    val values = Seq.fill(n)(rowPlaceholder).mkString(", ")
+    val conflict = pkColumns.map(quoteIdent).mkString(", ")
+    val updates = columns
+      .filterNot(pkColumns.contains)
+      .map(c => s"${quoteIdent(c)} = excluded.${quoteIdent(c)}")
+      .mkString(", ")
+    s"INSERT INTO $table ($colList) VALUES $values " +
+      s"ON CONFLICT ($conflict) DO UPDATE SET $updates " +
+      s"WHERE excluded.${quoteIdent(orderingCol)} >= $table.${quoteIdent(orderingCol)}"
+  }
+
+  def quoteIdent(name: String): String = "\"" + name.replace("\"", "\"\"") + "\""
+
+  /** Bind a batch of rows into a prepared multi-row statement and execute. */
+  def bindAndExecute(stmt: PreparedStatement, schema: StructType, rows: Seq[Row]): Int = {
+    var p = 1
+    rows.foreach { row =>
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        if (row.isNullAt(i)) stmt.setObject(p, null)
+        else f.dataType match {
+          case LongType    => stmt.setLong(p, row.getLong(i))
+          case IntegerType => stmt.setInt(p, row.getInt(i))
+          case DoubleType  => stmt.setDouble(p, row.getDouble(i))
+          case StringType  => stmt.setString(p, row.getString(i))
+          case BooleanType => stmt.setBoolean(p, row.getBoolean(i))
+          case TimestampType => stmt.setTimestamp(p, row.getTimestamp(i))
+          case BinaryType  => stmt.setBytes(p, row.getAs[Array[Byte]](i))
+          case _           => stmt.setObject(p, row.get(i))
+        }
+        p += 1
+      }
+    }
+    stmt.executeUpdate()
+  }
+
+  /** Distributed upsert: every partition opens its own connection (supplied
+    * by `connect`, so tests can inject a double) and writes in batches of
+    * `batchSize` rows.
+    */
+  def write(
+      df: DataFrame,
+      table: String,
+      pkColumns: Seq[String],
+      orderingCol: String,
+      batchSize: Int,
+      connect: () => Connection): Unit = {
+    val schema = df.schema
+    val columns = schema.fieldNames.toSeq
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val conn = connect()
+        try {
+          conn.setAutoCommit(false)
+          rows.grouped(batchSize).foreach { batch =>
+            val sql = upsertSql(table, columns, pkColumns, orderingCol, batch.size)
+            val stmt = conn.prepareStatement(sql)
+            try bindAndExecute(stmt, schema, batch)
+            finally stmt.close()
+            conn.commit()
+          }
+        } finally conn.close()
+      }
+    }
+  }
+}

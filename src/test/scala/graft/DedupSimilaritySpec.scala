@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away home"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog and runs far away now"),  // near dup of 1
+    (4L, "completely unrelated content about database engines and query optimizers"),
+    (5L, "completely unrelated content about database engines and query optimizers")  // exact dup of 4
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("canonical_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (3L, 1L), (4L, 2L)))
+  }
+
+  test("minhash LSH finds exact and near duplicates") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", minEstJaccard = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((4L, 5L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).nonEmpty && Set(a, b).intersect(Set(1L, 2L, 3L)).nonEmpty })
+  }
+
+  test("simhash finds near duplicates within hamming radius") {
+    val pairs = Dedup.simhash(docs, "doc_id", "text", maxHamming = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((4L, 5L)))
+  }
+
+  test("ngram jaccard reports exact similarity on candidates") {
+    val out = Dedup.ngramJaccard(docs, "doc_id", "text", minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((4L, 5L)) == 1.0)
+    assert(out.contains((1L, 3L)) && out((1L, 3L)) < 1.0 && out((1L, 3L)) > 0.5)
+  }
+
+  test("embedding near-dup finds planted duplicate pair") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(t => (t._1, t._2)) == Seq((1L, 2L)))
+    assert(out.head._3 > 0.99)
+  }
+
+  test("brute-force top-k returns k ranked neighbors per query") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 3), "vec_id", "embedding", 5)
+    val rows = out.collect()
+    assert(rows.length == 15)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.values.foreach { g =>
+      val ranked = g.sortBy(_.getLong(3))
+      assert(ranked.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      // cosine non-increasing with rank
+      assert(ranked.map(_.getDouble(2)).toSeq.sliding(2).forall(s => s.head >= s.last - 1e-9))
+    }
+  }
+
+  test("LSH top-k neighbors are a subset of brute-force candidates with decent overlap") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 20)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5, dim = 64)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(lsh.nonEmpty)
+    // every LSH result is a valid (q, neighbor) pair and recall against the
+    // top-20 exact set is nontrivial
+    val overlap = lsh.count(brute.contains)
+    assert(overlap.toDouble / lsh.length > 0.3, s"overlap $overlap of ${lsh.length}")
+  }
+}

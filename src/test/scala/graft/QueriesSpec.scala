@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every SURVEY §2 query runs at sf0.001 and satisfies basic invariants.
+  * (Exact value checks are the driver's DuckDB oracle job; these specs pin
+  * structure and a few hand-computable invariants.)
+  */
+class QueriesSpec extends SparkSpec {
+
+  test("all queries execute and return stable schemas") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      val n = df.count()
+      info(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2fs $n%6d rows")
+      withClue(s"query $name: ") {
+        assert(df.schema.fieldNames.distinct.length == df.schema.fieldNames.length,
+          "duplicate column names break the oracle compare")
+      }
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val qs = SparkEntry.queries.keySet
+    val missing = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q01 latest_wins: one row per user, ts is user max") {
+    val out = SparkEntry.queries("q01_latest_wins")(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+    assert(out.count() == ev.select("user_id").distinct().count())
+    val maxTs = ev.groupBy("user_id").agg(max("ts_us").as("m"))
+    val joined = out.join(maxTs, "user_id").where(col("ts_us") =!= col("m"))
+    assert(joined.count() == 0)
+  }
+
+  test("q03 rowfilter equals hand-built predicate") {
+    val out = SparkEntry.queries("q03_rowfilter")(spark, sfDir).count()
+    val expect = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("purchase", "click") ||
+        (col("value") >= 150.0 && !col("event_type").isin("error", "signup")))
+      .count()
+    assert(out == expect && out > 0)
+  }
+
+  test("q08 profiles view covers every customer exactly once") {
+    val out = SparkEntry.queries("q08_profiles_view")(spark, sfDir)
+    assert(out.count() == Tables.customer(spark, sfDir).count())
+  }
+
+  test("q12 pricing summary groups are complete") {
+    val out = SparkEntry.queries("q12_pricing_summary")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val totalOrders = out.map(_.getAs[Long]("count_order")).sum
+    val expected = Tables.lineitem(spark, sfDir)
+      .where(to_date(col("l_shipdate")) <= lit("1998-09-02")).count()
+    assert(totalOrders == expected)
+  }
+
+  test("q14 top customers: at most 3 per customer, correctly ordered") {
+    val out = SparkEntry.queries("q14_top_customers")(spark, sfDir)
+    val bad = out.groupBy("o_custkey").count().where(col("count") > 3)
+    assert(bad.count() == 0)
+  }
+
+  test("q15 sessions: n_sessions <= n_events, both positive") {
+    val out = SparkEntry.queries("q15_event_sessions")(spark, sfDir)
+    assert(out.where(col("n_sessions") > col("n_events") || col("n_sessions") < 1).count() == 0)
+  }
+
+  test("m01 multimodal stats cover all three kinds") {
+    val out = SparkEntry.queries("m01_multimodal")(spark, sfDir).collect()
+    assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))
+    val totalMedia = out.map(_.getAs[Long]("n_media")).sum
+    assert(totalMedia == Tables.documents(spark, sfDir).count())
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+class TextFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Seq[String] =
+    Seq(text).toDF("text").select(c.as("r")).collect().head
+      .getAs[collection.Seq[String]]("r").toSeq
+
+  test("tokens lowercases, trims, drops empties") {
+    val t = one(TextFns.tokens(col("text")), "  Hello   WORLD  foo ")
+    assert(t == Seq("hello", "world", "foo"))
+  }
+
+  test("shingles produce n-k+1 k-grams, short docs one shingle") {
+    val s = one(TextFns.shingles(TextFns.tokens(col("text")), 3), "a b c d e")
+    assert(s == Seq("a b c", "b c d", "c d e"))
+    val short = one(TextFns.shingles(TextFns.tokens(col("text")), 3), "a b")
+    assert(short == Seq("a b"))
+  }
+
+  test("identical texts yield identical minhash signatures; disjoint texts differ") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words entirely unrelated content here now ok then")
+    ).toDF("id", "text")
+    val sig = TextFns.minhashSignature(
+      TextFns.shingleHashes(TextFns.shingles(TextFns.tokens(col("text")), 3)), 64)
+    val sigs = df.select(col("id"), sig.as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs(1L).length == 64)
+  }
+
+  test("minhash jaccard estimate: identical=1.0, disjoint~0") {
+    val df = Seq(
+      ("a b c d e f g h i j", "a b c d e f g h i j"),
+      ("a b c d e f g h i j", "z y x w v u t s r q")
+    ).toDF("t1", "t2")
+    def sig(c: org.apache.spark.sql.Column) =
+      TextFns.minhashSignature(TextFns.shingleHashes(TextFns.shingles(TextFns.tokens(c), 3)), 64)
+    val est = df.select(TextFns.minhashJaccard(sig(col("t1")), sig(col("t2"))).as("j"))
+      .as[Double].collect()
+    assert(est(0) == 1.0)
+    assert(est(1) < 0.2)
+  }
+
+  test("simhash: identical texts equal, near-identical close, disjoint far") {
+    val df = Seq(
+      (1L, "spark is a unified analytics engine for large scale data processing"),
+      (2L, "spark is a unified analytics engine for large scale data processing"),
+      (3L, "spark is a unified analytics engine for large scale data processing today"),
+      (4L, "cats meow dogs bark birds sing fish swim horses gallop llamas hum")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextFns.simhash64(TextFns.tokens(col("text"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(java.lang.Long.bitCount(out(1L) ^ out(3L)) <= 12)
+    assert(java.lang.Long.bitCount(out(1L) ^ out(4L)) > 12)
+  }
+
+  test("langId picks the language with most markers; und for no markers") {
+    val df = Seq(
+      (1L, "the cat sat on a mat and it is warm in the sun"),
+      (2L, "der hund und die katze das ist nicht ein problem zu haben"),
+      (3L, "el perro y la casa de un amigo que es grande en madrid"),
+      (4L, "xyzzy plugh qwerty asdf")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextFns.langId(TextFns.tokens(col("text"))).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "und"))
+  }
+
+  test("quality features") {
+    val f = TextFns.qualityFeatures(col("text"))
+    val row = Seq("the cat, the hat!").toDF("text")
+      .select(f("n_tokens").as("n"), f("punct_ratio").as("p"), f("stopword_ratio").as("s"))
+      .collect().head
+    assert(row.getLong(0) == 4L)
+    assert(math.abs(row.getDouble(1) - 2.0 / 17.0) < 1e-9)
+    assert(row.getDouble(2) == 0.5) // "the" twice of 4 tokens
+  }
+
+  test("fingerprints are deterministic and non-empty") {
+    def fps(s: String): Seq[Seq[Long]] =
+      TextFns.withFingerprints(Seq(s).toDF("text"), "text", 8, 4)
+        .select("fp").collect().map(_.getSeq[Long](0)).toSeq
+    val a = fps("some document text that is long enough to window")
+    val b = fps("some document text that is long enough to window")
+    assert(a == b && a.head.nonEmpty)
+  }
+}
