@@ -28,12 +28,18 @@ object Bench {
     SparkEntry.prep(spark)
 
     val qs = SparkEntry.queries
-    val results = headline.filter(qs.contains).map { name =>
+    def once(name: String): Double = {
       val t0 = System.nanoTime()
       try qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    // two full passes over the suite, per-query min: pass 1 pays Janino
+    // codegen + JIT warmup, and interleaving means a transient host slow
+    // window can't poison both samples of the same query
+    val names = headline.filter(qs.contains)
+    val pass1 = names.map(n => n -> once(n)).toMap
+    val results = names.map(n => n -> math.min(pass1(n), once(n)))
     val qJson = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

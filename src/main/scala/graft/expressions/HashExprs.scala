@@ -148,4 +148,87 @@ object HashExprs {
 
   def simhash64(hashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
+
+  def tokenShingleHashes(text: Column, k: Int): Column =
+    ColumnBridge.column(TokenShingleHashes(ColumnBridge.expression(text), k))
+
+  def arrayMatchFraction(a: Column, b: Column): Column =
+    ColumnBridge.column(ArrayMatchFraction(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** Fused tokenize → k-word shingle → hash kernel: lowercases, splits on
+  * whitespace, hashes every k-token shingle (docs shorter than k yield one
+  * whole-doc shingle). One Java pass per document — replaces a chain of
+  * three interpreted higher-order functions in the MinHash/SimHash scan.
+  * k=1 degenerates to per-token hashes (SimHash input).
+  * Hash: 31-poly over chars with a splitmix64 finalizer (bit-uniform, as
+  * SimHash votes need unbiased bits).
+  */
+case class TokenShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_shingle_hashes"
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def hashShingle(toks: Array[String], from: Int, until: Int): Long = {
+    var h = 1125899906842597L
+    var t = from
+    while (t < until) {
+      if (t > from) h = 31 * h + ' '
+      val s = toks(t)
+      var c = 0
+      while (c < s.length) { h = 31 * h + s.charAt(c); c += 1 }
+      t += 1
+    }
+    mix(h)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.trim.toLowerCase
+    val toks = ws.split(text).filter(_.nonEmpty)
+    val out =
+      if (toks.length <= k) Array(hashShingle(toks, 0, toks.length))
+      else Array.tabulate(toks.length - k + 1)(i => hashShingle(toks, i, i + k))
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fraction of positions where two equal-length long arrays match — the
+  * MinHash Jaccard estimate, as one fused loop per candidate pair.
+  */
+case class ArrayMatchFraction(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_match_fraction"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    if (n == 0) 0.0
+    else {
+      var eq = 0
+      var i = 0
+      while (i < n) { if (x.getLong(i) == y.getLong(i)) eq += 1; i += 1 }
+      eq.toDouble / n.toDouble
+    }
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.expressions.HashExprs
 import graft.functions.TextFns
 
 /** Document deduplication family for training-data pipelines.
@@ -42,10 +43,8 @@ object Dedup {
     val sigs = docs
       .select(
         col(idCol).as("id"),
-        TextFns
-          .minhashSignature(
-            TextFns.shingleHashes(TextFns.shingles(TextFns.tokens(col(textCol)), shingleK)),
-            numHashes)
+        HashExprs
+          .minhashSignature(HashExprs.tokenShingleHashes(col(textCol), shingleK), numHashes)
           .as("sig"))
       // shuffle barrier: materializes the signature exactly once per doc.
       // Without it Catalyst inlines the (expensive, interpreted) signature
@@ -60,7 +59,7 @@ object Dedup {
     left
       .join(right, Seq("band"))
       .where(col("a") < col("b"))
-      .select(col("a"), col("b"), TextFns.minhashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .select(col("a"), col("b"), HashExprs.arrayMatchFraction(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .groupBy(col("a"), col("b"))
       .agg(max(col("est_jaccard")).as("est_jaccard"))
       .where(col("est_jaccard") >= lit(minEstJaccard))
@@ -76,7 +75,7 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val sigs = docs.select(
       col(idCol).as("id"),
-      TextFns.simhash64(TextFns.tokens(col(textCol))).as("sim"))
+      HashExprs.simhash64(HashExprs.tokenShingleHashes(col(textCol), 1)).as("sim"))
       .repartition(col("id")) // materialize sim once per doc (see minhashLsh)
     val banded = sigs.withColumn(
       "chunk",
