@@ -10,8 +10,9 @@ object Bench {
   /** Representative subset: one per operator family (full list in SURVEY §2). */
   val headline: Seq[String] = Seq(
     "q01_latest_wins", "q02_snapshot_merge", "q03_rowfilter",
-    "q08_profiles_view", "q09_graph_degree",
+    "q08_profiles_view", "q09_graph_degree", "q11_salted_agg",
     "q12_pricing_summary", "q13_region_revenue", "q14_top_customers", "q15_event_sessions",
+    "q16_brand_volume", "q18_nation_rollup",
     "d01_dedup_exact", "d02_dedup_minhash", "d05_embed_neardup",
     "s01_ann_brute", "t01_langid", "t02_quality")
 

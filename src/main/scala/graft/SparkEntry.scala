@@ -153,6 +153,45 @@ object SparkEntry {
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
     },
 
+    "q11_salted_agg" -> q { (s, dir) =>
+      // hot-key-safe two-stage aggregation (Skew.saltedSumCount); result is
+      // identical to a plain groupBy — the oracle proves exactly that
+      Skew.saltedSumCount(
+        Tables.events(s, dir), Seq("event_type"), "value",
+        buckets = 8, saltSource = Seq("event_id"))
+        .select(col("event_type"), col("n_rows"), round(col("sum_value"), 2).as("sum_value"))
+    },
+    "q16_brand_volume" -> q { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    "q17_priority_counts" -> q { (s, dir) =>
+      Tables.orders(s, dir)
+        .where(unix_millis(col("o_orderdate").cast("timestamp")).between(788918400000L, 796694399999L))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+    },
+    "q18_nation_rollup" -> q { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+        .select(
+          coalesce(col("r_name"), lit("(all)")).as("r_name"),
+          coalesce(col("n_name"), lit("(all)")).as("n_name"),
+          col("n_customers"), col("sum_acctbal"))
+    },
+    "q19_registry_sync" -> q { (s, dir) => Registry.syncAll(s, dir) },
+
     // --- training-data pipeline ---------------------------------------------
     "d01_dedup_exact" -> q { (s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
@@ -338,6 +377,34 @@ object SparkEntry {
         |      FROM e)
         |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM g GROUP BY user_id""".stripMargin,
+    "q11_salted_agg" ->
+      """SELECT event_type, count(*) AS n_rows, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q16_brand_volume" ->
+      """SELECT p_brand,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "q17_priority_counts" ->
+      """SELECT o_orderpriority, count(*) AS n_orders, round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders
+        |WHERE epoch_ms(o_orderdate) BETWEEN 788918400000 AND 796694399999
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q18_nation_rollup" ->
+      """SELECT coalesce(r_name, '(all)') AS r_name, coalesce(n_name, '(all)') AS n_name,
+        |       count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "q19_registry_sync" ->
+      """SELECT 'customer' AS table_name, count(*) AS n_current FROM customer
+        |UNION ALL SELECT 'events', count(DISTINCT user_id) FROM events
+        |UNION ALL SELECT 'lineitem', count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
+        |UNION ALL SELECT 'orders', count(DISTINCT o_orderkey) FROM orders
+        |UNION ALL SELECT 'supplier', count(DISTINCT s_suppkey) FROM supplier""".stripMargin,
     "d01_dedup_exact" ->
       "SELECT min(doc_id) AS canonical_id, count(*) AS n_copies FROM documents GROUP BY text",
     // NOTE: DuckDB's list_cosine_similarity computes in float32 and can never

@@ -20,7 +20,9 @@ object MergeOps {
     * `ord` should end in a unique tie-breaker column for determinism.
     * Output keeps the original column order.
     */
-  def latestByKey(df: DataFrame, keys: Seq[String], ord: Seq[String]): DataFrame = {
+  def latestByKey(df: DataFrame, keys: Seq[String], rawOrd: Seq[String]): DataFrame = {
+    val ord = rawOrd.filterNot(keys.contains)
+    if (ord.isEmpty) return df.dropDuplicates(keys) // PK-unique table: no ordering needed
     val rest = df.columns.toSeq.filterNot(c => keys.contains(c) || ord.contains(c))
     val packed = struct((ord ++ rest).map(col): _*)
     val agg = df

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan shape assertions: the things that decide whether these
+  * operators survive a 100× scale-up — pushdown, pruning, broadcast
+  * placement, map-side partial aggregation, codegen coverage.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect() // materialize so AQE settles on the final physical plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q12: filter and column pruning reach the parquet scan") {
+    val p = plan("q12_pricing_summary")
+    assert(p.contains("ReadSchema"), p)
+    // only the needed columns are read (no l_orderkey/l_suppkey/etc.)
+    assert(!p.contains("l_suppkey"), "scan reads unused columns:\n" + p)
+    assert(p.contains("*("), "agg not codegen'd (no *(n) stages):\n" + p)
+  }
+
+  test("q13: dimension joins are broadcast, no shuffle of nation/region") {
+    val p = plan("q13_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") || p.indexOf("SortMergeJoin") > 0, p)
+  }
+
+  test("q01: latest-wins merge uses partial aggregation (map-side combine)") {
+    val p = plan("q01_latest_wins")
+    assert(p.contains("partial_max") || p.contains("HashAggregate"),
+      "no partial aggregate before the exchange:\n" + p)
+    // exactly one exchange: the single shuffle on the primary key
+    assert("Exchange".r.findAllIn(p).length <= 2, "unexpected extra shuffles:\n" + p)
+  }
+
+  test("q03: compiled row filter is pushed to the scan") {
+    val p = plan("q03_rowfilter")
+    assert(p.contains("PushedFilters") && p.contains("In(event_type"), p)
+  }
+
+  test("t01: scoring pass stays inside whole-stage codegen (no HOF fallback)") {
+    val p = plan("t01_langid")
+    assert(p.contains("*("), "no codegen stages:\n" + p)
+    assert(!p.contains("lambdafunction"), "interpreted lambda in hot path:\n" + p)
+  }
+
+  test("s01: query side is broadcast; corpus is never shuffled") {
+    val p = plan("s01_ann_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("d02: signature computed before the exchange, bands join on hash") {
+    val df = SparkEntry.queries("d02_dedup_minhash")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // minhash kernel appears below the repartition exchange, not after joins
+    val sigPos = p.indexOf("minhash_signature")
+    val joinPos = p.indexOf("Join")
+    assert(sigPos >= 0, p)
+    assert(joinPos >= 0 && sigPos > joinPos,
+      "signature should be computed in the leaf projections (printed below joins)")
+  }
+}

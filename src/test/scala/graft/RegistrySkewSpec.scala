@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Registry, Skew}
+
+class RegistrySkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registry syncAll reports current-state counts for every table") {
+    val out = Registry.syncAll(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Registry.syncTables.keySet)
+    assert(out("events") == Tables.events(spark, sfDir).select("user_id").distinct().count())
+    assert(out("customer") == Tables.customer(spark, sfDir).count())
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    val ev = Tables.events(spark, sfDir)
+    val salted = Skew.saltedSumCount(ev, Seq("event_type"), "value", 8, Seq("event_id"))
+      .select(col("event_type"), col("n_rows"), round(col("sum_value"), 2).as("s"))
+      .as[(String, Long, Double)].collect().toSet
+    val plain = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("value")), 2).as("s"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("salt is deterministic and bounded") {
+    val df = Seq(1L, 2L, 3L).toDF("id")
+    val s1 = df.select(Skew.salt(8, col("id")).as("s")).as[Long].collect().toSeq
+    val s2 = df.select(Skew.salt(8, col("id")).as("s")).as[Long].collect().toSeq
+    assert(s1 == s2 && s1.forall(s => s >= 0 && s < 8))
+  }
+
+  test("empty incremental slice merges as a no-op (the reference's .empty files)") {
+    val full = Seq((1L, 10L, "a")).toDF("k", "ts", "v")
+    val empty = full.where(lit(false))
+    val merged = graft.operators.MergeOps.snapshotMerge(full, empty, Seq("k"), Seq("ts"))
+    assert(merged.as[(Long, Long, String)].collect().toSeq == Seq((1L, 10L, "a")))
+  }
+}
