@@ -281,6 +281,21 @@ object SparkEntry {
     "m01_multimodal" -> q { (s, dir) =>
       val media = Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
       Multimodal.featureStats(Multimodal.decodeFeatures(s, media))
+    },
+    "m02_frame_sample" -> q { (s, dir) =>
+      val media = Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.sampleFrames(Multimodal.decodeFeatures(s, media), stride = 8)
+        .groupBy(col("media_id"))
+        .agg(max(col("n_frames")).cast("long").as("n_frames"), count(lit(1)).as("n_sampled"))
+    },
+    "q20_json_struct" -> q { (s, dir) =>
+      // typed JSONB cleaning (db.py:261-282): from_json into a struct schema,
+      // then aggregate on the extracted field — the reference's array/json
+      // columns (embeds, mentions) follow this exact path with array schemas
+      Tables.events(s, dir)
+        .select(from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).as("p"))
+        .groupBy(pmod(col("p.k"), lit(10)).as("k_bucket"))
+        .agg(count(lit(1)).as("n"))
     })
 
   // --------------------------------------------------------------------------
@@ -456,6 +471,9 @@ object SparkEntry {
          |  round(CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains($stopArr, t))) AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS stopword_ratio
          |FROM (SELECT doc_id, text, $tokSql AS toks FROM documents)""".stripMargin
     },
+    "q20_json_struct" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
     "t03_tokens" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,

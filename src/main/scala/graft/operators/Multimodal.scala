@@ -80,6 +80,35 @@ object Multimodal {
     }(enc)
   }
 
+  /** Frame sampling for video media: every `stride`-th frame index from the
+    * decoded frame count (STUB decode — indices are real plumbing, the
+    * frames themselves would come from the codec). Explodes to one row per
+    * sampled frame, the shape a frame-level training pipeline consumes.
+    */
+  def sampleFrames(decoded: DataFrame, stride: Int): DataFrame =
+    decoded
+      .where(col("kind") === "video")
+      .select(
+        col("media_id"),
+        col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** Resize planning for image media: target box fit preserving aspect
+    * ratio (pure metadata arithmetic — the pixel work is the stubbed codec's
+    * job; the point is that filtering/partitioning happens on metadata
+    * without touching payload bytes).
+    */
+  def resizePlan(media: DataFrame, maxSide: Int): DataFrame =
+    media
+      .where(col("kind") === "image")
+      .select(
+        col("media_id"), col("meta_width"), col("meta_height"),
+        least(lit(maxSide) / greatest(col("meta_width"), col("meta_height")).cast("double"), lit(1.0)).as("_scale"))
+      .select(
+        col("media_id"), col("meta_width"), col("meta_height"),
+        round(col("meta_width") * col("_scale")).cast("int").as("out_width"),
+        round(col("meta_height") * col("_scale")).cast("int").as("out_height"))
+
   /** Per-kind feature rollup over the decoded features. */
   def featureStats(decoded: DataFrame): DataFrame =
     decoded
