@@ -154,6 +154,9 @@ object HashExprs {
 
   def arrayMatchFraction(a: Column, b: Column): Column =
     ColumnBridge.column(ArrayMatchFraction(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def longSetJaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(LongSetJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
 /** Fused tokenize → k-word shingle → hash kernel: lowercases, splits on
@@ -226,6 +229,52 @@ case class ArrayMatchFraction(left: Expression, right: Expression)
       var i = 0
       while (i < n) { if (x.getLong(i) == y.getLong(i)) eq += 1; i += 1 }
       eq.toDouble / n.toDouble
+    }
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact Jaccard similarity of two long arrays treated as sets — one fused
+  * loop per candidate pair (sort-merge over sorted copies, no boxing).
+  * Used for n-gram Jaccard where the shingle sets are already hashed; a
+  * 64-bit hash collision changing set cardinality is ~2^-64 per pair.
+  */
+case class LongSetJaccard(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "long_set_jaccard"
+
+  private def sortedDistinct(a: ArrayData): Array[Long] = {
+    val n = a.numElements()
+    val arr = new Array[Long](n)
+    var i = 0
+    while (i < n) { arr(i) = a.getLong(i); i += 1 }
+    java.util.Arrays.sort(arr)
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || arr(i) != arr(w - 1)) { arr(w) = arr(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(arr, w)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = sortedDistinct(a.asInstanceOf[ArrayData])
+    val y = sortedDistinct(b.asInstanceOf[ArrayData])
+    if (x.isEmpty && y.isEmpty) 1.0
+    else {
+      var i = 0; var j = 0; var inter = 0
+      while (i < x.length && j < y.length) {
+        if (x(i) == y(j)) { inter += 1; i += 1; j += 1 }
+        else if (x(i) < y(j)) i += 1
+        else j += 1
+      }
+      inter.toDouble / (x.length + y.length - inter).toDouble
     }
   }
 

@@ -102,13 +102,15 @@ object Dedup {
       minJaccard: Double = 0.5): DataFrame = {
     val candidates = minhashLsh(docs, idCol, textCol, shingleK, 64, 16, minEstJaccard = 0.2)
       .select(col("a"), col("b"))
+    // exact Jaccard over the hashed shingle sets (collision odds ~2^-64):
+    // one kernel evaluation per candidate pair, no string-array shuffling
     val sets = docs.select(
       col(idCol).as("id"),
-      array_distinct(TextFns.shingles(TextFns.tokens(col(textCol)), shingleK)).as("sh"))
+      HashExprs.tokenShingleHashes(col(textCol), shingleK).as("sh"))
     candidates
       .join(sets.withColumnRenamed("id", "a").withColumnRenamed("sh", "sh_a"), Seq("a"))
       .join(sets.withColumnRenamed("id", "b").withColumnRenamed("sh", "sh_b"), Seq("b"))
-      .select(col("a"), col("b"), TextFns.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("a"), col("b"), HashExprs.longSetJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= lit(minJaccard))
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
