@@ -191,6 +191,36 @@ object SparkEntry {
           col("n_customers"), col("sum_acctbal"))
     },
     "q19_registry_sync" -> q { (s, dir) => Registry.syncAll(s, dir) },
+    "q21_asof_join" -> q { (s, dir) =>
+      // orders mapped into the events time window (deterministic arithmetic
+      // mirrored in the oracle, which uses DuckDB's native ASOF LEFT JOIN)
+      val probe = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        pmod(col("o_custkey"), lit(100)).as("uid"),
+        (lit(1704067200000000L) +
+          pmod(unix_millis(col("o_orderdate").cast("timestamp")), lit(2592000000L)) * 1000L).as("t_us"))
+      val build = Tables.events(s, dir).select(
+        col("user_id").as("uid"), col("ts_us").as("t_us"), col("event_id"), col("value"))
+      TemporalJoins.asofJoin(build, probe, "uid", "t_us",
+        buildPayload = Seq("event_id", "value"), probeId = Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("uid"), col("t_us"),
+          col("asof_event_id"), col("asof_value"))
+    },
+    "q22_range_join" -> q { (s, dir) =>
+      import s.implicits._
+      val ranges = Seq(
+        (0L, 0.0, 50.0), (1L, 50.0, 100.0), (2L, 100.0, 150.0),
+        (3L, 150.0, 200.0), (4L, 200.0, 1e9))
+        .toDF("band_id", "lo", "hi")
+      TemporalJoins.rangeJoin(Tables.events(s, dir), ranges, "value", "lo", "hi")
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    },
+    "q23_tumbling_daily" -> q { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(expr("ts_us div 86400000000").as("day_idx"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    },
 
     // --- training-data pipeline ---------------------------------------------
     "d01_dedup_exact" -> q { (s, dir) =>
@@ -473,6 +503,23 @@ object SparkEntry {
     },
     "q20_json_struct" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "q21_asof_join" ->
+      """WITH p AS (SELECT o_orderkey, o_custkey % 100 AS uid,
+        |                  1704067200000000 + (epoch_ms(o_orderdate) % 2592000000) * 1000 AS t_us
+        |           FROM orders),
+        |b AS (SELECT user_id AS uid, epoch_us(ts) AS ts_us, event_id, value FROM events)
+        |SELECT p.o_orderkey, p.uid, p.t_us, b.event_id AS asof_event_id, b.value AS asof_value
+        |FROM p ASOF LEFT JOIN b ON p.uid = b.uid AND b.ts_us <= p.t_us""".stripMargin,
+    "q22_range_join" ->
+      """SELECT CAST(band_id AS BIGINT) AS band_id, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |JOIN (VALUES (0,0.0,50.0),(1,50.0,100.0),(2,100.0,150.0),(3,150.0,200.0),(4,200.0,1000000000.0))
+        |  AS r(band_id, lo, hi)
+        |ON value >= lo AND value < hi
+        |GROUP BY band_id""".stripMargin,
+    "q23_tumbling_daily" ->
+      """SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
     "t03_tokens" ->
       """SELECT doc_id,

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks as built-ins.
+  *
+  * As-of join: for every probe row, the newest build row with
+  * `buildTime <= probeTime` on the same key. The naive formulation is a
+  * range join (O(n·m) worst case); this one is the scalable composition:
+  * union both sides, one shuffle+sort per key, and a running `last_value
+  * (ignoreNulls)` carries the newest build attributes forward — linear in
+  * input size, no pair explosion, AQE-friendly. (DuckDB/kdb ship ASOF JOIN
+  * natively; the oracle uses exactly that.)
+  */
+object TemporalJoins {
+
+  /** @param build  (key, time, payload...) — the "quotes" side
+    * @param probe  (key, time, id...)     — the "trades" side
+    * @return one row per probe row: probe columns + `asof_<payloadCol>`
+    *         (null when no build row precedes it)
+    */
+  def asofJoin(
+      build: DataFrame,
+      probe: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      buildPayload: Seq[String],
+      probeId: Seq[String]): DataFrame = {
+    val b = build.select(
+      (Seq(col(keyCol), col(timeCol), lit(0).as("_side")) ++
+        buildPayload.map(col) ++
+        probeId.map(c => lit(null).cast(probe.schema(c).dataType).as(c))): _*)
+    val p = probe.select(
+      (Seq(col(keyCol), col(timeCol), lit(1).as("_side")) ++
+        buildPayload.map(c => lit(null).cast(build.schema(c).dataType).as(c)) ++
+        probeId.map(col)): _*)
+    // at equal timestamps the build row sorts first (_side 0 < 1), giving
+    // the reference's inclusive `<=` semantics
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(timeCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = b.unionByName(p).select(
+      (Seq(col(keyCol), col(timeCol), col("_side")) ++ probeId.map(col) ++
+        buildPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(s"asof_$c"))): _*)
+    carried
+      .where(col("_side") === 1)
+      .drop("_side")
+  }
+
+  /** Range join of a fact table against a small ranges table
+    * (lo <= value < hi): broadcast the ranges so the fact side never
+    * shuffles — at 100 TB the only viable plan for band joins.
+    */
+  def rangeJoin(
+      facts: DataFrame,
+      ranges: DataFrame,
+      valueCol: String,
+      loCol: String,
+      hiCol: String): DataFrame =
+    facts.join(
+      broadcast(ranges),
+      col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TemporalJoins
+
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin: newest build row at or before each probe time, else null") {
+    val build = Seq((1L, 10L, 100L, 1.0), (1L, 20L, 200L, 2.0), (2L, 50L, 500L, 5.0))
+      .toDF("k", "t", "event_id", "value")
+    val probe = Seq((1L, 5L, 901L), (1L, 10L, 902L), (1L, 15L, 903L), (1L, 25L, 904L), (2L, 49L, 905L))
+      .toDF("k", "t", "pid")
+    val out = TemporalJoins.asofJoin(build, probe, "k", "t", Seq("event_id", "value"), Seq("pid"))
+      .select(col("pid"), col("asof_event_id"), col("asof_value"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out == Map(901L -> -1L, 902L -> 100L, 903L -> 100L, 904L -> 200L, 905L -> -1L))
+  }
+
+  test("asofJoin output cardinality equals probe cardinality") {
+    val out = SparkEntry.queries("q21_asof_join")(spark, sfDir)
+    assert(out.count() == Tables.orders(spark, sfDir).count())
+  }
+
+  test("rangeJoin broadcasts the ranges side") {
+    val df = SparkEntry.queries("q22_range_join")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}
