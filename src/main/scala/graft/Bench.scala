@@ -12,9 +12,10 @@ object Bench {
     "q01_latest_wins", "q02_snapshot_merge", "q03_rowfilter",
     "q08_profiles_view", "q09_graph_degree", "q11_salted_agg",
     "q12_pricing_summary", "q13_region_revenue", "q14_top_customers", "q15_event_sessions",
-    "q16_brand_volume", "q18_nation_rollup",
-    "d01_dedup_exact", "d02_dedup_minhash", "d05_embed_neardup",
-    "s01_ann_brute", "t01_langid", "t02_quality")
+    "q16_brand_volume", "q18_nation_rollup", "q21_asof_join", "q22_range_join",
+    "d01_dedup_exact", "d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
+    "d05_embed_neardup", "s01_ann_brute", "s02_ann_lsh",
+    "t01_langid", "t02_quality", "t04_fingerprint")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

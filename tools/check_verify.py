@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Driver-style correctness compare: Spark parquet output vs DuckDB oracle."""
+import duckdb, json, sys, glob, os
+
+sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
+outdir = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
+
+con = duckdb.connect()
+for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+oracles = json.load(open(f'{outdir}/oracle_sql.json'))
+ok = fail = 0
+for name in sorted(os.listdir(outdir)):
+    d = os.path.join(outdir, name)
+    if not os.path.isdir(d):
+        continue
+    files = glob.glob(f'{d}/*.parquet')
+    if not files:
+        print(f'{name}: NO OUTPUT')
+        fail += 1
+        continue
+    spark_df = con.sql(f"SELECT * FROM '{files[0]}'").df()
+    if name not in oracles:
+        print(f'{name}: rows-only ({len(spark_df)} rows)')
+        continue
+    oracle_df = con.sql(oracles[name]).df()
+    sc = sorted(spark_df.columns); oc = sorted(oracle_df.columns)
+    if sc != oc:
+        print(f'{name}: SCHEMA MISMATCH spark={sc} oracle={oc}')
+        fail += 1
+        continue
+    a = spark_df[sc].sort_values(sc).reset_index(drop=True)
+    b = oracle_df[oc].sort_values(oc).reset_index(drop=True)
+    if len(a) != len(b):
+        print(f'{name}: ROWCOUNT MISMATCH spark={len(a)} oracle={len(b)}')
+        fail += 1
+        continue
+    # dtype harmonization then value compare
+    try:
+        import pandas as pd
+        eq = True
+        for c in sc:
+            av, bv = a[c], b[c]
+            if av.dtype != bv.dtype:
+                try:
+                    av = av.astype('float64'); bv = bv.astype('float64')
+                except Exception:
+                    av = av.astype(str); bv = bv.astype(str)
+            if av.dtype.kind == 'f':
+                if not ((av - bv).abs().fillna(0) < 1e-9).all() or not (av.isna() == bv.isna()).all():
+                    eq = False; bad = c; break
+            else:
+                if not (av.fillna('@null@') == bv.fillna('@null@')).all():
+                    eq = False; bad = c; break
+        if eq:
+            print(f'{name}: OK ({len(a)} rows)')
+            ok += 1
+        else:
+            print(f'{name}: VALUE MISMATCH col={bad}')
+            merged = a[[bad]].compare(b[[bad]]) if hasattr(a[[bad]], "compare") else None
+            print(a[a[bad] != b[bad]].head(3))
+            print(b[a[bad] != b[bad]].head(3))
+            fail += 1
+    except Exception as e:
+        print(f'{name}: COMPARE ERROR {e}')
+        fail += 1
+print(f'\n{ok} OK, {fail} FAIL')
