@@ -68,6 +68,13 @@ object JdbcUpsertSink {
     * by `connect`, so tests can inject a double) and writes in batches of
     * `batchSize` rows.
     */
+  /** Postgres rejects statements with more than 65535 bind parameters; the
+    * reference carries this as a TODO (db.py:797) — here the batch size is
+    * clamped so rows × columns always fits.
+    */
+  def maxRowsPerStatement(numColumns: Int): Int =
+    math.max(1, 65535 / math.max(1, numColumns))
+
   def write(
       df: DataFrame,
       table: String,
@@ -77,12 +84,13 @@ object JdbcUpsertSink {
       connect: () => Connection): Unit = {
     val schema = df.schema
     val columns = schema.fieldNames.toSeq
+    val effBatch = math.min(batchSize, maxRowsPerStatement(columns.size))
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
         val conn = connect()
         try {
           conn.setAutoCommit(false)
-          rows.grouped(batchSize).foreach { batch =>
+          rows.grouped(effBatch).foreach { batch =>
             val sql = upsertSql(table, columns, pkColumns, orderingCol, batch.size)
             val stmt = conn.prepareStatement(sql)
             try bindAndExecute(stmt, schema, batch)
