@@ -216,6 +216,51 @@ object SparkEntry {
         .groupBy(col("band_id"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
     },
+    "q24_scd2_intervals" -> q { (s, dir) =>
+      // SCD2 history: every event version with its validity window
+      MergeOps.scd2Intervals(
+        Tables.events(s, dir).select(col("user_id"), col("event_id"), col("ts_us"), col("value")),
+        Seq("user_id"), "ts_us", Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("valid_from"), col("valid_to"), col("is_current"))
+    },
+    "q25_mutual_edges" -> q { (s, dir) =>
+      val edges = Tables.events(s, dir).select(
+        col("user_id").as("src"),
+        pmod(get_json_object(col("props"), "$.k").cast("long"), lit(150)).as("dst"))
+        .where(col("dst").isNotNull)
+      GraphOps.mutualEdges(edges, "src", "dst")
+    },
+    "q26_price_percentiles" -> q { (s, dir) =>
+      // discrete (type-1) quantiles via row_number selection: integer row
+      // picks, no interpolation float math to drift between engines
+      val o = Tables.orders(s, dir)
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      val wn = Window.partitionBy(col("o_orderpriority"))
+      o.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max(when(col("rn") === ceil(col("n") * lit(0.5)), col("o_totalprice"))).as("p50"),
+          max(when(col("rn") === ceil(col("n") * lit(0.9)), col("o_totalprice"))).as("p90"),
+          count(lit(1)).as("n_orders"))
+    },
+    "q27_age_metrics" -> q { (s, dir) =>
+      // parquet_row_age_s analog: row age vs the newest row, exact integer
+      // sums so the double division is bit-identical across engines
+      val ev = Tables.events(s, dir)
+      val mx = ev.agg(max(col("ts_us")).as("mx"))
+      ev.crossJoin(broadcast(mx))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("mx") - col("ts_us")).cast("double") / count(lit(1)).cast("double") / lit(1000000.0), 2).as("avg_age_s"),
+          round(max(col("mx") - col("ts_us")).cast("double") / lit(1000000.0), 2).as("max_age_s"))
+    },
+    "s03_ann_ivf" -> q { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+    },
     "q23_tumbling_daily" -> q { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(expr("ts_us div 86400000000").as("day_idx"))
@@ -248,52 +293,41 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5, dim = 64)
     },
     "t01_langid" -> q { (s, dir) =>
-      // explode + conditional-sum keeps the whole scoring pass inside
-      // whole-stage codegen (higher-order filter() would be interpreted);
-      // one shuffle keyed on doc_id, partial aggregation map-side.
-      val docs = Tables.documents(s, dir)
-      val toks = docs.select(
+      // one fused kernel pass per document (no explode, no shuffle): the
+      // marker counts land in one array column and the argmax is a pure
+      // projection — a 100 TB documents scan stays a scan
+      import graft.expressions.TextKernels
+      val langs = TextFns.langMarkers.map(_._1)
+      val counted = Tables.documents(s, dir).select(
         col("doc_id"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-        .where(length(col("tok")) > 0)
-      val aggCols = TextFns.langMarkers.map { case (lang, words) =>
-        sum(when(col("tok").isin(words: _*), 1L).otherwise(0L)).as(s"s_$lang")
+        TextKernels.langMarkerCounts(col("text"), TextFns.langMarkers.map(_._2)).as("_mc"))
+      def score(i: Int) = element_at(col("_mc"), i + 1)
+      val best = langs.indices.map(score).reduce((a, b) => greatest(a, b))
+      val pred = langs.zipWithIndex.foldRight(lit("und")) { case ((lang, i), acc) =>
+        when(score(i) === best && best > 0, lit(lang)).otherwise(acc)
       }
-      val scores = toks.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
-      val scoreCols = TextFns.langMarkers.map { case (lang, _) => col(s"s_$lang") }
-      val best = scoreCols.reduce((a, b) => greatest(a, b))
-      val pred = TextFns.langMarkers.foldRight(lit("und")) { case ((lang, _), acc) =>
-        when(col(s"s_$lang") === best && best > 0, lit(lang)).otherwise(acc)
-      }
-      docs.select(col("doc_id"))
-        .join(scores, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(pred, lit("und")).as("pred_lang"))
+      counted.select(col("doc_id"), pred.as("pred_lang"))
     },
     "t02_quality" -> q { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val toks = docs.select(
+      // token stats via one kernel pass (see t01); punctuation ratio stays
+      // a native codegen'd regexp_count over the raw text
+      import graft.expressions.TextKernels
+      val st = Tables.documents(s, dir).select(
+        col("doc_id"), col("text"),
+        TextKernels.tokenStats(col("text"), TextFns.langMarkers.head._2).as("_st"))
+      val nToks = element_at(col("_st"), 1)
+      val lenSum = element_at(col("_st"), 2)
+      val nStop = element_at(col("_st"), 3)
+      st.select(
         col("doc_id"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-        .where(length(col("tok")) > 0)
-      val stopWords = TextFns.langMarkers.head._2
-      val agg = toks.groupBy(col("doc_id")).agg(
-        count(lit(1)).as("n_tokens"),
-        sum(length(col("tok")).cast("long")).as("len_sum"),
-        sum(when(col("tok").isin(stopWords: _*), 1L).otherwise(0L)).as("n_stop"))
-      docs.select(col("doc_id"), col("text"))
-        .join(agg, Seq("doc_id"), "left")
-        .select(
-          col("doc_id"),
-          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-          round(when(coalesce(col("n_tokens"), lit(0L)) > 0,
-            col("len_sum").cast("double") / col("n_tokens").cast("double")).otherwise(0.0), 4)
-            .as("mean_token_len"),
-          round(when(length(col("text")) > 0,
-            regexp_count(col("text"), lit("[.,!?;:]")).cast("double") / length(col("text")).cast("double"))
-            .otherwise(0.0), 4).as("punct_ratio"),
-          round(when(coalesce(col("n_tokens"), lit(0L)) > 0,
-            col("n_stop").cast("double") / col("n_tokens").cast("double")).otherwise(0.0), 4)
-            .as("stopword_ratio"))
+        nToks.as("n_tokens"),
+        round(when(nToks > 0, lenSum.cast("double") / nToks.cast("double")).otherwise(0.0), 4)
+          .as("mean_token_len"),
+        round(when(length(col("text")) > 0,
+          regexp_count(col("text"), lit("[.,!?;:]")).cast("double") / length(col("text")).cast("double"))
+          .otherwise(0.0), 4).as("punct_ratio"),
+        round(when(nToks > 0, nStop.cast("double") / nToks.cast("double")).otherwise(0.0), 4)
+          .as("stopword_ratio"))
     },
     "t03_tokens" -> q { (s, dir) =>
       Tables.documents(s, dir).select(
@@ -521,6 +555,36 @@ object SparkEntry {
     "q23_tumbling_daily" ->
       """SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+    "q24_scd2_intervals" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS valid_from,
+        |       lead(epoch_us(ts)) OVER w AS valid_to,
+        |       lead(epoch_us(ts)) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)""".stripMargin,
+    "q25_mutual_edges" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id AS s, CAST(json_extract_string(props, '$.k') AS BIGINT) % 150 AS d
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL AND user_id <> CAST(json_extract_string(props, '$.k') AS BIGINT) % 150)
+        |SELECT f.a, f.b
+        |FROM (SELECT s AS a, d AS b FROM e WHERE s < d) f
+        |JOIN (SELECT d AS a, s AS b FROM e WHERE s > d) r USING (a, b)""".stripMargin,
+    "q26_price_percentiles" ->
+      """SELECT o_orderpriority,
+        |       max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN o_totalprice END) AS p50,
+        |       max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN o_totalprice END) AS p90,
+        |       count(*) AS n_orders
+        |FROM (SELECT o_orderpriority, o_totalprice, o_orderkey,
+        |             row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+        |             count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |      FROM orders)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q27_age_metrics" ->
+      """WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events)
+        |SELECT event_type, count(*) AS n,
+        |       round(CAST(sum(mx - epoch_us(ts)) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 2) AS avg_age_s,
+        |       round(CAST(max(mx - epoch_us(ts)) AS DOUBLE) / 1000000.0, 2) AS max_age_s
+        |FROM events, m GROUP BY event_type""".stripMargin,
     "t03_tokens" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,

@@ -25,6 +25,21 @@ object GraphOps {
         max(col(ord)).as(s"last_$ord"),
         count(lit(1)).as("n_events"))
 
+  /** Reciprocal (mutual) edges: unordered pairs {a, b} with both a→b and
+    * b→a present — the "mutual follows" query the reference's FOLLOWS graph
+    * serves. Distinct edges first (MERGE semantics), then a self-join keyed
+    * on the canonical (lo, hi) orientation: one shuffle each side, no
+    * direction-flipped duplicate output rows.
+    */
+  def mutualEdges(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges
+      .select(col(src).cast("long").as("s"), col(dst).cast("long").as("d"))
+      .where(col("s") =!= col("d")).distinct()
+    val fwd = e.where(col("s") < col("d")).select(col("s").as("a"), col("d").as("b"))
+    val rev = e.where(col("s") > col("d")).select(col("d").as("a"), col("s").as("b"))
+    fwd.join(rev, Seq("a", "b")).select(col("a"), col("b"))
+  }
+
   /** Degree table for a bipartite edge set: out-degree per src node and
     * in-degree per dst node, unioned with a role tag — the Spark analog of
     * the reference's `follow_counts` table (schema/015).

@@ -32,6 +32,26 @@ object MergeOps {
     agg.select(unpacked: _*).select(df.columns.map(col).toSeq: _*)
   }
 
+  /** SCD-type-2 history derivation: where latest-wins (SCD1) keeps only the
+    * newest row per key, this emits every version with its validity window —
+    * `valid_from` = the row's own timestamp, `valid_to` = the next version's
+    * timestamp (NULL while current). The reference's upsert stream implies
+    * exactly this history; deriving it is one window function over a single
+    * shuffle+sort on the key, linear in input.
+    */
+  def scd2Intervals(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tieBreak: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.asc): _*)
+    df.withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", lead(col(tsCol), 1).over(w).isNull)
+  }
+
   /** Full-snapshot + incremental merge (main.py:102-404): the current state
     * after a full export plus a stream of incremental slices is the
     * latest-wins union. Incrementals win ties (they are newer files), which

@@ -40,21 +40,46 @@ object RowFilter {
       throw new IllegalArgumentException(s"Filter document must be an object, got $other")
   }
 
+  /** The reference evaluates in Python, where `x in vals` / `x != v` never
+    * yield SQL's "unknown": a NULL x passes $ne/$nin and fails $eq/$in.
+    * Each case compiles to a combination of IsNull/IsNotNull/In/EqualTo —
+    * deliberately NOT coalesce()/<=> wrappers, because these predicate
+    * shapes all translate to parquet source filters (row-group pruning at
+    * scale) while function-wrapped ones don't.
+    */
+  private def inList(c: Column, vals: Seq[Any]): Column = {
+    val nonNull = vals.filterNot(_ == null)
+    val base = if (nonNull.isEmpty) lit(false) else c.isin(nonNull: _*)
+    if (vals.contains(null)) c.isNull || base else base
+  }
+
+  private def notInList(c: Column, vals: Seq[Any]): Column = {
+    val nonNull = vals.filterNot(_ == null)
+    val notIn = if (nonNull.isEmpty) lit(true) else !c.isin(nonNull: _*)
+    if (vals.contains(null)) c.isNotNull && notIn else c.isNull || notIn
+  }
+
+  private def eqTo(c: Column, v: Any): Column =
+    if (v == null) c.isNull else c === lit(v)
+
+  private def neTo(c: Column, v: Any): Column =
+    if (v == null) c.isNotNull else c.isNull || c =!= lit(v)
+
   private def compileColumnOps(c: Column, ops: JValue): Column = ops match {
     case JObject(fields) =>
       fields.map {
-        case ("$in", JArray(vs))  => c.isin(vs.map(toLiteral): _*)
-        case ("$nin", JArray(vs)) => !c.isin(vs.map(toLiteral): _*)
+        case ("$in", JArray(vs))  => inList(c, vs.map(toLiteral))
+        case ("$nin", JArray(vs)) => notInList(c, vs.map(toLiteral))
         case ("$lt", v)           => c < toLiteral(v)
         case ("$lte", v)          => c <= toLiteral(v)
         case ("$gt", v)           => c > toLiteral(v)
         case ("$gte", v)          => c >= toLiteral(v)
-        case ("$eq", v)           => c === toLiteral(v)
-        case ("$ne", v)           => c =!= toLiteral(v)
+        case ("$eq", v)           => eqTo(c, toLiteral(v))
+        case ("$ne", v)           => neTo(c, toLiteral(v))
         case (op, _) =>
           throw new IllegalArgumentException(s"Unknown filter operator: $op")
       }.reduce(_ && _)
-    case v => c === toLiteral(v) // bare value = equality, mongo-style
+    case v => eqTo(c, toLiteral(v)) // bare value = equality, mongo-style
   }
 
   private def toLiteral(v: JValue): Any = v match {

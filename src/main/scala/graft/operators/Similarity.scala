@@ -55,6 +55,52 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("rank"))
   }
 
+  /** IVF-style ANN: a coarse quantizer of `nCentroids` centroid vectors
+    * partitions the corpus into cells; each query exactly scores only the
+    * `nProbe` cells nearest to it. Centroids are picked deterministically
+    * (lowest-id corpus vectors — the one intentionally driver-side "model
+    * fit", the analog of a k-means training step; nCentroids rows, not data).
+    * At scale: cell assignment is a pure scan (fused cosine kernels against
+    * broadcast centroid literals), and the candidate join shuffles only
+    * cell keys — the IVF index structure without a vector-DB dependency.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val centroids: Array[(Long, Seq[Float])] = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol).cast("long").asc)
+      .limit(nCentroids)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq)
+    // per-centroid scores as an array<struct<cos,cid>>; struct ordering
+    // (cos first) makes array_max the argmax — no window, no shuffle
+    def cellScores(v: Column): Column = array(centroids.zipWithIndex.map {
+      case ((_, cv), ci) =>
+        struct(VectorExprs.cosineFF(v, typedlit(cv)).as("cos"), lit(ci.toLong).as("cid"))
+    }: _*)
+    val cells = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      array_max(cellScores(col(vecCol))).getField("cid").as("cell"))
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+        slice(reverse(array_sort(cellScores(col(vecCol)))), 1, nProbe).as("_top"))
+      .select(col("q_id"), col("qv"), explode(col("_top").getField("cid")).as("cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    cells
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"), VectorExprs.cosineFF(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: candidates sharing a hyperplane-signature band with
     * the query are scored exactly; top-k of those per query. Recall < 1 by
     * construction; at 100 TB this turns an all-pairs scan into a few

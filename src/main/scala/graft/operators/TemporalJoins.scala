@@ -28,13 +28,20 @@ object TemporalJoins {
       timeCol: String,
       buildPayload: Seq[String],
       probeId: Seq[String]): DataFrame = {
+    // the payload travels as ONE struct so the carried values always come
+    // from the same (newest-preceding) build row — carrying each column
+    // independently with last(ignoreNulls) would resurrect older rows'
+    // values wherever the newest row holds a NULL, mixing rows in a way
+    // ASOF semantics forbid
+    val payloadType = org.apache.spark.sql.types.StructType(
+      buildPayload.map(c => build.schema(build.schema.fieldIndex(c))))
     val b = build.select(
-      (Seq(col(keyCol), col(timeCol), lit(0).as("_side")) ++
-        buildPayload.map(col) ++
+      (Seq(col(keyCol), col(timeCol), lit(0).as("_side"),
+        struct(buildPayload.map(col): _*).as("_bp")) ++
         probeId.map(c => lit(null).cast(probe.schema(c).dataType).as(c))): _*)
     val p = probe.select(
-      (Seq(col(keyCol), col(timeCol), lit(1).as("_side")) ++
-        buildPayload.map(c => lit(null).cast(build.schema(c).dataType).as(c)) ++
+      (Seq(col(keyCol), col(timeCol), lit(1).as("_side"),
+        lit(null).cast(payloadType).as("_bp")) ++
         probeId.map(col)): _*)
     // at equal timestamps the build row sorts first (_side 0 < 1), giving
     // the reference's inclusive `<=` semantics
@@ -42,12 +49,12 @@ object TemporalJoins {
       .partitionBy(col(keyCol))
       .orderBy(col(timeCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = b.unionByName(p).select(
-      (Seq(col(keyCol), col(timeCol), col("_side")) ++ probeId.map(col) ++
-        buildPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(s"asof_$c"))): _*)
-    carried
+    b.unionByName(p)
+      .withColumn("_asof", last(col("_bp"), ignoreNulls = true).over(w))
       .where(col("_side") === 1)
-      .drop("_side")
+      .select(
+        (Seq(col(keyCol), col(timeCol)) ++ probeId.map(col) ++
+          buildPayload.map(c => col(s"_asof.$c").as(s"asof_$c"))): _*)
   }
 
   /** Range join of a fact table against a small ranges table

@@ -19,7 +19,14 @@ import org.apache.spark.sql.types._
   */
 object JdbcUpsertSink {
 
-  /** Build the multi-row upsert statement for `n` rows. */
+  /** Build the multi-row upsert statement for `n` rows.
+    *
+    * The target is aliased `AS t` so the conflict guard works for
+    * schema-qualified names too (Postgres forbids `schema.table.col` inside
+    * ON CONFLICT's WHERE). When every column is part of the primary key
+    * there is nothing to update, so the statement degrades to DO NOTHING —
+    * a bare `DO UPDATE SET` would be invalid SQL.
+    */
   def upsertSql(
       table: String,
       columns: Seq[String],
@@ -35,12 +42,48 @@ object JdbcUpsertSink {
       .filterNot(pkColumns.contains)
       .map(c => s"${quoteIdent(c)} = excluded.${quoteIdent(c)}")
       .mkString(", ")
-    s"INSERT INTO $table ($colList) VALUES $values " +
-      s"ON CONFLICT ($conflict) DO UPDATE SET $updates " +
-      s"WHERE excluded.${quoteIdent(orderingCol)} >= $table.${quoteIdent(orderingCol)}"
+    val action =
+      if (updates.isEmpty) "DO NOTHING"
+      else s"DO UPDATE SET $updates " +
+        s"WHERE excluded.${quoteIdent(orderingCol)} >= t.${quoteIdent(orderingCol)}"
+    s"INSERT INTO ${quoteQualified(table)} AS t ($colList) VALUES $values " +
+      s"ON CONFLICT ($conflict) $action"
   }
 
   def quoteIdent(name: String): String = "\"" + name.replace("\"", "\"\"") + "\""
+
+  /** Quote a possibly schema-qualified name part-by-part (`s.t` → `"s"."t"`). */
+  def quoteQualified(name: String): String =
+    name.split('.').map(quoteIdent).mkString(".")
+
+  /** Postgres raises "ON CONFLICT DO UPDATE command cannot affect row a
+    * second time" when one statement carries two rows with the same key —
+    * the reference dedupes each batch before binding
+    * (db.py profile_with_addresses path). Keep, per key, the row with the
+    * greatest ordering value; on ties the later row in batch order wins,
+    * matching the reference's keep-last and the `>=` conflict guard.
+    */
+  def dedupBatch(batch: Seq[Row], pkIdx: Seq[Int], ordIdx: Int): Seq[Row] = {
+    if (batch.size <= 1) return batch
+    def ord(r: Row): Any = if (r.isNullAt(ordIdx)) null else r.get(ordIdx)
+    def geq(a: Any, b: Any): Boolean = (a, b) match {
+      case (null, _) => b == null
+      case (_, null) => true
+      case (x: Comparable[_], y) => x.asInstanceOf[Comparable[Any]].compareTo(y) >= 0
+      case _ => true
+    }
+    val keep = new java.util.LinkedHashMap[Seq[Any], Row]()
+    batch.foreach { r =>
+      val key = pkIdx.map(i => if (r.isNullAt(i)) null else r.get(i))
+      val prev = keep.get(key)
+      if (prev == null || geq(ord(r), ord(prev))) keep.put(key, r)
+    }
+    if (keep.size == batch.size) batch
+    else {
+      import scala.jdk.CollectionConverters._
+      keep.values.asScala.toSeq
+    }
+  }
 
   /** Bind a batch of rows into a prepared multi-row statement and execute. */
   def bindAndExecute(stmt: PreparedStatement, schema: StructType, rows: Seq[Row]): Int = {
@@ -85,12 +128,15 @@ object JdbcUpsertSink {
     val schema = df.schema
     val columns = schema.fieldNames.toSeq
     val effBatch = math.min(batchSize, maxRowsPerStatement(columns.size))
+    val pkIdx = pkColumns.map(schema.fieldIndex)
+    val ordIdx = schema.fieldIndex(orderingCol)
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
         val conn = connect()
         try {
           conn.setAutoCommit(false)
-          rows.grouped(effBatch).foreach { batch =>
+          rows.grouped(effBatch).foreach { raw =>
+            val batch = dedupBatch(raw, pkIdx, ordIdx)
             val sql = upsertSql(table, columns, pkColumns, orderingCol, batch.size)
             val stmt = conn.prepareStatement(sql)
             try bindAndExecute(stmt, schema, batch)

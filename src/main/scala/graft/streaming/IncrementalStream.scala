@@ -37,19 +37,29 @@ object IncrementalStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // All state-dir I/O goes through the FileSystem the path resolves to
+        // (HDFS/S3A/local alike) — a java.io.File check would always be false
+        // off the local disk and silently drop prior state every batch.
+        import org.apache.hadoop.fs.Path
+        val dst = new Path(stateDir)
+        val fs = dst.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+        val prev = new Path(stateDir + "_prev")
+        val tmp = new Path(stateDir + "_tmp")
+        // recover from a crash that landed between the two renames below:
+        // current gone but the set-aside copy survives
+        if (!fs.exists(dst) && fs.exists(prev)) fs.rename(prev, dst)
         val merged =
-          if (new java.io.File(stateDir).exists()) {
-            val prev = batch.sparkSession.read.parquet(stateDir)
-            MergeOps.snapshotMerge(prev, batch, keys, ord)
-          } else MergeOps.latestByKey(batch, keys, ord)
-        // stage-then-swap so a failed batch never corrupts the state table
-        val tmp = stateDir + "_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          batch.sparkSession.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(stateDir)
-        if (fs.exists(dst)) fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+          if (fs.exists(dst))
+            MergeOps.snapshotMerge(batch.sparkSession.read.parquet(stateDir), batch, keys, ord)
+          else MergeOps.latestByKey(batch, keys, ord)
+        // stage → set aside → swap: at every instant either `dst` or `prev`
+        // holds a complete state table (delete-then-rename would not)
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(prev)) fs.delete(prev, true)
+        val hadState = fs.exists(dst)
+        if (hadState) fs.rename(dst, prev)
+        fs.rename(tmp, dst)
+        if (hadState) fs.delete(prev, true)
         ()
       }
       .start()

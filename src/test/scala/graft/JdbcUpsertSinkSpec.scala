@@ -17,9 +17,26 @@ class JdbcUpsertSinkSpec extends SparkSpec {
   test("upsertSql emits the reference's ON CONFLICT .. WHERE updated_at guard") {
     val sql = JdbcUpsertSink.upsertSql("casts", Seq("id", "text", "updated_at"), Seq("id"), "updated_at", 2)
     assert(sql ==
-      """INSERT INTO casts ("id", "text", "updated_at") VALUES (?, ?, ?), (?, ?, ?) """ +
+      """INSERT INTO "casts" AS t ("id", "text", "updated_at") VALUES (?, ?, ?), (?, ?, ?) """ +
         """ON CONFLICT ("id") DO UPDATE SET "text" = excluded."text", "updated_at" = excluded."updated_at" """ +
-        """WHERE excluded."updated_at" >= casts."updated_at"""")
+        """WHERE excluded."updated_at" >= t."updated_at"""")
+  }
+
+  test("upsertSql quotes schema-qualified tables and degrades to DO NOTHING when all columns are PK") {
+    val sql = JdbcUpsertSink.upsertSql("public.likes", Seq("fid", "target"), Seq("fid", "target"), "fid", 1)
+    assert(sql ==
+      """INSERT INTO "public"."likes" AS t ("fid", "target") VALUES (?, ?) ON CONFLICT ("fid", "target") DO NOTHING""")
+  }
+
+  test("dedupBatch keeps one row per PK — max ordering, last-in-batch on ties") {
+    val rows = Seq(
+      Row(1L, "a", 10L), Row(2L, "b", 5L), Row(1L, "c", 20L),
+      Row(1L, "stale", 15L), Row(3L, "t1", 7L), Row(3L, "t2", 7L))
+    val out = JdbcUpsertSink.dedupBatch(rows, pkIdx = Seq(0), ordIdx = 2)
+    assert(out == Seq(Row(1L, "c", 20L), Row(2L, "b", 5L), Row(3L, "t2", 7L)))
+    // no duplicates → batch returned as-is
+    val clean = Seq(Row(1L, "a", 1L), Row(2L, "b", 2L))
+    assert(JdbcUpsertSink.dedupBatch(clean, Seq(0), 2) eq clean)
   }
 
   /** Recording doubles: capture every bound parameter batch. */

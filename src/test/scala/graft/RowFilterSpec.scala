@@ -35,6 +35,20 @@ class RowFilterSpec extends SparkSpec {
     assert(ids("""{"data.value": {"$gte": 150}, "data.event_type": {"$ne": "error"}}""") == Seq(2L, 4L, 5L))
   }
 
+  test("NULL columns follow the reference's Python semantics, not SQL 3VL") {
+    // row_filters.py evaluates in Python: None != v → True, None not in [..] → True
+    val nullable = Seq((1L, Some("click")), (2L, None), (3L, Some("error")))
+      .toDF("id", "event_type")
+    def keep(json: String): Seq[Long] =
+      nullable.where(RowFilter.compile(json)).select("id").as[Long].collect().sorted.toSeq
+    assert(keep("""{"data.event_type": {"$ne": "error"}}""") == Seq(1L, 2L))
+    assert(keep("""{"data.event_type": {"$nin": ["error", "signup"]}}""") == Seq(1L, 2L))
+    assert(keep("""{"data.event_type": {"$in": ["click"]}}""") == Seq(1L))
+    assert(keep("""{"data.event_type": {"$eq": null}}""") == Seq(2L))
+    assert(keep("""{"data.event_type": {"$ne": null}}""") == Seq(1L, 3L))
+    assert(keep("""{"data.event_type": {"$in": ["click", null]}}""") == Seq(1L, 2L))
+  }
+
   test("$and / $or compose") {
     val j =
       """{"$or": [

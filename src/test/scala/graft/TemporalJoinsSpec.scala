@@ -19,6 +19,17 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out == Map(901L -> -1L, 902L -> 100L, 903L -> 100L, 904L -> 200L, 905L -> -1L))
   }
 
+  test("asofJoin takes the matched build row wholesale — NULL payload fields stay NULL") {
+    // newest preceding build row (t=20) has a NULL value: ASOF must carry
+    // (200, NULL), not resurrect 1.0 from the older t=10 row
+    val build = Seq((1L, 10L, Some(100L), Some(1.0)), (1L, 20L, Some(200L), None))
+      .toDF("k", "t", "event_id", "value")
+    val probe = Seq((1L, 25L, 901L)).toDF("k", "t", "pid")
+    val r = TemporalJoins.asofJoin(build, probe, "k", "t", Seq("event_id", "value"), Seq("pid"))
+      .select(col("asof_event_id"), col("asof_value")).collect().head
+    assert(r.getLong(0) == 200L && r.isNullAt(1))
+  }
+
   test("asofJoin output cardinality equals probe cardinality") {
     val out = SparkEntry.queries("q21_asof_join")(spark, sfDir)
     assert(out.count() == Tables.orders(spark, sfDir).count())

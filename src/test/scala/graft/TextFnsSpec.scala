@@ -93,5 +93,44 @@ class TextFnsSpec extends SparkSpec {
     val a = fps("some document text that is long enough to window")
     val b = fps("some document text that is long enough to window")
     assert(a == b && a.head.nonEmpty)
+    // identical prefixes share fingerprints (the winnowing guarantee that
+    // makes them useful for near-dup detection); short docs yield one
+    val c = fps("some document text that is long enough to window PLUS EXTRA TAIL HERE")
+    assert(a.head.toSet.intersect(c.head.toSet).nonEmpty)
+    assert(fps("tiny").head.length == 1)
+  }
+
+  test("marker-count kernel matches the declarative scoring") {
+    import graft.expressions.TextKernels
+    val docs = Seq(
+      "the cat sat on a mat and it is warm in the sun",
+      "der hund und die katze das ist nicht ein problem zu haben",
+      "el perro y la casa de un amigo que es grande en madrid",
+      "xyzzy plugh qwerty asdf", "", "   ", "the the the und und es le"
+    ).toDF("text")
+    val kernel = docs.select(
+      TextKernels.langMarkerCounts(col("text"), TextFns.langMarkers.map(_._2)).as("mc"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    val declarative = docs.select(
+      array(TextFns.langMarkers.map { case (_, ws) =>
+        TextFns.markerCount(TextFns.tokens(col("text")), ws) }: _*).as("mc"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(kernel.toSeq == declarative.toSeq)
+  }
+
+  test("token-stats kernel matches declarative token/length/stopword counts") {
+    import graft.expressions.TextKernels
+    val docs = Seq("the cat, the hat!", "", "  one  ", "a bb ccc dddd the")
+      .toDF("text")
+    val stops = TextFns.langMarkers.head._2
+    val kernel = docs.select(TextKernels.tokenStats(col("text"), stops).as("st"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    val toks = TextFns.tokens(col("text"))
+    val declarative = docs.select(array(
+      size(toks).cast("long"),
+      coalesce(aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long")), lit(0L)),
+      TextFns.markerCount(toks, stops)).as("st"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(kernel.toSeq == declarative.toSeq)
   }
 }
