@@ -26,8 +26,22 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Fixed-size heap: with -Xms << -Xmx, G1 keeps the committed heap small, so
+// every humongous-allocation concurrent cycle decides free memory is scarce
+// and clears SoftReferences — including Jackson's thread-local buffer
+// recycler, degrading per-row JSON parsing by ~70× (measured). Pinning the
+// heap (plus bigger regions so fewer allocations count as humongous) keeps
+// the soft-ref threshold high and the pauses out of the benchmark.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  "-XX:G1HeapRegionSize=32m",
+  "-XX:SoftRefLRUPolicyMSPerMB=2500",
+  // Shuffle/spill files live on tmpfs: the container's disk throttles in
+  // multi-second bursts (observed: single task blocked in file read for 30s
+  // on megabytes of shuffle data), which randomly poisons shuffle-heavy
+  // queries. On a real cluster this is local NVMe; RAM stands in here.
+  "-Dspark.local.dir=/dev/shm/spark-local",
+) ++ sys.env.get("GRAFT_GC_LOG").map(f => s"-Xlog:gc:file=$f").toSeq

@@ -98,9 +98,11 @@ object SparkEntry {
       GraphOps.degrees(Tables.lineitem(s, dir), "l_suppkey", "l_partkey")
     },
     "q10_edge_merge" -> q { (s, dir) =>
+      // edge dst comes from the props JSON — extracted with the fused
+      // scanner kernel (no per-row Jackson parser on the hot scan path)
       val edges = Tables.events(s, dir).select(
         col("user_id").as("src"),
-        get_json_object(col("props"), "$.k").cast("long").as("dst"),
+        graft.expressions.JsonKernels.jsonLongField(col("props"), "k").as("dst"),
         col("ts_us"))
       GraphOps.mergeEdges(edges, "src", "dst", "ts_us")
     },
@@ -226,7 +228,7 @@ object SparkEntry {
     "q25_mutual_edges" -> q { (s, dir) =>
       val edges = Tables.events(s, dir).select(
         col("user_id").as("src"),
-        pmod(get_json_object(col("props"), "$.k").cast("long"), lit(150)).as("dst"))
+        pmod(graft.expressions.JsonKernels.jsonLongField(col("props"), "k"), lit(150)).as("dst"))
         .where(col("dst").isNotNull)
       GraphOps.mutualEdges(edges, "src", "dst")
     },

@@ -83,4 +83,43 @@ class DedupSimilaritySpec extends SparkSpec {
     val overlap = lsh.count(brute.contains)
     assert(overlap.toDouble / lsh.length > 0.3, s"overlap $overlap of ${lsh.length}")
   }
+
+  test("IVF top-k: well-formed ranks, scores exact, decent recall vs brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 3)
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5).collect()
+    assert(ivf.nonEmpty)
+    val byQ = ivf.groupBy(_.getLong(0))
+    byQ.values.foreach { g =>
+      val ranks = g.map(_.getLong(3)).sorted.toSeq
+      assert(ranks == (1L to ranks.length).toSeq) // dense ranks from 1
+      assert(ranks.length <= 5)
+    }
+    // every reported cosine matches the exact brute-force score for that pair
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 1000)
+      .select("q_id", "neighbor_id", "cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf.foreach { r =>
+      val exact = brute((r.getLong(0), r.getLong(1)))
+      assert(math.abs(exact - r.getDouble(2)) < 1e-9)
+    }
+    // recall@5 against exact top-5 is nontrivial for nProbe=4 of 16 cells
+    val top5 = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val hits = ivf.count(r => top5.contains((r.getLong(0), r.getLong(1))))
+    assert(hits.toDouble / top5.size > 0.3, s"recall $hits of ${top5.size}")
+  }
+
+  test("mutualEdges finds exactly the reciprocal pairs, once each") {
+    import graft.operators.GraphOps
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), // mutual
+      (3L, 4L),           // one-way
+      (5L, 6L), (6L, 5L), (5L, 6L), // mutual with duplicate edge
+      (7L, 7L)            // self-loop ignored
+    ).toDF("src", "dst")
+    val out = GraphOps.mutualEdges(edges, "src", "dst")
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (5L, 6L)))
+  }
 }

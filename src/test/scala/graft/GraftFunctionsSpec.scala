@@ -1,5 +1,42 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, get_json_object}
+
+class JsonKernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jsonLongField matches CAST(get_json_object(..) AS BIGINT) row for row") {
+    val inputs = Seq(
+      """{"k": 69}""", """{"k":-7}""", """{ "k" : 123 }""", """{"k": "42"}""",
+      """{"j": 1, "k": 2}""", """{"k": 1, "j": 2}""", """{"j": 5}""",
+      """{"k": 1.5}""", """{"k": -2.75}""", """{"k": "3.5"}""", """{"k": 1e3}""",
+      """{"k": "xyz"}""", """{"k": null}""", """{"k": true}""",
+      """{"other": "k", "k": 9}""", """{"note": "the \"k\" char", "k": 3}""",
+      """{"nested": {"k": 99}}""", """{"nested": {"k": 99}, "k": 1}""",
+      """{"arr": [1,2], "k": 4}""", """{}""", """""", """not json""",
+      """{"k": 9223372036854775}""", """{"kk": 5}""", """{"k": 5x}"""
+    ).toDF("js")
+    val rows = inputs.select(
+      graft.expressions.JsonKernels.jsonLongField(col("js"), "k").as("kernel"),
+      get_json_object(col("js"), "$.k").cast("long").as("builtin")
+    ).collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.isNullAt(0) == r.isNullAt(1) &&
+        (r.isNullAt(0) || r.getLong(0) == r.getLong(1)),
+        s"row $i: kernel=${r.get(0)} builtin=${r.get(1)}")
+    }
+  }
+
+  test("jsonLongField agrees with the builtin across the whole events table") {
+    val ev = Tables.events(spark, sfDir)
+    val diff = ev.select(
+      graft.expressions.JsonKernels.jsonLongField(col("props"), "k").as("a"),
+      get_json_object(col("props"), "$.k").cast("long").as("b"))
+      .where(!(col("a") <=> col("b")))
+    assert(diff.count() == 0)
+  }
+}
+
 class GraftFunctionsSpec extends SparkSpec {
 
   test("kernels are callable from pure SQL after registration") {

@@ -27,6 +27,27 @@ class MergeOpsSpec extends SparkSpec {
     assert(out == Seq((1L, 10L, "inc-v"), (2L, 10L, "full-keep")))
   }
 
+  test("scd2Intervals: abutting validity windows, newest version current") {
+    val df = Seq(
+      (1L, 10L, 100L, "v1"), (1L, 20L, 101L, "v2"), (1L, 30L, 102L, "v3"),
+      (2L, 5L, 50L, "only")
+    ).toDF("k", "ts", "id", "v")
+    val out = MergeOps.scd2Intervals(df, Seq("k"), "ts", Seq("id"))
+      .orderBy("k", "valid_from")
+      .select("k", "v", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      .toSeq
+    assert(out == Seq(
+      (1L, "v1", 10L, 20L, false), (1L, "v2", 20L, 30L, false), (1L, "v3", 30L, -1L, true),
+      (2L, "only", 5L, -1L, true)))
+    // exactly one current row per key; the current row is the SCD1 winner
+    val cur = MergeOps.scd2Intervals(df, Seq("k"), "ts", Seq("id")).where(col("is_current"))
+    val scd1 = MergeOps.latestByKey(df, Seq("k"), Seq("ts", "id"))
+    assert(cur.select("k", "v").collect().toSet == scd1.select("k", "v").collect().toSet)
+  }
+
   test("latestByKey on events matches groupBy count invariant") {
     val ev = Tables.events(spark, sfDir)
     val merged = MergeOps.latestByKey(ev, Seq("user_id"), Seq("ts_us", "event_id"))

@@ -43,6 +43,31 @@ class StreamingSpec extends SparkSpec {
     assert(got2 == Seq((1L, 20L, "a2"), (2L, 10L, "b"), (3L, 5L, "c"), (4L, 1L, "d")))
   }
 
+  test("state swap recovers when a crash landed between the two renames") {
+    val base = Files.createTempDirectory("graft-stream-crash").toFile.getAbsolutePath
+    val in = s"$base/incoming"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+
+    Seq((1L, 10L, "a"), (2L, 10L, "b")).toDF("k", "ts", "v")
+      .coalesce(1).write.parquet(s"$in/slice1")
+    IncrementalStream.run(spark, s"$in/*", Seq((0L, 0L, "")).toDF("k", "ts", "v"),
+      Seq("k"), Seq("ts"), state, ckpt).awaitTermination(120000)
+
+    // simulate the torn swap: current renamed aside, replacement never landed
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(state), new org.apache.hadoop.fs.Path(state + "_prev")))
+
+    Seq((3L, 5L, "c")).toDF("k", "ts", "v").coalesce(1).write.parquet(s"$in/slice2")
+    IncrementalStream.run(spark, s"$in/*", Seq((0L, 0L, "")).toDF("k", "ts", "v"),
+      Seq("k"), Seq("ts"), state, ckpt).awaitTermination(120000)
+
+    // pre-crash state recovered AND the new slice merged
+    val got = spark.read.parquet(state).orderBy("k")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 10L, "a"), (2L, 10L, "b"), (3L, 5L, "c")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(state + "_prev")))
+  }
+
   test("windowed counts with watermark produce event-time aggregates") {
     // batch-mode check of the streaming aggregation shape
     val ev = Seq(
