@@ -39,6 +39,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   "-XX:G1HeapRegionSize=32m",
   "-XX:SoftRefLRUPolicyMSPerMB=2500",
+  // a multi-pass 29-query suite JIT-compiles thousands of Janino classes;
+  // the default 240m code cache then sweeps/flushes hot methods and whole
+  // queries fall back to interpreted execution late in the run
+  "-XX:ReservedCodeCacheSize=1g",
   // Shuffle/spill files live on tmpfs: the container's disk throttles in
   // multi-second bursts (observed: single task blocked in file read for 30s
   // on megabytes of shuffle data), which randomly poisons shuffle-heavy

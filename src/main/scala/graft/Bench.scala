@@ -33,6 +33,9 @@ object Bench {
       // tens of MB — hash-joining them scan-side beats a shuffle; on a
       // real cluster AQE makes the same call from runtime sizes
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // default 100-entry codegen cache evicts across a 29-query × 3-pass
+      // suite, recompiling every generated class each pass
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.prep(spark)

@@ -25,6 +25,11 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"$name must be an integer literal, got $other")
   }
 
+  private def strArg(e: Expression, name: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(s"$name must be a string literal, got $other")
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_similarity_ff" -> (es => CosineSimilarityFF(es(0), es(1))),
     "dot_product_ff" -> (es => DotProductFF(es(0), es(1))),
@@ -32,7 +37,10 @@ object GraftFunctions {
     "simhash64" -> (es => SimHash64(es(0))),
     "token_shingle_hashes" -> (es => TokenShingleHashes(es(0), intArg(es(1), "k"))),
     "array_match_fraction" -> (es => ArrayMatchFraction(es(0), es(1))),
-    "long_set_jaccard" -> (es => LongSetJaccard(es(0), es(1))))
+    "long_set_jaccard" -> (es => LongSetJaccard(es(0), es(1))),
+    "json_long_field" -> (es => JsonKernels.JsonLongField(es(0), strArg(es(1), "key"))),
+    "winnow_fingerprint" -> (es =>
+      TextKernels.WinnowFingerprint(es(0), intArg(es(1), "k"), intArg(es(2), "window"))))
 
   /** Register every kernel as a temp function on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -54,6 +54,12 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getAs[Int]("sig_len") == 64)
     assert(r.getAs[Double]("mf") == 0.75)
     assert(r.getAs[Double]("j") == 0.5)
+    val r2 = spark.sql(
+      """SELECT json_long_field('{"k": 42, "j": 1}', 'k') AS k,
+        |       size(winnow_fingerprint('some long enough document text here', 8, 4)) AS nfp
+        |""".stripMargin).collect().head
+    assert(r2.getAs[Long]("k") == 42L)
+    assert(r2.getAs[Int]("nfp") > 0)
   }
 
   test("SQL and Scala-API kernels agree on the documents table") {

@@ -54,6 +54,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q24: SCD2 derivation is one shuffle + one sort (window over key)") {
+    val p = plan("q24_scd2_intervals")
+    assert(p.contains("Window"), p)
+    assert("Exchange".r.findAllIn(p).length <= 2, "extra shuffles in SCD2:\n" + p)
+    assert("Sort\\b".r.findAllIn(p).length <= 2, "extra sorts in SCD2:\n" + p)
+  }
+
+  test("q27: global max is broadcast to the fact scan, not joined by shuffle") {
+    val p = plan("q27_age_metrics")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), "global-max join must not shuffle the facts:\n" + p)
+  }
+
+  test("s03: probes are broadcast; corpus cells join without corpus shuffle") {
+    val p = plan("s03_ann_ivf")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q25: JSON field extraction uses the scanner kernel, not per-row Jackson") {
+    val p = plan("q25_mutual_edges")
+    assert(p.contains("json_long_field"), p)
+    assert(!p.contains("get_json_object"), "hot path still uses Jackson:\n" + p)
+  }
+
   test("d02: signature computed before the exchange, bands join on hash") {
     val df = SparkEntry.queries("d02_dedup_minhash")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
