@@ -208,6 +208,21 @@ object SparkEntry {
         .select(col("o_orderkey"), col("uid"), col("t_us"),
           col("asof_event_id"), col("asof_value"))
     },
+    "q28_asof_native" -> q { (s, dir) =>
+      // same query as q21 through the native Catalyst operator
+      // (AsOfJoinPlan/Exec) — both are held to the same DuckDB ASOF oracle
+      val probe = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        pmod(col("o_custkey"), lit(100)).as("uid"),
+        (lit(1704067200000000L) +
+          pmod(unix_millis(col("o_orderdate").cast("timestamp")), lit(2592000000L)) * 1000L).as("t_us"))
+      val build = Tables.events(s, dir).select(
+        col("user_id").as("uid"), col("ts_us").as("t_us"), col("event_id"), col("value"))
+      TemporalJoins.asofJoinNative(build, probe, "uid", "t_us",
+        buildPayload = Seq("event_id", "value"), probeId = Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("uid"), col("t_us"),
+          col("asof_event_id"), col("asof_value"))
+    },
     "q22_range_join" -> q { (s, dir) =>
       import s.implicits._
       val ranges = Seq(
@@ -541,6 +556,13 @@ object SparkEntry {
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket, count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
     "q21_asof_join" ->
+      """WITH p AS (SELECT o_orderkey, o_custkey % 100 AS uid,
+        |                  1704067200000000 + (epoch_ms(o_orderdate) % 2592000000) * 1000 AS t_us
+        |           FROM orders),
+        |b AS (SELECT user_id AS uid, epoch_us(ts) AS ts_us, event_id, value FROM events)
+        |SELECT p.o_orderkey, p.uid, p.t_us, b.event_id AS asof_event_id, b.value AS asof_value
+        |FROM p ASOF LEFT JOIN b ON p.uid = b.uid AND b.ts_us <= p.t_us""".stripMargin,
+    "q28_asof_native" ->
       """WITH p AS (SELECT o_orderkey, o_custkey % 100 AS uid,
         |                  1704067200000000 + (epoch_ms(o_orderdate) % 2592000000) * 1000 AS t_us
         |           FROM orders),

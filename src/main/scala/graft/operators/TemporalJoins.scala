@@ -57,6 +57,43 @@ object TemporalJoins {
           buildPayload.map(c => col(s"_asof.$c").as(s"asof_$c"))): _*)
   }
 
+  /** As-of join through the native Catalyst operator
+    * ([[graft.plans.AsOfJoinPlan]]): same contract and output as
+    * [[asofJoin]], but each side keeps its own schema and the planner
+    * co-partitions + sorts them like a sort-merge join, with a streaming
+    * per-partition merge. Payload column names must not collide with probe
+    * columns (they are exposed as `asof_<name>`).
+    */
+  def asofJoinNative(
+      build: DataFrame,
+      probe: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      buildPayload: Seq[String],
+      probeId: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val spark = probe.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
+    val p = probe.select((Seq(col(keyCol), col(timeCol)) ++ probeId.map(col)): _*)
+    val b = build.select((Seq(col(keyCol), col(timeCol)) ++ buildPayload.map(col)): _*)
+    val pPlan = ColumnBridge.planOf(p)
+    val bPlan = ColumnBridge.planOf(b)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val node = graft.plans.AsOfJoinPlan(
+      pPlan, bPlan,
+      attr(pPlan, keyCol), attr(pPlan, timeCol),
+      attr(bPlan, keyCol), attr(bPlan, timeCol),
+      buildPayload.map(attr(bPlan, _)))
+    ColumnBridge.ofRows(spark, node).select(
+      (Seq(col(keyCol), col(timeCol)) ++ probeId.map(col) ++
+        buildPayload.map(c => col(c).as(s"asof_$c"))): _*)
+  }
+
   /** Range join of a fact table against a small ranges table
     * (lo <= value < hi): broadcast the ranges so the fact side never
     * shuffles — at 100 TB the only viable plan for band joins.

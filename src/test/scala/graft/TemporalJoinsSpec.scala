@@ -35,6 +35,41 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out.count() == Tables.orders(spark, sfDir).count())
   }
 
+  test("native asof operator matches the window composition exactly") {
+    val build = Seq((1L, 10L, 100L, 1.0), (1L, 20L, 200L, 2.0), (2L, 50L, 500L, 5.0))
+      .toDF("k", "t", "event_id", "value")
+    val probe = Seq((1L, 5L, 901L), (1L, 10L, 902L), (1L, 15L, 903L), (1L, 25L, 904L), (2L, 49L, 905L))
+      .toDF("k", "t", "pid")
+    val native = TemporalJoins.asofJoinNative(build, probe, "k", "t", Seq("event_id", "value"), Seq("pid"))
+      .collect().map(r => (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(native == Map(901L -> -1L, 902L -> 100L, 903L -> 100L, 904L -> 200L, 905L -> -1L))
+
+    // full-table cross-check against the composition
+    val p2 = Tables.orders(spark, sfDir).select(
+      col("o_orderkey"),
+      pmod(col("o_custkey"), lit(100)).as("uid"),
+      (lit(1704067200000000L) +
+        pmod(unix_millis(col("o_orderdate").cast("timestamp")), lit(2592000000L)) * 1000L).as("t_us"))
+    val b2 = Tables.events(spark, sfDir).select(
+      col("user_id").as("uid"), col("ts_us").as("t_us"), col("event_id"), col("value"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("o_orderkey", "asof_event_id", "asof_value").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+    val viaWindow = rows(TemporalJoins.asofJoin(b2, p2, "uid", "t_us", Seq("event_id", "value"), Seq("o_orderkey")))
+    val viaNative = rows(TemporalJoins.asofJoinNative(b2, p2, "uid", "t_us", Seq("event_id", "value"), Seq("o_orderkey")))
+    assert(viaNative == viaWindow)
+  }
+
+  test("native asof plan co-partitions both sides (shuffle exchanges, no pair join)") {
+    val df = SparkEntry.queries("q28_asof_native")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("rangeJoin broadcasts the ranges side") {
     val df = SparkEntry.queries("q22_range_join")(spark, sfDir)
     df.collect()
