@@ -163,6 +163,17 @@ object SparkEntry {
         buckets = 8, saltSource = Seq("event_id"))
         .select(col("event_type"), col("n_rows"), round(col("sum_value"), 2).as("sum_value"))
     },
+    "q29_salted_join" -> q { (s, dir) =>
+      // skew-safe fact×dim join (hot suppliers spread over 8 reducers per
+      // key); the oracle is the PLAIN join — salting must be invisible
+      val dim = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      Skew.saltedJoin(
+        Tables.lineitem(s, dir).select(col("l_suppkey"), col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+        dim, "l_suppkey", buckets = 8, saltSource = Seq("l_orderkey", "l_linenumber"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_items"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    },
     "q16_brand_volume" -> q { (s, dir) =>
       val li = Tables.lineitem(s, dir)
       val p = Tables.part(s, dir)
@@ -369,6 +380,11 @@ object SparkEntry {
         .groupBy(col("media_id"))
         .agg(max(col("n_frames")).cast("long").as("n_frames"), count(lit(1)).as("n_sampled"))
     },
+    "m03_resize_plan" -> q { (s, dir) =>
+      // metadata-only resize planning: payload bytes are never touched
+      val media = Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.resizePlan(media, maxSide = 256)
+    },
     "q20_json_struct" -> q { (s, dir) =>
       // typed JSONB cleaning (db.py:261-282): from_json into a struct schema,
       // then aggregate on the extracted field — the reference's array/json
@@ -476,6 +492,10 @@ object SparkEntry {
     "q11_salted_agg" ->
       """SELECT event_type, count(*) AS n_rows, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "q29_salted_join" ->
+      """SELECT s_name, count(*) AS n_items, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin,
     "q16_brand_volume" ->
       """SELECT p_brand,
         |       round(sum(l_quantity), 2) AS sum_qty,

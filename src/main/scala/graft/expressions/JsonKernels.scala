@@ -9,6 +9,13 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Allocation-free JSON field extraction for hot scan paths.
   *
+  * Reference behavior: JSON-ish columns are parsed during import
+  * (neynar_parquet_importer db.py:261-282, JSON_COLUMNS) and graph
+  * transformers pull single fields out of row payloads
+  * (transformers/follows.py). General document cleaning stays on Spark's
+  * `from_json`/`get_json_object`; this kernel serves the single-field
+  * hot path.
+  *
   * `get_json_object`/`from_json` construct a Jackson parser per row; the
   * parser pulls its work buffers from a SoftReference-backed thread-local
   * recycler, and when the GC is clearing soft refs (observed under G1

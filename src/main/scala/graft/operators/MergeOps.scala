@@ -32,8 +32,9 @@ object MergeOps {
     agg.select(unpacked: _*).select(df.columns.map(col).toSeq: _*)
   }
 
-  /** SCD-type-2 history derivation: where latest-wins (SCD1) keeps only the
-    * newest row per key, this emits every version with its validity window —
+  /** SCD-type-2 history derivation: where the reference's upsert keeps only
+    * the newest row per key (db.py:884-893 — SCD1), this emits every
+    * version with its validity window —
     * `valid_from` = the row's own timestamp, `valid_to` = the next version's
     * timestamp (NULL while current). The reference's upsert stream implies
     * exactly this history; deriving it is one window function over a single

@@ -21,6 +21,27 @@ object Skew {
   def salt(buckets: Int, saltSource: Column*): Column =
     pmod(xxhash64(saltSource: _*), lit(buckets))
 
+  /** Salted equi-join for a skewed fact side: the fact's join key is
+    * extended with a salt derived from stable fact columns, and the (small
+    * or moderate) dimension side is replicated across all `buckets` salt
+    * values — every hot fact key then spreads over `buckets` reducers
+    * instead of melting one. Result equals `facts.join(dim, key)` exactly.
+    * Use when AQE's skew-join splitting can't see the skew (e.g. the skewed
+    * exchange feeds an aggregation, or stats are missing); replication
+    * multiplies the dim shuffle volume by `buckets`, so size accordingly.
+    */
+  def saltedJoin(
+      facts: DataFrame,
+      dim: DataFrame,
+      key: String,
+      buckets: Int,
+      saltSource: Seq[String]): DataFrame = {
+    val salted = facts.withColumn("_salt", salt(buckets, saltSource.map(col): _*))
+    val replicated = dim
+      .withColumn("_salt", explode(array((0 until buckets).map(lit): _*)))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Two-stage salted aggregation: sum/count-style partials per
     * (keys, salt), then final combine per keys. Returns
     * count/sum columns named n_rows / sum_<valueCol>.

@@ -25,6 +25,17 @@ class RegistrySkewSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("salted join equals plain join (including rows-per-pair multiplicity)") {
+    val facts = Seq((1L, 10.0, 100L), (1L, 20.0, 101L), (1L, 30.0, 102L),
+      (2L, 5.0, 103L), (3L, 7.0, 104L)).toDF("k", "v", "rid")
+    val dim = Seq((1L, "one"), (2L, "two"), (9L, "nine")).toDF("k", "name")
+    val salted = Skew.saltedJoin(facts, dim, "k", buckets = 4, saltSource = Seq("rid"))
+      .select("k", "v", "rid", "name").as[(Long, Double, Long, String)].collect().sorted.toSeq
+    val plain = facts.join(dim, Seq("k"))
+      .select("k", "v", "rid", "name").as[(Long, Double, Long, String)].collect().sorted.toSeq
+    assert(salted == plain && salted.nonEmpty)
+  }
+
   test("salt is deterministic and bounded") {
     val df = Seq(1L, 2L, 3L).toDF("id")
     val s1 = df.select(Skew.salt(8, col("id")).as("s")).as[Long].collect().toSeq
