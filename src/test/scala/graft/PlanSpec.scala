@@ -78,6 +78,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("get_json_object"), "hot path still uses Jackson:\n" + p)
   }
 
+  test("backfill predicate prunes hive-style date partitions at the source") {
+    // the reference's incremental files are time-windowed objects; on a
+    // cluster the same layout is a date-partitioned table, and a backfill
+    // range must prune partitions, not filter rows
+    val base = java.nio.file.Files.createTempDirectory("graft-part").toFile.getAbsolutePath
+    Tables.events(spark, sfDir)
+      .withColumn("day_idx", expr("ts_us div 86400000000"))
+      .write.partitionBy("day_idx").mode("overwrite").parquet(base)
+    val pruned = spark.read.parquet(base)
+      .where(col("day_idx") >= 19725 && col("day_idx") <= 19727)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").nonEmpty,
+      "backfill range did not reach PartitionFilters:\n" + plan)
+    // and the pruned read returns exactly the rows the row-filter would
+    val expected = Tables.events(spark, sfDir)
+      .where(expr("ts_us div 86400000000").between(19725, 19727)).count()
+    assert(pruned.count() == expected)
+  }
+
   test("d02: signature computed before the exchange, bands join on hash") {
     val df = SparkEntry.queries("d02_dedup_minhash")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.sources.{ExportCatalog, ExportFile}
+import graft.streaming.{ClosedSession, SessionEvent, StatefulSessions}
+
+/** Export-directory discovery (the reference's S3 listing contract) and
+  * custom streaming state (flatMapGroupsWithState sessionization).
+  */
+class SourcesStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def touchEmpty(path: String): Unit = {
+    val f = new java.io.File(path); f.getParentFile.mkdirs(); f.createNewFile(); ()
+  }
+
+  test("export catalog: parse, latest full, contiguous chain, .empty advances cursor") {
+    val dir = Files.createTempDirectory("graft-exports").toFile.getAbsolutePath
+
+    def slice(rows: Seq[(Long, Long, String)], name: String): Unit =
+      rows.toDF("k", "ts", "v").coalesce(1).write
+        .mode("overwrite").parquet(s"$dir/staging_$name")
+
+    // parquet "files" in the export naming scheme are directories here (Spark
+    // writes part files); ExportCatalog only needs the NAME to match, so
+    // stage each slice then move it into place as a single-file object.
+    def publish(name: String, rows: Seq[(Long, Long, String)]): Unit = {
+      slice(rows, name)
+      val part = new java.io.File(s"$dir/staging_$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      part.renameTo(new java.io.File(s"$dir/$name"))
+      ()
+    }
+
+    // an older full, a newer full, contiguous incrementals, one empty window,
+    // a duplicate re-upload, and an unrelated table that must be ignored
+    publish("public-things-0-100.parquet", Seq((1L, 90L, "old-full")))
+    publish("public-things-0-200.parquet", Seq((1L, 150L, "full"), (2L, 160L, "b")))
+    publish("public-things-200-300.parquet", Seq((1L, 250L, "inc1")))
+    touchEmpty(s"$dir/public-things-300-400.empty")
+    publish("public-things-400-500.parquet", Seq((3L, 450L, "c")))
+    publish("public-things-400-500.parquet.bak", Seq((9L, 1L, "junk"))) // unparseable → ignored
+    publish("public-others-0-500.parquet", Seq((7L, 7L, "other-table")))
+
+    val files = ExportCatalog.list(spark, dir)
+    assert(files.count(_.tableName == "things") == 5)
+    assert(files.find(_.isEmpty).map(f => (f.startTs, f.endTs)).contains((300L, 400L)))
+
+    val plan = ExportCatalog.plan(files, "things").get
+    assert(plan.full.endTs == 200L, "newest full must win")
+    assert(plan.incrementals.map(f => (f.startTs, f.endTs)) ==
+      Seq((200L, 300L), (300L, 400L), (400L, 500L)))
+    assert(plan.asOf == 500L)
+    // .empty contributes no path but advanced the chain to 400-500
+    assert(plan.parquetPaths.size == 3)
+
+    val state = ExportCatalog.load(spark, plan, Seq("k"), Seq("ts"))
+      .orderBy("k").as[(Long, Long, String)].collect().toSeq
+    assert(state == Seq((1L, 250L, "inc1"), (2L, 160L, "b"), (3L, 450L, "c")))
+
+    // asOf truncation: only windows fully inside [0, 300]
+    val asOf = ExportCatalog.plan(files, "things", asOf = 300L).get
+    assert(asOf.full.endTs == 200L && asOf.incrementals.map(_.endTs) == Seq(300L))
+
+    // a gap (500-600 missing) halts the chain at the last contiguous window
+    publish("public-things-600-700.parquet", Seq((4L, 650L, "after-gap")))
+    val gapped = ExportCatalog.plan(ExportCatalog.list(spark, dir), "things").get
+    assert(gapped.asOf == 500L, "gap must stop the chain (reference: forces new full)")
+  }
+
+  test("stateful sessions: in-batch close, cross-batch state, event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val out = StatefulSessions.sessions(
+      input.toDS().withWatermark("ts", "0 seconds"), gapUs = 60L * 1000000L)
+
+    val q = out.writeStream.format("memory").queryName("graft_sessions")
+      .outputMode("append").start()
+    try {
+      def ev(u: Long, sec: Long, v: Double) = SessionEvent(u, new Timestamp(sec * 1000L), v)
+      def got(): Seq[ClosedSession] =
+        spark.table("graft_sessions").as[ClosedSession].collect().toSeq
+          .sortBy(s => (s.user_id, s.session_start_us))
+
+      // batch 1: user 1 has two sessions IN one batch (gap 60s exceeded) —
+      // first closes immediately, second stays open in the state store
+      input.addData(ev(1, 100, 1.0), ev(1, 130, 2.0), ev(1, 400, 5.0))
+      q.processAllAvailable()
+      assert(got() == Seq(ClosedSession(1L, 100000000L, 130000000L, 2L, 3.0)))
+
+      // batch 2: user 1 extends the open session (within gap of t=400);
+      // user 2 starts fresh; watermark moves to 440
+      input.addData(ev(1, 440, 7.0), ev(2, 430, 1.0))
+      q.processAllAvailable()
+      assert(got().size == 1, "open sessions must not emit early")
+
+      // batch 3: far-future event pushes the watermark past both timeouts;
+      // batch 4 (any further data) lets the timed-out state fire
+      input.addData(ev(3, 10000, 1.0))
+      q.processAllAvailable()
+      input.addData(ev(3, 10001, 1.0))
+      q.processAllAvailable()
+      val closed = got()
+      assert(closed.exists(s => s.user_id == 1L && s.session_start_us == 400000000L &&
+        s.session_end_us == 440000000L && s.n_events == 2L && s.sum_value == 12.0),
+        s"user 1's extended session must close via timeout: $closed")
+      assert(closed.exists(s => s.user_id == 2L && s.n_events == 1L), s"user 2: $closed")
+    } finally q.stop()
+  }
+}
