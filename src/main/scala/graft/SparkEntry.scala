@@ -523,6 +523,27 @@ object SparkEntry {
         |UNION ALL SELECT 'supplier', count(DISTINCT s_suppkey) FROM supplier""".stripMargin,
     "d01_dedup_exact" ->
       "SELECT min(doc_id) AS canonical_id, count(*) AS n_copies FROM documents GROUP BY text",
+    // exact Jaccard is hash-free in the oracle: the kernel's xxhash-style
+    // shingle hashing is a set-identity trick, so DuckDB can recompute the
+    // same sets from raw text (lowercase, \s+ split, k=3 joined by ' ').
+    // The LSH candidate stage has full recall on near-dup data at this
+    // threshold (verified at sf0.001/sf0.01), so candidates+exact == exact.
+    "d04_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |sets AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+        |              ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS j
+        |  FROM sets x JOIN sets y ON x.doc_id < y.doc_id)
+        |SELECT a, b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5""".stripMargin,
     // NOTE: DuckDB's list_cosine_similarity computes in float32 and can never
     // hash-match a double pipeline; these oracles re-derive cosine in double
     // (list_sum is sequential left-to-right, matching the Spark loop).
@@ -633,5 +654,23 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS subword_tokens
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // resize planning is pure metadata arithmetic; the synthetic media dims
+    // are integer-arithmetic-derived (Multimodal.syntheticMedia) so the
+    // oracle recomputes them exactly. Scale math mirrors the Spark
+    // expression order (least(256/max, 1.0), then round half-up).
+    "m03_resize_plan" ->
+      """WITH m AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |         CAST((doc_id * 2654435761) % 1024 + 1 AS INT) AS meta_width,
+        |         CAST((doc_id * 2246822519) % 1024 + 1 AS INT) AS meta_height
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |s AS (
+        |  SELECT media_id, meta_width, meta_height,
+        |         least(256.0 / CAST(greatest(meta_width, meta_height) AS DOUBLE), 1.0) AS sc
+        |  FROM m)
+        |SELECT media_id, meta_width, meta_height,
+        |       CAST(round(meta_width * sc) AS INT) AS out_width,
+        |       CAST(round(meta_height * sc) AS INT) AS out_height
+        |FROM s""".stripMargin)
 }

@@ -27,7 +27,10 @@ object Multimodal {
     StructField("meta_height", IntegerType, nullable = true)))
 
   /** Build a synthetic media table from documents: the text bytes stand in
-    * for an encoded image payload. Deterministic.
+    * for an encoded image payload. Deterministic, and the metadata derivation
+    * is plain integer arithmetic (not an engine-specific hash) so any SQL
+    * engine can reproduce it — which is what lets the resize-plan query have
+    * a real DuckDB oracle instead of a rows-only check.
     */
   def syntheticMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
@@ -36,8 +39,8 @@ object Multimodal {
         .when(pmod(col(idCol), lit(3)) === 1, lit("audio"))
         .otherwise(lit("video")).as("kind"),
       encode(col(textCol), "UTF-8").as("payload"),
-      (pmod(xxhash64(col(idCol)), lit(1024)) + 1).cast("int").as("meta_width"),
-      (pmod(xxhash64(col(idCol), lit(1)), lit(1024)) + 1).cast("int").as("meta_height"))
+      (pmod(col(idCol).cast("long") * lit(2654435761L), lit(1024L)) + 1).cast("int").as("meta_width"),
+      (pmod(col(idCol).cast("long") * lit(2246822519L), lit(1024L)) + 1).cast("int").as("meta_height"))
 
   /** STUB decode: in production this would call an image/audio codec on each
     * payload batch. Here it derives deterministic pseudo-features so the

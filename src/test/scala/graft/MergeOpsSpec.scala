@@ -53,4 +53,23 @@ class MergeOpsSpec extends SparkSpec {
     val merged = MergeOps.latestByKey(ev, Seq("user_id"), Seq("ts_us", "event_id"))
     assert(merged.count() == ev.select("user_id").distinct().count())
   }
+
+  test("unionEvolving aligns drifted slices by name, widens, fails loudly") {
+    import graft.operators.SchemaEvolution
+    val old = Seq((1, "a")).toDF("k", "v") // k: int
+    val wide = Seq((2L, "b", 0.5)).toDF("k", "v", "score") // k: long, +score
+    val out = SchemaEvolution.unionEvolving(Seq(old, wide)).orderBy("k")
+    assert(out.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      Seq(("k", "bigint"), ("v", "string"), ("score", "double")))
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toSeq
+    assert(rows(0) == (1L, "a", Double.NaN) || rows(0)._3.isNaN)
+    assert(rows(1) == (2L, "b", 0.5))
+    // same name, irreconcilable types → loud failure, not silent coercion
+    val bad = Seq(("x", 1)).toDF("k", "n")
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.unionEvolving(Seq(old, bad))
+    }
+    ()
+  }
 }

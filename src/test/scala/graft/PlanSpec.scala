@@ -98,6 +98,40 @@ class PlanSpec extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
+  test("co-bucketed join runs exchange-free on both sides") {
+    // pre-partitioned layout: pay the shuffle once at write time, then every
+    // equi-join on the bucket key skips BOTH exchanges — the lever that makes
+    // repeated 100 TB fact-to-fact joins affordable
+    import graft.operators.Bucketing
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
+    val ev2 = Tables.events(spark, sfDir).select(col("event_id"), col("event_type"))
+    // a prior aborted run can leave the warehouse dir without the catalog
+    // entry (in-memory catalog dies with the JVM) — clear both
+    Seq("graft_b_left", "graft_b_right").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    Bucketing.writeBucketed(ev, "graft_b_left", Seq("event_id"), 4)
+    Bucketing.writeBucketed(ev2, "graft_b_right", Seq("event_id"), 4)
+    // at test scale the planner would broadcast instead (also exchange-free,
+    // but not the shape under test) — force the SMJ path a 100 TB join takes
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.coBucketedJoin(spark, "graft_b_left", "graft_b_right", Seq("event_id"))
+      assert(joined.count() == ev.count())
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), "expected SMJ over bucketed scans:\n" + p)
+      assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
+        "bucketed join still shuffles:\n" + p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    spark.sql("DROP TABLE graft_b_left"); spark.sql("DROP TABLE graft_b_right")
+    ()
+  }
+
   test("d02: signature computed before the exchange, bands join on hash") {
     val df = SparkEntry.queries("d02_dedup_minhash")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

@@ -71,6 +71,31 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(gapped.asOf == 500L, "gap must stop the chain (reference: forces new full)")
   }
 
+  test("stream-stream join within a bounded delay (watermarked both sides)") {
+    import graft.streaming.StreamJoins
+    implicit val sqlCtx = spark.sqlContext
+    val casts = MemoryStream[(Long, Timestamp)]
+    val reax = MemoryStream[(Long, Timestamp, String)]
+    val joined = StreamJoins.joinWithin(
+      casts.toDF().toDF("k", "ts").withWatermark("ts", "5 seconds"),
+      reax.toDF().toDF("k", "ts", "rtype").withWatermark("ts", "5 seconds"),
+      key = "k", tsCol = "ts", maxDelay = "60 seconds")
+
+    val q = joined.writeStream.format("memory").queryName("graft_ssj")
+      .outputMode("append").start()
+    try {
+      def t(sec: Long) = new Timestamp(sec * 1000L)
+      casts.addData((1L, t(100)), (2L, t(110)))
+      reax.addData((1L, t(130), "like"), (1L, t(200), "too-late"), (2L, t(90), "before-cast"))
+      q.processAllAvailable()
+      val got = spark.table("graft_ssj")
+        .selectExpr("l_k", "r_rtype").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // in-window reaction joins; out-of-window (200 > 100+60) and
+      // before-cast (90 < 110) do not
+      assert(got == Set((1L, "like")), s"got $got")
+    } finally q.stop()
+  }
+
   test("stateful sessions: in-batch close, cross-batch state, event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
