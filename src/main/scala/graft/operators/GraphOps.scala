@@ -46,14 +46,21 @@ object GraphOps {
     * Uses distinct-edge counting, mirroring MERGE-then-count.
     */
   def degrees(edges: DataFrame, src: String, dst: String): DataFrame = {
-    val out = edges
-      .groupBy(col(src).cast("long").as("node_id"))
-      .agg(count_distinct(col(dst)).as("degree"))
-      .withColumn("role", lit("src"))
-    val in = edges
-      .groupBy(col(dst).cast("long").as("node_id"))
-      .agg(count_distinct(col(src)).as("degree"))
-      .withColumn("role", lit("dst"))
-    out.unionByName(in).select(col("role"), col("node_id"), col("degree"))
+    // ONE scan of the edge table (the union-of-two-groupBys form reads the
+    // fact twice — at 100 TB the second scan is the whole bill): dedup the
+    // edge pairs once, then both degree directions are plain counts over the
+    // unique pairs. Shuffle profile: exchange 1 carries map-side-deduped
+    // pairs (what either count_distinct branch alone would ship), exchange 2
+    // only per-(role,node) partial counts.
+    val pairs = edges
+      .select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
+      .distinct()
+    pairs
+      .select(explode(array(
+        struct(lit("src").as("role"), col("a").as("node_id")),
+        struct(lit("dst").as("role"), col("b").as("node_id")))).as("e"))
+      .select(col("e.role").as("role"), col("e.node_id").as("node_id"))
+      .groupBy(col("role"), col("node_id"))
+      .agg(count(lit(1)).as("degree"))
   }
 }
