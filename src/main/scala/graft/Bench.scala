@@ -16,7 +16,7 @@ object Bench {
     "q24_scd2_intervals", "q25_mutual_edges", "q26_price_percentiles", "q27_age_metrics",
     "q28_asof_native", "q29_salted_join",
     "d01_dedup_exact", "d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
-    "d05_embed_neardup", "s01_ann_brute", "s02_ann_lsh", "s03_ann_ivf",
+    "d05_embed_neardup", "d06_dedup_clusters", "s01_ann_brute", "s02_ann_lsh", "s03_ann_ivf",
     "t01_langid", "t02_quality", "t04_fingerprint")
 
   def main(args: Array[String]): Unit = {

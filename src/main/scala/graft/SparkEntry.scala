@@ -312,6 +312,13 @@ object SparkEntry {
     "d05_embed_neardup" -> q { (s, dir) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.35)
     },
+    "d06_dedup_clusters" -> q { (s, dir) =>
+      // pairs → transitive near-dup clusters: the decision step of a dedup
+      // pipeline (keep min-id doc per component)
+      val pairs = Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.35)
+      Dedup.connectedComponents(pairs, "a", "b")
+        .select(col("node_id").as("vec_id"), col("cluster_id"))
+    },
     "s01_ann_brute" -> q { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
@@ -556,6 +563,23 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT a, b, round(dot/(sqrt(na)*sqrt(nb)), 4) AS cos
         |FROM p WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.35""".stripMargin,
+    // transitive closure of the d05 pair graph via recursive CTE: min id
+    // reachable = component's canonical id (same label-propagation fixpoint
+    // the Spark loop converges to)
+    "d06_dedup_clusters" ->
+      """WITH RECURSIVE pr AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE))) AS dot,
+        |    list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS na,
+        |    list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |e AS (SELECT a, b FROM pr WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.35),
+        |sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+        |reach(node, label) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+        |  UNION
+        |  SELECT s.u, r.label FROM sym s JOIN reach r ON s.v = r.node)
+        |SELECT node AS vec_id, min(label) AS cluster_id FROM reach GROUP BY node""".stripMargin,
     "s01_ann_brute" ->
       """WITH q AS (SELECT * FROM embeddings WHERE vec_id < 8),
         |scored AS (

@@ -20,6 +20,71 @@ import graft.functions.TextFns
   */
 object Dedup {
 
+  /** Near-dup clustering: pairs → connected components. The d02–d05
+    * operators emit PAIRS; a dedup pipeline keeps one document per CLUSTER,
+    * so the transitive closure is the step that actually decides what to
+    * drop. Label propagation to the component's min id:
+    *
+    *  - Each iteration is one join + one agg, fully distributed; the driver
+    *    only sees a single converged-yet? count per iteration (an iterative
+    *    graph algorithm's loop control, not a data loop).
+    *  - Labels persist per iteration and unpersist after the next is built
+    *    — lineage stays O(1) plans deep, not O(iterations).
+    *  - Iterations needed = component diameter (near-dup clusters are tiny,
+    *    2-4 hops); `maxIter` bounds adversarial chains.
+    *
+    * At 100 TB the pair graph is far smaller than the corpus (only
+    * near-dups appear), so every iteration touches pair-scale data only.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    // Iterative plans MUST cut lineage each pass: persist() caches data but
+    // the logical plan still nests — by iteration n the plan TREE (and every
+    // explain/UI string Spark renders of it) grows exponentially, and the
+    // driver burns minutes stringifying plans before running 100ms jobs.
+    // localCheckpoint(eager) materializes AND truncates the plan to a leaf.
+    // (Cluster-prod variant: reliable checkpoint dir for executor-loss
+    // recovery; same structure.)
+    val sym = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .union(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // each node takes min(own label, neighbors' labels)
+      val viaNeighbors = sym
+        .join(labels.withColumnRenamed("node", "v").withColumnRenamed("label", "vlab"), Seq("v"))
+        .groupBy(col("u").as("node"))
+        .agg(min(col("vlab")).as("nlab"))
+      val propagated = labels
+        .join(viaNeighbors, Seq("node"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("nlab"), col("label"))).as("label"))
+        .localCheckpoint(true) // referenced twice below — compute once
+      // pointer jumping: replace each label by ITS current label (labels are
+      // always node ids, so self-join resolves one chain hop) — iterations
+      // drop from O(diameter) to O(log diameter)
+      val next = propagated
+        .join(
+          propagated.select(col("node").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("node"), coalesce(col("ll"), col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
+        .where(col("label") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as("node_id"), col("label").as("cluster_id"))
+  }
+
   /** Exact dedup: canonical (min) id and copy count per distinct text. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs

@@ -110,6 +110,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hits.toDouble / top5.size > 0.3, s"recall $hits of ${top5.size}")
   }
 
+  test("connectedComponents: chains collapse to min id, singletons keep their own") {
+    // 1-2, 2-3, 3-4 chain (diameter 3 — needs >1 iteration); 10-11 pair;
+    // nodes only ever seen on the right side must still get labels
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val out = Dedup.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("mutualEdges finds exactly the reciprocal pairs, once each") {
     import graft.operators.GraphOps
     val edges = Seq(
