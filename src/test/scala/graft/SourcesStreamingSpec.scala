@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import graft.sources.{ExportCatalog, ExportFile}
 import graft.streaming.{ClosedSession, SessionEvent, StatefulSessions}
 
@@ -69,6 +70,36 @@ class SourcesStreamingSpec extends SparkSpec {
     publish("public-things-600-700.parquet", Seq((4L, 650L, "after-gap")))
     val gapped = ExportCatalog.plan(ExportCatalog.list(spark, dir), "things").get
     assert(gapped.asOf == 500L, "gap must stop the chain (reference: forces new full)")
+  }
+
+  test("end-to-end: export discovery → load → JDBC upsert → latest-wins state") {
+    // the reference's whole pipeline in one pass: list S3-style exports,
+    // plan full+incrementals, merge, upsert into Postgres-shaped sink
+    val dir = Files.createTempDirectory("graft-e2e").toFile.getAbsolutePath
+    def publish(name: String, rows: Seq[(Long, Long, String)]): Unit = {
+      rows.toDF("k", "ts", "v").coalesce(1).write.mode("overwrite").parquet(s"$dir/st_$name")
+      val part = new java.io.File(s"$dir/st_$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      part.renameTo(new java.io.File(s"$dir/$name")); ()
+    }
+    publish("public-things-0-100.parquet", Seq((1L, 10L, "full1"), (2L, 20L, "full2")))
+    publish("public-things-100-200.parquet", Seq((1L, 150L, "inc1"), (3L, 120L, "new3")))
+    publish("public-things-200-300.parquet", Seq((2L, 15L, "stale2"), (3L, 250L, "newer3")))
+
+    val plan = ExportCatalog.plan(ExportCatalog.list(spark, dir), "things").get
+    val state = ExportCatalog.load(spark, plan, Seq("k"), Seq("ts"))
+
+    val sink = new java.util.concurrent.ConcurrentHashMap[Long, (String, Long)]()
+    GlobalSinkModel.table = sink
+    graft.sinks.JdbcUpsertSink.write(
+      state.select(col("k"), col("v"), col("ts")), "things", Seq("k"), "ts",
+      batchSize = 2, connect = () => GlobalSinkModel.connection())
+
+    import scala.jdk.CollectionConverters._
+    val got = sink.asScala.map { case (k, (v, _)) => k -> v }.toMap
+    // note stale2 (ts 15) arrived in a LATER window but must lose to full2
+    // (ts 20) — window recency is not row recency
+    assert(got == Map(1L -> "inc1", 2L -> "full2", 3L -> "newer3"))
   }
 
   test("stream-stream join within a bounded delay (watermarked both sides)") {
