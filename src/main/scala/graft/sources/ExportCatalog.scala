@@ -78,10 +78,19 @@ object ExportCatalog {
     * "incremental_filename is missing. full import needed", main.py:240-242;
     * callers that need that behavior can compare `plan.asOf` to their
     * target). Duplicate windows (re-uploads) collapse to one file.
+    *
+    * `fullNotOlderThan` rejects fulls whose window ends before it — the
+    * reference's retention guard ("full is too old. starting over",
+    * main.py:245-252: exports older than the S3 retention window may be
+    * missing their incremental successors entirely).
     */
-  def plan(files: Seq[ExportFile], table: String, asOf: Long = Long.MaxValue): Option[LoadPlan] = {
+  def plan(
+      files: Seq[ExportFile],
+      table: String,
+      asOf: Long = Long.MaxValue,
+      fullNotOlderThan: Long = 0L): Option[LoadPlan] = {
     val forTable = files.filter(_.tableName == table)
-    val fulls = forTable.filter(f => f.isFull && f.endTs <= asOf)
+    val fulls = forTable.filter(f => f.isFull && f.endTs <= asOf && f.endTs >= fullNotOlderThan)
     fulls.sortBy(_.endTs).lastOption.map { full =>
       val byStart = forTable
         .filter(f => !f.isFull && f.startTs >= full.endTs && f.endTs <= asOf)

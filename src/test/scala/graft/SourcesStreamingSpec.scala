@@ -70,6 +70,12 @@ class SourcesStreamingSpec extends SparkSpec {
     publish("public-things-600-700.parquet", Seq((4L, 650L, "after-gap")))
     val gapped = ExportCatalog.plan(ExportCatalog.list(spark, dir), "things").get
     assert(gapped.asOf == 500L, "gap must stop the chain (reference: forces new full)")
+
+    // retention guard: fulls ending before the cutoff are "too old" and
+    // ignored (reference starts over with a fresh full)
+    assert(ExportCatalog.plan(files, "things", fullNotOlderThan = 150L).get.full.endTs == 200L)
+    assert(ExportCatalog.plan(files, "things", fullNotOlderThan = 201L).isEmpty,
+      "no usable full → caller must fetch a fresh full export")
   }
 
   test("end-to-end: export discovery → load → JDBC upsert → latest-wins state") {
