@@ -66,20 +66,25 @@ object Dedup {
         .agg(min(col("vlab")).as("nlab"))
       val propagated = labels
         .join(viaNeighbors, Seq("node"), "left")
-        .select(col("node"), least(col("label"), coalesce(col("nlab"), col("label"))).as("label"))
+        .select(
+          col("node"), col("label").as("prev"),
+          least(col("label"), coalesce(col("nlab"), col("label"))).as("label"))
         .localCheckpoint(true) // referenced twice below — compute once
       // pointer jumping: replace each label by ITS current label (labels are
       // always node ids, so self-join resolves one chain hop) — iterations
-      // drop from O(diameter) to O(log diameter)
+      // drop from O(diameter) to O(log diameter). The prev label rides along
+      // so convergence is a filter over the checkpointed blocks, not a join.
       val next = propagated
         .join(
           propagated.select(col("node").as("label"), col("label").as("ll")),
           Seq("label"), "left")
-        .select(col("node"), coalesce(col("ll"), col("label")).as("label"))
+        .select(
+          col("node"),
+          coalesce(col("ll"), col("label")).as("label"),
+          (coalesce(col("ll"), col("label")) =!= col("prev")).as("changed"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
-        .where(col("label") =!= col("prev")).isEmpty
-      labels = next
+      converged = next.where(col("changed")).isEmpty
+      labels = next.select(col("node"), col("label"))
       iter += 1
     }
     labels.select(col("node").as("node_id"), col("label").as("cluster_id"))
