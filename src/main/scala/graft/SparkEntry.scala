@@ -312,6 +312,24 @@ object SparkEntry {
     "d05_embed_neardup" -> q { (s, dir) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.35)
     },
+    "q30_incremental_agg" -> q { (s, dir) =>
+      // incremental rollup maintenance: three slice folds must equal the
+      // from-scratch aggregate (the oracle) — the no-rescan nightly-rollup
+      // path at 100 TB
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"), col("ts_us"))
+      val mid = CutUs - 86400000000L
+      val slices = Seq(
+        ev.where(col("ts_us") < mid),
+        ev.where(col("ts_us") >= mid && col("ts_us") < CutUs),
+        ev.where(col("ts_us") >= CutUs))
+      val empty = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_type STRING, n_rows BIGINT, sum_value DOUBLE"))
+      val folded = slices.foldLeft(empty)((st, sl) =>
+        MergeOps.foldAggState(st, sl, Seq("event_type"), Seq("value")))
+      folded.select(col("event_type"), col("n_rows"), round(col("sum_value"), 2).as("sum_value"))
+    },
     "d06_dedup_clusters" -> q { (s, dir) =>
       // pairs → transitive near-dup clusters: the decision step of a dedup
       // pipeline (keep min-id doc per component)
@@ -563,6 +581,9 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT a, b, round(dot/(sqrt(na)*sqrt(nb)), 4) AS cos
         |FROM p WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.35""".stripMargin,
+    "q30_incremental_agg" ->
+      """SELECT event_type, count(*) AS n_rows, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
     // transitive closure of the d05 pair graph via recursive CTE: min id
     // reachable = component's canonical id (same label-propagation fixpoint
     // the Spark loop converges to)

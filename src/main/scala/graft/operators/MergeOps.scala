@@ -70,4 +70,33 @@ object MergeOps {
       .unionByName(incremental.select(cols.map(col): _*).withColumn("_prio", lit(1)))
     latestByKey(u, keys, ord :+ "_prio").drop("_prio")
   }
+
+  /** Incremental maintenance of a sum/count rollup: fold ONE new slice into
+    * the prior aggregate state without rescanning history.
+    *
+    * At 100 TB the difference between "re-aggregate everything nightly" and
+    * "combine yesterday's state with today's slice" is the whole job: the
+    * slice-side aggregation is a scan of the new data only, and the combine
+    * shuffles |state| + |slice-groups| rows — both tiny next to the corpus.
+    * Works for any decomposable aggregate carried as (sum, count); avg and
+    * friends derive at read time (`sum_<c>/n_rows`). The spec proves the
+    * fold equals a from-scratch groupBy at every step.
+    */
+  def foldAggState(
+      state: DataFrame, // schema: keys, n_rows, sum_<c>... (or empty)
+      slice: DataFrame,
+      keys: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    val sliceAgg = slice
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+    state
+      .unionByName(sliceAgg)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("n_rows")).as("n_rows"),
+        sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
+  }
 }

@@ -54,6 +54,28 @@ class MergeOpsSpec extends SparkSpec {
     assert(merged.count() == ev.select("user_id").distinct().count())
   }
 
+  test("foldAggState: slice-by-slice fold equals from-scratch aggregation") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"), col("ts_us"))
+    val cut1 = 1703000000000000L; val cut2 = 1704000000000000L
+    val slices = Seq(
+      ev.where(col("ts_us") < cut1),
+      ev.where(col("ts_us") >= cut1 && col("ts_us") < cut2),
+      ev.where(col("ts_us") >= cut2))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "event_type STRING, n_rows BIGINT, sum_value DOUBLE"))
+    val folded = slices.foldLeft(empty)((st, sl) =>
+      MergeOps.foldAggState(st, sl, Seq("event_type"), Seq("value")))
+    val full = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"), sum("value").as("sum_value"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_type"), col("n_rows"), round(col("sum_value"), 6))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(norm(folded) == norm(full))
+  }
+
   test("unionEvolving aligns drifted slices by name, widens, fails loudly") {
     import graft.operators.SchemaEvolution
     val old = Seq((1, "a")).toDF("k", "v") // k: int
