@@ -69,7 +69,7 @@ object Dedup {
         .select(
           col("node"), col("label").as("prev"),
           least(col("label"), coalesce(col("nlab"), col("label"))).as("label"))
-        .localCheckpoint(true) // referenced twice below — compute once
+        .localCheckpoint(false) // lazy: materializes once at the convergence action
       // pointer jumping: replace each label by ITS current label (labels are
       // always node ids, so self-join resolves one chain hop) — iterations
       // drop from O(diameter) to O(log diameter). The prev label rides along
