@@ -312,6 +312,14 @@ object SparkEntry {
     "d05_embed_neardup" -> q { (s, dir) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.35)
     },
+    "q31_profile" -> q { (s, dir) =>
+      // one-scan ingest profiling: null counts, key cardinalities, numeric
+      // ranges — the admission gate before a slice enters the merge
+      Profile.summary(
+        Tables.events(s, dir),
+        distinctCols = Seq("user_id", "event_type"),
+        numericCols = Seq("value"))
+    },
     "q30_incremental_agg" -> q { (s, dir) =>
       // incremental rollup maintenance: three slice folds must equal the
       // from-scratch aggregate (the oracle) — the no-rescan nightly-rollup
@@ -584,6 +592,12 @@ object SparkEntry {
     "q30_incremental_agg" ->
       """SELECT event_type, count(*) AS n_rows, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "q31_profile" ->
+      """SELECT count(*) AS n_rows,
+        |  count(user_id) AS nn_user_id, count(DISTINCT user_id) AS nd_user_id,
+        |  count(event_type) AS nn_event_type, count(DISTINCT event_type) AS nd_event_type,
+        |  min(value) AS min_value, max(value) AS max_value, round(sum(value), 2) AS sum_value
+        |FROM events""".stripMargin,
     // transitive closure of the d05 pair graph via recursive CTE: min id
     // reachable = component's canonical id (same label-propagation fixpoint
     // the Spark loop converges to)
