@@ -312,6 +312,25 @@ object SparkEntry {
     "d05_embed_neardup" -> q { (s, dir) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.35)
     },
+    "q32_ship_priority" -> q { (s, dir) =>
+      // TPC-H Q3 shape: selective dim filter broadcast into two fact scans,
+      // one shuffle on the join key, deterministic top-10
+      val cust = Tables.customer(s, dir)
+        .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val ord = Tables.orders(s, dir)
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("rev")), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").cast("string").as("o_date"), col("revenue"))
+    },
     "q31_profile" -> q { (s, dir) =>
       // one-scan ingest profiling: null counts, key cardinalities, numeric
       // ranges — the admission gate before a slice enters the merge
@@ -592,6 +611,17 @@ object SparkEntry {
     "q30_incremental_agg" ->
       """SELECT event_type, count(*) AS n_rows, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "q32_ship_priority" ->
+      """SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
     "q31_profile" ->
       """SELECT count(*) AS n_rows,
         |  count(user_id) AS nn_user_id, count(DISTINCT user_id) AS nd_user_id,
