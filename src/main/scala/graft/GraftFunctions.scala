@@ -49,13 +49,20 @@ object GraftFunctions {
     }
 }
 
-/** `--conf spark.sql.extensions=graft.GraftExtensions` */
+/** `--conf spark.sql.extensions=graft.GraftExtensions` — injects the SQL
+  * kernels AND graft's planner strategies at session build, atomically.
+  * (`TemporalJoins.asofJoinNative` also self-registers its strategy under a
+  * lock for ad-hoc sessions, but build-time injection is the production
+  * path.)
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }

@@ -58,6 +58,9 @@ object Dedup {
       .localCheckpoint(true)
     var iter = 0
     var converged = false
+    // previous iteration's checkpoint blocks, released once the next
+    // iteration materializes (never the frame we're about to return)
+    var prevCkpt = labels
     while (!converged && iter < maxIter) {
       // each node takes min(own label, neighbors' labels)
       val viaNeighbors = sym
@@ -84,9 +87,17 @@ object Dedup {
           (coalesce(col("ll"), col("label")) =!= col("prev")).as("changed"))
         .localCheckpoint(true)
       converged = next.where(col("changed")).isEmpty
+      // next is materialized: the previous iteration's label blocks and this
+      // iteration's intermediate propagation blocks are dead weight — without
+      // this, storage grows O(iterations × |pairs|) until RDD GC
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.unpersistLocalCheckpoint(propagated)
+      ColumnBridge.unpersistLocalCheckpoint(prevCkpt)
+      prevCkpt = next
       labels = next.select(col("node"), col("label"))
       iter += 1
     }
+    org.apache.spark.sql.graft.ColumnBridge.unpersistLocalCheckpoint(sym)
     labels.select(col("node").as("node_id"), col("label").as("cluster_id"))
   }
 

@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoins {
 
+  private val strategyLock = new Object
+
   /** @param build  (key, time, payload...) — the "quotes" side
     * @param probe  (key, time, id...)     — the "trades" side
     * @return one row per probe row: probe columns + `asof_<payloadCol>`
@@ -73,9 +75,16 @@ object TemporalJoins {
       probeId: Seq[String]): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     val spark = probe.sparkSession
-    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    // extraStrategies is shared session state and read-modify-write is not
+    // atomic — serialize registration so concurrent callers can't duplicate
+    // or drop it. (The strategy only matches AsOfJoinPlan nodes, so staying
+    // registered is inert for other queries. Preferred production path:
+    // graft.GraftExtensions via spark.sql.extensions at session build.)
+    strategyLock.synchronized {
+      if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+      }
     }
     val p = probe.select((Seq(col(keyCol), col(timeCol)) ++ probeId.map(col)): _*)
     val b = build.select((Seq(col(keyCol), col(timeCol)) ++ buildPayload.map(col)): _*)

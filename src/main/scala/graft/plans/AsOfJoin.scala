@@ -109,7 +109,11 @@ case class AsOfJoinExec(
       def advanceBuild(): Unit =
         if (buildIter.hasNext) {
           bRow = buildIter.next()
-          val kt = bKeyProj(bRow)
+          // copy: the projection reuses its buffer, and bKey outlives this
+          // call (it's retained as matchKey and compared against later probe
+          // rows) — buffer-backed values (UTF8String/Decimal) would otherwise
+          // silently mutate under us on the next advance
+          val kt = bKeyProj(bRow).copy()
           bKey = if (kt.isNullAt(0)) null else kt.get(0, keyType)
           bTime = if (kt.isNullAt(1)) null else kt.get(1, timeType)
         } else { bRow = null; bKey = null; bTime = null }
@@ -123,8 +127,10 @@ case class AsOfJoinExec(
         val kt = pKeyProj(pRow)
         val pKey: Any = if (kt.isNullAt(0)) null else kt.get(0, keyType)
         val pTime: Any = if (kt.isNullAt(1)) null else kt.get(1, timeType)
-        if (pKey == null) {
-          // null keys never match (SQL equality) — left semantics keep the row
+        if (pKey == null || pTime == null) {
+          // null keys never match (SQL equality); a null probe time is
+          // "unknown", not "+infinity" — both keep the row with null payload,
+          // matching the window-composition asofJoin
           outProj(joined(pRow, nullPayload))
         } else {
           // advance the build side past irrelevant keys and up through all

@@ -45,9 +45,14 @@ object IncrementalStream {
         val fs = dst.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
         val prev = new Path(stateDir + "_prev")
         val tmp = new Path(stateDir + "_tmp")
+        // Hadoop FileSystem.rename signals failure by RETURNING FALSE, not
+        // throwing — an unchecked rename here would let the batch fall
+        // through to deleting the only surviving state copy
+        def renameOrFail(from: Path, to: Path): Unit =
+          require(fs.rename(from, to), s"rename $from -> $to failed; aborting batch")
         // recover from a crash that landed between the two renames below:
         // current gone but the set-aside copy survives
-        if (!fs.exists(dst) && fs.exists(prev)) fs.rename(prev, dst)
+        if (!fs.exists(dst) && fs.exists(prev)) renameOrFail(prev, dst)
         val merged =
           if (fs.exists(dst))
             MergeOps.snapshotMerge(batch.sparkSession.read.parquet(stateDir), batch, keys, ord)
@@ -57,9 +62,11 @@ object IncrementalStream {
         merged.write.mode("overwrite").parquet(tmp.toString)
         if (fs.exists(prev)) fs.delete(prev, true)
         val hadState = fs.exists(dst)
-        if (hadState) fs.rename(dst, prev)
-        fs.rename(tmp, dst)
-        if (hadState) fs.delete(prev, true)
+        if (hadState) renameOrFail(dst, prev)
+        renameOrFail(tmp, dst)
+        // only discard the set-aside copy once the swapped-in state is
+        // verifiably in place
+        if (hadState && fs.exists(dst)) fs.delete(prev, true)
         ()
       }
       .start()

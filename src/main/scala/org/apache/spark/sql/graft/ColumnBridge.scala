@@ -23,4 +23,17 @@ object ColumnBridge {
   /** The logical plan behind a DataFrame. */
   def planOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
+
+  /** Drop the block-manager blocks behind a `localCheckpoint`ed frame.
+    * `Dataset.unpersist` only consults the CacheManager, so checkpoint
+    * blocks leak until RDD GC; iterative algorithms that checkpoint per
+    * iteration must release the previous iteration explicitly. Only call
+    * this once nothing will read the frame again — a local checkpoint
+    * truncates lineage, so the data is unrecoverable after unpersist.
+    */
+  def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    planOf(df).foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -62,6 +62,39 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(viaNative == viaWindow)
   }
 
+  test("native asof with string keys: retained match key survives build-buffer reuse") {
+    // regression: matchKey used to alias bKeyProj's reused buffer, so a
+    // UTF8String key saved for probe "a" silently mutated into "b" when the
+    // build cursor advanced — the hit-check then compared the wrong key.
+    // Needs >1 distinct string key per partition and a probe that arrives
+    // after the cursor moved past its key.
+    val build = Seq(("a", 10L, 1L), ("b", 10L, 2L), ("c", 10L, 3L))
+      .toDF("k", "t", "event_id").coalesce(1)
+    val probe = Seq(("a", 20L, 901L), ("b", 20L, 902L), ("c", 20L, 903L), ("d", 20L, 904L))
+      .toDF("k", "t", "pid").coalesce(1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "asof_event_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val expected = Map(901L -> 1L, 902L -> 2L, 903L -> 3L, 904L -> -1L)
+    assert(rows(TemporalJoins.asofJoinNative(build, probe, "k", "t", Seq("event_id"), Seq("pid"))) == expected)
+    assert(rows(TemporalJoins.asofJoin(build, probe, "k", "t", Seq("event_id"), Seq("pid"))) == expected)
+  }
+
+  test("native asof with null probe key or time keeps the row with null payload") {
+    val build = Seq((Some(1L), Some(10L), 100L)).toDF("k", "t", "event_id")
+    val probe = Seq(
+      (Some(1L), Some(15L), 901L),  // normal hit
+      (Some(1L), None, 902L),       // null time: unknown, no match, row kept
+      (None, Some(15L), 903L))      // null key: no match, row kept
+      .toDF("k", "t", "pid")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "asof_event_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val expected = Map(901L -> 100L, 902L -> -1L, 903L -> -1L)
+    assert(rows(TemporalJoins.asofJoinNative(build, probe, "k", "t", Seq("event_id"), Seq("pid"))) == expected)
+    assert(rows(TemporalJoins.asofJoin(build, probe, "k", "t", Seq("event_id"), Seq("pid"))) == expected)
+  }
+
   test("native asof plan co-partitions both sides (shuffle exchanges, no pair join)") {
     val df = SparkEntry.queries("q28_asof_native")(spark, sfDir)
     df.collect()
