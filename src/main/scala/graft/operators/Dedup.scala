@@ -196,9 +196,86 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Candidate pairs sharing at least one hyperplane-signature band.
+    * `nBands` bands of `bandBits` bits each (packed in one 64-bit
+    * signature); two vectors with angle θ agree on one hyperplane bit with
+    * probability p = 1 − θ/π, so a pair at cosine `t` survives with
+    * probability 1 − (1 − p^bandBits)^nBands.
+    *
+    * Shape at 100 TB: the signature is one codegen scan-side pass, the band
+    * self-join shuffles (band, id) keys only — vectors never ride through
+    * the explode — and candidates dedup BEFORE vectors are re-joined for
+    * exact scoring, so each surviving pair fetches its two vectors exactly
+    * once.
+    */
+  private[graft] def hyperplaneCandidates(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      bandBits: Int,
+      nBands: Int): DataFrame = {
+    val bits = bandBits * nBands
+    require(bits >= 1 && bits <= 64, s"signature must pack into one long, got $bits bits")
+    val mask = (1L << bandBits) - 1
+    val banded = embeddings
+      .select(
+        col(idCol).as("id"),
+        Similarity.hyperplaneSig(col(vecCol), bits, dim).as("_sig"))
+      .repartition(col("id")) // materialize the signature once per vector
+      .select(
+        col("id"),
+        explode(array((0 until nBands).map(j =>
+          struct(lit(j).as("j"),
+            shiftrightunsigned(col("_sig"), j * bandBits).bitwiseAND(lit(mask)).as("v"))): _*)).as("band"))
+    banded.select(col("id").as("a"), col("band"))
+      .join(banded.select(col("id").as("b"), col("band")), Seq("band"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
+  /** Embedding near-dup through LSH buckets: hyperplane-band candidates
+    * ([[hyperplaneCandidates]]) + exact cosine re-rank — the same
+    * candidates→exact pattern as [[ngramJaccard]], replacing
+    * [[embeddingNearDup]]'s all-pairs scan with bucket-local joins.
+    *
+    * Parameter regimes (p = 1 − acos(t)/π at threshold t):
+    *  - Genuine near-dups (t ≥ 0.8): wide bands prune hard — the classic
+    *    LSH operating point, candidates ≈ N^(1+ρ), ρ = ln(1/p1)/ln(1/p2)
+    *    (≈0.2–0.4), orders of magnitude below N².
+    *  - Loose thresholds (t ≈ 0.35, θ ≈ 70°): p ≈ 0.61, so full recall
+    *    needs many narrow bands (defaults: 32×2 bits ⇒ per-pair miss
+    *    (1−0.61²)^32 ≈ 3e-7) and random pairs are barely pruned — an LSH
+    *    lower bound, not an implementation artifact; no sub-quadratic
+    *    method separates near-orthogonal pairs. The defaults buy the
+    *    cartesian-free plan shape; tighten `bandBits` as `minCosine`
+    *    rises.
+    *
+    * Output contract matches [[embeddingNearDup]] whenever banding recall
+    * is 1 (the d07 oracle asserts exactly that on the test corpus).
+    */
+  def embeddingNearDupBucketed(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      dim: Int,
+      bandBits: Int = 2,
+      nBands: Int = 32): DataFrame = {
+    val cand = hyperplaneCandidates(embeddings, idCol, vecCol, dim, bandBits, nBands)
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    cand
+      .join(vecs.select(col("id").as("a"), col("v").as("va")), Seq("a"))
+      .join(vecs.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
+      .select(col("a"), col("b"), Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= lit(minCosine))
+      .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `minCosine`.
     * Exact all-pairs baseline — O(N²/2) compare, the correctness reference
-    * for the LSH-bucketed scale path in [[Similarity]].
+    * for the LSH-bucketed scale path ([[embeddingNearDupBucketed]]).
     */
   def embeddingNearDup(
       embeddings: DataFrame,

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+import graft.expressions.HashExprs
+
+/** Quantifies the hash-inherent ("weak") operators against their exact
+  * in-repo counterparts at sf0.01 — the oracle-shaped check DuckDB can't
+  * run. Each test prints the measured recall so the numbers land in the
+  * build log (and SURVEY.md documents them).
+  */
+class RecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir01 = "/root/testdata/sf0.01"
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)].collect().toSet
+
+  /** Ground truth: true all-pairs exact n-gram Jaccard >= threshold. */
+  private def exactJaccardPairs(minJaccard: Double, shingleK: Int = 3): Set[(Long, Long)] = {
+    val sets = Tables.documents(spark, dir01).select(
+      col("doc_id").as("id"),
+      HashExprs.tokenShingleHashes(col("text"), shingleK).as("sh"))
+    val a = sets.select(col("id").as("a"), col("sh").as("sh_a"))
+    val b = sets.select(col("id").as("b"), col("sh").as("sh_b"))
+    pairSet(
+      a.crossJoin(b).where(col("a") < col("b"))
+        .where(HashExprs.longSetJaccard(col("sh_a"), col("sh_b")) >= lit(minJaccard)))
+  }
+
+  private def recall(found: Set[(Long, Long)], truth: Set[(Long, Long)]): Double =
+    if (truth.isEmpty) 1.0 else truth.count(found.contains).toDouble / truth.size
+
+  test("d02 minhash-LSH recall vs exact all-pairs Jaccard@0.5 (sf0.01)") {
+    val truth = exactJaccardPairs(0.5)
+    // candidate recall: what the LSH banding surfaces at all (est >= 0.2,
+    // the d04 operating point) — this is what a candidates+exact pipeline
+    // actually depends on
+    val candidates = pairSet(
+      Dedup.minhashLsh(Tables.documents(spark, dir01), "doc_id", "text", minEstJaccard = 0.2))
+    val candRecall = recall(candidates, truth)
+    // estimator recall: est >= 0.5 against true >= 0.5 (the d02 threshold;
+    // the 64-hash estimator has σ≈0.0625 at j=0.5, so pairs hugging the
+    // threshold can fall either side)
+    val thresholded = pairSet(
+      Dedup.minhashLsh(Tables.documents(spark, dir01), "doc_id", "text", minEstJaccard = 0.5))
+    val estRecall = recall(thresholded, truth)
+    info(f"d02 truth=${truth.size} candidateRecall=$candRecall%.4f estimatorRecall@0.5=$estRecall%.4f")
+    println(f"RECALL d02 truth=${truth.size} candidate=$candRecall%.4f est@0.5=$estRecall%.4f")
+    assert(candRecall >= 0.95, f"candidate recall $candRecall%.4f")
+    assert(estRecall >= 0.9, f"estimator recall $estRecall%.4f")
+  }
+
+  test("d03 simhash banding recall vs all-pairs hamming (sf0.01)") {
+    // the implementation check: 4×16-bit banding must surface EVERY pair
+    // with hamming(simhash) <= 3 (pigeonhole: 3 flips can't touch all 4
+    // chunks — recall must be exactly 1). Ground truth computes hamming on
+    // the true all-pairs set, no banding.
+    import graft.functions.TextFns
+    val sigs = Tables.documents(spark, dir01).select(
+      col("doc_id").as("id"),
+      HashExprs.simhash64(HashExprs.tokenShingleHashes(col("text"), 1)).as("sim"))
+    val truth = pairSet(
+      sigs.select(col("id").as("a"), col("sim").as("sim_a"))
+        .crossJoin(sigs.select(col("id").as("b"), col("sim").as("sim_b")))
+        .where(col("a") < col("b"))
+        .where(TextFns.hamming64(col("sim_a"), col("sim_b")) <= lit(3)))
+    val found = pairSet(
+      Dedup.simhash(Tables.documents(spark, dir01), "doc_id", "text", maxHamming = 3))
+    val r = recall(found, truth)
+    // cross-sketch agreement (simhash@3 against exact Jaccard@0.5 truth) is
+    // a property of the sketch, not the implementation — printed for the
+    // record, gated loosely
+    val xr = recall(found, exactJaccardPairs(0.5))
+    info(f"d03 truth=${truth.size} bandingRecall=$r%.4f jaccardAgreement=$xr%.4f")
+    println(f"RECALL d03 truth=${truth.size} banding=$r%.4f vsJaccard@0.5=$xr%.4f")
+    assert(r == 1.0, f"banding recall $r%.4f — banding dropped a qualifying pair")
+    assert(found == truth, "banded result must equal the all-pairs hamming filter exactly")
+    assert(xr >= 0.5, f"cross-sketch agreement $xr%.4f")
+  }
+
+  test("d07 bucketed embedding near-dup equals the all-pairs baseline exactly (sf0.01)") {
+    def rows(df: DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    val exact = rows(Dedup.embeddingNearDup(
+      Tables.embeddings(spark, dir01), "vec_id", "embedding", minCosine = 0.35))
+    val bucketed = rows(Dedup.embeddingNearDupBucketed(
+      Tables.embeddings(spark, dir01), "vec_id", "embedding", minCosine = 0.35, dim = 64))
+    println(s"RECALL d07 truth=${exact.size} found=${bucketed.size}")
+    assert(bucketed == exact,
+      s"missing=${(exact -- bucketed).take(5)} extra=${(bucketed -- exact).take(5)}")
+  }
+
+  test("s02 LSH top-k recall@5 vs brute force (sf0.01)") {
+    val emb = Tables.embeddings(spark, dir01)
+    val queries = emb.where(col("vec_id") < 8)
+    def pairs(df: DataFrame) =
+      df.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+    // the registered q's operating point: 32 bands × 2 bits of a 64-bit sig
+    val lsh = pairs(Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+      dim = 64, bits = 64, bandBits = 2))
+    val r = recall(lsh, truth)
+    info(f"s02 recall@5=$r%.4f")
+    println(f"RECALL s02 recall@5=$r%.4f")
+    assert(r >= 0.9, f"LSH recall@5 $r%.4f")
+  }
+
+  test("s03 IVF top-k recall@5 vs brute force (sf0.01)") {
+    val emb = Tables.embeddings(spark, dir01)
+    val queries = emb.where(col("vec_id") < 8)
+    def pairs(df: DataFrame) =
+      df.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+    val ivf = pairs(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5))
+    val r = recall(ivf, truth)
+    info(f"s03 recall@5=$r%.4f")
+    println(f"RECALL s03 recall@5=$r%.4f")
+    assert(r >= 0.9, f"IVF recall@5 $r%.4f")
+  }
+
+  test("hyperplane candidates prune hard at realistic near-dup thresholds (planted)") {
+    // 400 random base vectors + 100 planted near-dups (small noise, cos≈0.99):
+    // the regime real dedup corpora live in. Wide bands (2×8 of 16 bits)
+    // must surface ≥95% of planted pairs while generating a small fraction
+    // of the N²/2 candidate space.
+    val rnd = new scala.util.Random(42)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = Seq.tabulate(400)(i => (i.toLong, vec()))
+    val dups = Seq.tabulate(100) { i =>
+      val (srcId, v) = base(i * 4)
+      (1000L + srcId, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val n = 500L
+    val cand = Dedup.hyperplaneCandidates(emb, "vec_id", "embedding", dim = 64, bandBits = 8, nBands = 8)
+    val nCand = cand.count()
+    val planted = dups.map { case (id, _) => (id - 1000L, id) }.toSet
+    val found = pairSet(cand).intersect(planted)
+    val allPairs = n * (n - 1) / 2
+    val ratio = nCand.toDouble / allPairs
+    val r = found.size.toDouble / planted.size
+    info(f"planted: candidates=$nCand (${ratio * 100}%.2f%% of all pairs) recall=$r%.3f")
+    println(f"RECALL d07-planted candidates=$nCand ratio=$ratio%.4f recall=$r%.3f")
+    assert(r >= 0.95, f"planted recall $r%.3f")
+    assert(ratio <= 0.15, f"candidate ratio $ratio%.4f — banding isn't pruning")
+  }
+}
