@@ -16,7 +16,8 @@ object Bench {
     "q24_scd2_intervals", "q25_mutual_edges", "q26_price_percentiles", "q27_age_metrics",
     "q28_asof_native", "q29_salted_join", "q30_incremental_agg", "q32_ship_priority",
     "d01_dedup_exact", "d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
-    "d05_embed_neardup", "d06_dedup_clusters", "s01_ann_brute", "s02_ann_lsh", "s03_ann_ivf",
+    "d05_embed_neardup", "d06_dedup_clusters", "d07_embed_neardup_lsh",
+    "s01_ann_brute", "s02_ann_lsh", "s03_ann_ivf",
     "t01_langid", "t02_quality", "t04_fingerprint")
 
   def main(args: Array[String]): Unit = {
@@ -68,12 +69,19 @@ object Bench {
     val pass1 = names.map(n => n -> once(n, 1)).toMap
     val pass2 = names.map(n => n -> math.min(pass1(n), once(n, 2))).toMap
     // the host occasionally throttles for tens of seconds (CPU steal /
-    // disk-burst windows); give only the outliers up to two more samples
-    // so one bad window can't masquerade as a slow operator
+    // disk-burst windows, sometimes spanning several back-to-back samples);
+    // an outlier keeps re-sampling until its min stops improving — two
+    // consecutive samples within 10% of the best — or the budget runs out,
+    // so a bad window can't masquerade as a slow operator in the artifact
     val results = names.map { n =>
       var best = pass2(n)
       var extra = 0
-      while (best > 2.5 && extra < 2) { extra += 1; best = math.min(best, once(n, 2 + extra)) }
+      var stale = 0
+      while (best > 2.5 && extra < 6 && stale < 2) {
+        extra += 1
+        val t = once(n, 2 + extra)
+        if (t < best * 0.9) { best = t; stale = 0 } else stale += 1
+      }
       n -> best
     }
     val qJson = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }

@@ -48,11 +48,17 @@ object Dedup {
     // localCheckpoint(eager) materializes AND truncates the plan to a leaf.
     // (Cluster-prod variant: reliable checkpoint dir for executor-loss
     // recovery; same structure.)
-    val sym = pairs
+    // materialize the pair generator ONCE: the symmetrization union would
+    // otherwise evaluate the (possibly expensive — LSH band join) upstream
+    // plan twice, doubling the cost of the whole operator
+    val p = pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .union(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+      .localCheckpoint(true)
+    val sym = p
+      .union(p.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .localCheckpoint(true)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistLocalCheckpoint(p)
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
@@ -224,15 +230,28 @@ object Dedup {
         Similarity.hyperplaneSig(col(vecCol), bits, dim).as("_sig"))
       .repartition(col("id")) // materialize the signature once per vector
       .select(
-        col("id"),
+        col("id"), col("_sig"),
         explode(array((0 until nBands).map(j =>
           struct(lit(j).as("j"),
             shiftrightunsigned(col("_sig"), j * bandBits).bitwiseAND(lit(mask)).as("v"))): _*)).as("band"))
-    banded.select(col("id").as("a"), col("band"))
-      .join(banded.select(col("id").as("b"), col("band")), Seq("band"))
+    // First-matching-band filter: a pair colliding in k bands would come out
+    // of the band join k times; instead of a distinct (an exchange + agg over
+    // the full collision volume) keep exactly the row whose band index is the
+    // pair's LOWEST matching band — a stateless bitwise filter inside the
+    // join stage. From x = sigA XOR sigB, fold each band's bits onto its low
+    // bit, invert, mask to the per-band marker bits: `zeros` has bit
+    // (bandBits·j) set iff band j matches; the row survives iff no marker
+    // below its own j is set.
+    val groupBits = (0 until nBands).map(j => 1L << (bandBits * j))
+    val earlierMasks = groupBits.map(_ - 1L)
+    val x = col("sa").bitwiseXOR(col("sb"))
+    val folded = (0 until bandBits).map(k => shiftrightunsigned(x, k)).reduce(_ bitwiseOR _)
+    val zeros = bitwise_not(folded).bitwiseAND(lit(groupBits.sum))
+    banded.select(col("id").as("a"), col("_sig").as("sa"), col("band"))
+      .join(banded.select(col("id").as("b"), col("_sig").as("sb"), col("band")), Seq("band"))
       .where(col("a") < col("b"))
+      .where(zeros.bitwiseAND(element_at(typedlit(earlierMasks), col("band").getField("j") + 1)) === lit(0L))
       .select(col("a"), col("b"))
-      .distinct()
   }
 
   /** Embedding near-dup through LSH buckets: hyperplane-band candidates
