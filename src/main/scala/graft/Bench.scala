@@ -64,23 +64,29 @@ object Bench {
       }
       System.err.println(f"[bench] warmup pass ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
-    // two full timed passes, per-query min: interleaving means a transient
-    // host slow window can't poison both samples of the same query
+    // three full timed passes, per-query min: interleaving means a transient
+    // host slow window can't poison every sample of the same query, and the
+    // third pass covers the 1-2.5s band where two samples proved too few
+    // (r3: q08 recorded 2.32s vs a true ~1s)
     val pass1 = names.map(n => n -> once(n, 1)).toMap
     val pass2 = names.map(n => n -> math.min(pass1(n), once(n, 2))).toMap
+    val pass3 = names.map(n => n -> math.min(pass2(n), once(n, 3))).toMap
     // the host occasionally throttles for tens of seconds (CPU steal /
     // disk-burst windows, sometimes spanning several back-to-back samples);
     // an outlier keeps re-sampling until its min stops improving — two
     // consecutive samples within 10% of the best — or the budget runs out,
-    // so a bad window can't masquerade as a slow operator in the artifact
+    // so a bad window can't masquerade as a slow operator in the artifact.
+    // best is the unconditional min of all samples; the 10% rule only
+    // drives the staleness counter (r3 discarded an observed 7.88s min).
     val results = names.map { n =>
-      var best = pass2(n)
+      var best = pass3(n)
       var extra = 0
       var stale = 0
-      while (best > 2.5 && extra < 6 && stale < 2) {
+      while (best > 1.0 && extra < 6 && stale < 2) {
         extra += 1
-        val t = once(n, 2 + extra)
-        if (t < best * 0.9) { best = t; stale = 0 } else stale += 1
+        val t = once(n, 3 + extra)
+        if (t < best * 0.9) stale = 0 else stale += 1
+        best = math.min(best, t)
       }
       n -> best
     }

@@ -204,6 +204,22 @@ object SparkEntry {
           col("n_customers"), col("sum_acctbal"))
     },
     "q19_registry_sync" -> q { (s, dir) => Registry.syncAll(s, dir) },
+    "q33_node_merge" -> q { (s, dir) =>
+      // reference node MERGE (users.py:12, neo4j_queries.py:8-37): one node
+      // table per label, latest property write wins. Two entity sources with
+      // a shared prop schema union into one stream; mergeNodes is the
+      // single-shuffle grouped argmax per (label, node_key).
+      val userNodes = Tables.events(s, dir).select(
+        lit("user").as("label"), col("user_id").as("node_key"),
+        col("event_type").as("name"), col("value").as("score"),
+        col("ts_us").as("updated_ts"), col("event_id").as("upd_id"))
+      val custNodes = Tables.customer(s, dir).select(
+        lit("customer").as("label"), col("c_custkey").as("node_key"),
+        col("c_name").as("name"), col("c_acctbal").as("score"),
+        lit(0L).as("updated_ts"), lit(0L).as("upd_id"))
+      GraphOps.mergeNodes(userNodes.unionByName(custNodes),
+        "label", "node_key", Seq("updated_ts", "upd_id"))
+    },
     "q21_asof_join" -> q { (s, dir) =>
       // orders mapped into the events time window (deterministic arithmetic
       // mirrored in the oracle, which uses DuckDB's native ASOF LEFT JOIN)
@@ -584,6 +600,19 @@ object SparkEntry {
         |UNION ALL SELECT 'lineitem', count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
         |UNION ALL SELECT 'orders', count(DISTINCT o_orderkey) FROM orders
         |UNION ALL SELECT 'supplier', count(DISTINCT s_suppkey) FROM supplier""".stripMargin,
+    "q33_node_merge" ->
+      """WITH n AS (
+        |  SELECT 'user' AS label, user_id AS node_key, event_type AS name, value AS score,
+        |         epoch_us(ts) AS updated_ts, event_id AS upd_id
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'customer', c_custkey, c_name, c_acctbal, 0, 0 FROM customer)
+        |SELECT label, node_key, name, score, updated_ts, upd_id, n_updates
+        |FROM (SELECT *,
+        |             row_number() OVER (PARTITION BY label, node_key ORDER BY updated_ts DESC, upd_id DESC) AS rn,
+        |             count(*) OVER (PARTITION BY label, node_key) AS n_updates
+        |      FROM n)
+        |WHERE rn = 1""".stripMargin,
     "d01_dedup_exact" ->
       "SELECT min(doc_id) AS canonical_id, count(*) AS n_copies FROM documents GROUP BY text",
     // exact Jaccard is hash-free in the oracle: the kernel's xxhash-style

@@ -25,6 +25,25 @@ object GraphOps {
         max(col(ord)).as(s"last_$ord"),
         count(lit(1)).as("n_events"))
 
+  /** MERGE semantics for a node set (reference transformers/users.py:12,
+    * database/neo4j_queries.py:8-37: `MERGE (n:Label {key}) SET props`):
+    * dedup by (label, key), last property write wins, plus an update count.
+    * Same grouped-argmax shape as MergeOps.latestByKey — ONE shuffle with
+    * map-side partial aggregation, no window sort — so a 100 TB node stream
+    * reduces to |distinct nodes| rows before the exchange.
+    * `ord` must end in a unique tie-breaker for determinism.
+    */
+  def mergeNodes(nodes: DataFrame, label: String, key: String, ord: Seq[String]): DataFrame = {
+    val keys = Seq(label, key)
+    val ordCols = ord.filterNot(keys.contains)
+    val props = nodes.columns.toSeq.filterNot(keys.contains)
+    val packed = struct((ordCols ++ props.filterNot(ordCols.contains)).map(col): _*)
+    nodes
+      .groupBy(col(label), col(key))
+      .agg(max(packed).as("_latest"), count(lit(1)).as("n_updates"))
+      .select(col(label) +: col(key) +: props.map(c => col(s"_latest.$c").as(c)) :+ col("n_updates"): _*)
+  }
+
   /** Reciprocal (mutual) edges: unordered pairs {a, b} with both a→b and
     * b→a present — the "mutual follows" query the reference's FOLLOWS graph
     * serves. Distinct edges first (MERGE semantics), then a self-join keyed

@@ -119,6 +119,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("mergeNodes keeps the latest property write per (label, key)") {
+    import graft.operators.GraphOps
+    val nodes = Seq(
+      ("user", 1L, "alice", 10L, 100L),
+      ("user", 1L, "alice2", 20L, 101L), // newer ts wins
+      ("user", 2L, "bob", 20L, 102L),
+      ("user", 2L, "bob-tie", 20L, 103L), // ts tie → higher upd_id wins
+      ("addr", 1L, "0xabc", 5L, 104L)     // same key, different label
+    ).toDF("label", "node_key", "name", "updated_ts", "upd_id")
+    val out = GraphOps.mergeNodes(nodes, "label", "node_key", Seq("updated_ts", "upd_id"))
+      .select("label", "node_key", "name", "n_updates")
+      .as[(String, Long, String, Long)].collect().toSet
+    assert(out == Set(
+      ("user", 1L, "alice2", 2L),
+      ("user", 2L, "bob-tie", 2L),
+      ("addr", 1L, "0xabc", 1L)))
+  }
+
   test("mutualEdges finds exactly the reciprocal pairs, once each") {
     import graft.operators.GraphOps
     val edges = Seq(
