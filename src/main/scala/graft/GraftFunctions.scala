@@ -39,6 +39,7 @@ object GraftFunctions {
     "array_match_fraction" -> (es => ArrayMatchFraction(es(0), es(1))),
     "long_set_jaccard" -> (es => LongSetJaccard(es(0), es(1))),
     "json_long_field" -> (es => JsonKernels.JsonLongField(es(0), strArg(es(1), "key"))),
+    "py_json_normalize" -> (es => PyJsonNormalize(es(0))),
     "winnow_fingerprint" -> (es =>
       TextKernels.WinnowFingerprint(es(0), intArg(es(1), "k"), intArg(es(2), "window"))))
 

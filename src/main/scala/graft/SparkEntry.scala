@@ -72,8 +72,15 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"), col("event_id"), col("ts_us"), col("value"))
     },
     "q06_json_extract" -> q { (s, dir) =>
+      // JSONB cleaning path (db.py:261-281): Python-literal payloads are
+      // repaired to strict JSON ahead of the parse — real exports carry
+      // {'k': 1}-shaped reprs that a strict parser silently NULLs. The
+      // testdata is strict JSON, so the repair is a zero-copy prefix check
+      // here (and the DuckDB oracle is unchanged).
+      import graft.expressions.PyLiteralJson.pyJsonNormalize
       Tables.events(s, dir)
-        .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .select(col("event_id"),
+          get_json_object(pyJsonNormalize(col("props")), "$.k").cast("long").as("k"))
     },
     "q07_tracking" -> q { (s, dir) =>
       Tables.events(s, dir)
@@ -468,8 +475,10 @@ object SparkEntry {
       // typed JSONB cleaning (db.py:261-282): from_json into a struct schema,
       // then aggregate on the extracted field — the reference's array/json
       // columns (embeds, mentions) follow this exact path with array schemas
+      import graft.expressions.PyLiteralJson.pyJsonNormalize
       Tables.events(s, dir)
-        .select(from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).as("p"))
+        .select(from_json(pyJsonNormalize(col("props")),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).as("p"))
         .groupBy(pmod(col("p.k"), lit(10)).as("k_bucket"))
         .agg(count(lit(1)).as("n"))
     })

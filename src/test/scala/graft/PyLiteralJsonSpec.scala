@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.expressions.PyLiteralJson
+import graft.expressions.PyLiteralJson.pyJsonNormalize
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Python-literal JSONB repair (reference db.py:261-281): the exact payload
+  * shapes the reference routes through ast.literal_eval must survive the
+  * normalize → strict-parse pipeline, and strict JSON must pass through
+  * untouched (same instance — the hot path is a prefix check).
+  */
+class PyLiteralJsonSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(s: String): String = {
+    val in = UTF8String.fromString(s)
+    val out = PyLiteralJson.normalize(in)
+    if (out eq in) s else out.toString
+  }
+
+  test("reference literal forms normalize to strict JSON") {
+    // db.py:268 — value.startswith("{'")
+    assert(norm("{'k': 1}") == """{"k": 1}""")
+    // db.py:268 — value.startswith("[{'") (embeds/mentions arrays)
+    assert(norm("[{'type': 'verified', 'addr': '0xAbC'}]") ==
+      """[{"type": "verified", "addr": "0xAbC"}]""")
+    // Python spellings of scalars
+    assert(norm("{'a': True, 'b': False, 'c': None}") ==
+      """{"a": true, "b": false, "c": null}""")
+    // nested structures and numbers ride through
+    assert(norm("{'a': {'b': [1, 2.5, -3]}, 'c': 'x'}") ==
+      """{"a": {"b": [1, 2.5, -3]}, "c": "x"}""")
+  }
+
+  test("quote styles and escapes") {
+    // repr uses double quotes when the value contains an apostrophe
+    assert(norm("{'text': \"it's\"}") == """{"text": "it's"}""")
+    // inner double quote inside a single-quoted string must gain JSON escaping
+    assert(norm("{'text': 'say \"hi\"'}") == """{"text": "say \"hi\""}""")
+    // Python \' escape drops its backslash; \n stays escaped
+    assert(norm("{'text': 'a\\'b\\nc'}") == """{"text": "a'b\nc"}""")
+    // \xNN becomes the JSON \u00NN form (parses to the same char)
+    assert(norm("{'text': 'caf\\xe9'}") == "{\"text\": \"caf\\u00e9\"}")
+    // unknown escape keeps its backslash (Python literal semantics)
+    assert(norm("{'text': 'a\\qb'}") == """{"text": "a\\qb"}""")
+    // keywords inside strings are NOT rewritten
+    assert(norm("{'text': 'True None'}") == """{"text": "True None"}""")
+    // tuples serialize as arrays (ast.literal_eval accepts them)
+    assert(norm("{'t': (1, 2)}") == """{"t": [1, 2]}""")
+  }
+
+  test("stringified bytes repr unwraps (reference's bytes branch)") {
+    // str(b"{'k': 1}") == "b\"{'k': 1}\""
+    assert(norm("b\"{'k': 1}\"") == """{"k": 1}""")
+    // str(b'[{\'k\': 2}]') — single-quoted wrapper, escaped inner quotes
+    assert(norm("b'[{\\'k\\': 2}]'") == """[{"k": 2}]""")
+  }
+
+  test("non-triggering input passes through as the same instance") {
+    for (s <- Seq("""{"k": 1}""", """[{"a": 2}]""", "plain text", "", "[1, 2]",
+                  "b'not json'", "{}")) {
+      val in = UTF8String.fromString(s)
+      assert(PyLiteralJson.normalize(in) eq in)
+    }
+    assert(PyLiteralJson.normalize(null) == null)
+  }
+
+  test("repaired payloads parse end-to-end through from_json/get_json_object") {
+    val rows = Seq(
+      (1L, """{"k": 7, "tag": "strict"}"""),          // strict JSON
+      (2L, "{'k': 8, 'tag': 'python'}"),              // Python literal
+      (3L, "[{'k': 9}]"),                             // Python list literal
+      (4L, "b\"{'k': 10, 'ok': True}\""),             // stringified bytes repr
+      (5L, "not json at all"),                        // garbage → NULL either way
+      (6L, null.asInstanceOf[String]))
+      .toDF("id", "props")
+
+    val k = rows
+      .select(col("id"), get_json_object(pyJsonNormalize(col("props")), "$.k").cast("long").as("k"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(k == Map(1L -> Some(7L), 2L -> Some(8L), 3L -> None, 4L -> Some(10L),
+      5L -> None, 6L -> None))
+
+    val ok = rows
+      .select(col("id"),
+        from_json(pyJsonNormalize(col("props")), StructType.fromDDL("k BIGINT, ok BOOLEAN")).as("p"))
+      .select(col("id"), col("p.k"), col("p.ok"))
+      .as[(Long, Option[Long], Option[Boolean])].collect()
+      .map { case (i, a, b) => i -> ((a, b)) }.toMap
+    assert(ok(4L) == ((Some(10L), Some(true))))
+    assert(ok(2L) == ((Some(8L), None)))
+  }
+
+  test("SQL surface: py_json_normalize registered") {
+    GraftFunctions.register(spark)
+    val out = spark.sql(
+      "SELECT get_json_object(py_json_normalize(\"{'k': 42}\"), '$.k') AS k")
+      .as[String].head()
+    assert(out == "42")
+  }
+}
