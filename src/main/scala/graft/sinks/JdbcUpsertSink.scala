@@ -1,6 +1,6 @@
 package graft.sinks
 
-import java.sql.{Connection, PreparedStatement}
+import java.sql.{Connection, PreparedStatement, SQLException, SQLRecoverableException, SQLTransientException}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
 
@@ -118,13 +118,51 @@ object JdbcUpsertSink {
   def maxRowsPerStatement(numColumns: Int): Int =
     math.max(1, 65535 / math.max(1, numColumns))
 
+  /** Transient-failure classification, mirroring the reference's retry
+    * policy (db.py:665-702: tenacity around every statement). SQLSTATE
+    * class 40 (serialization failure / deadlock — Postgres 40001, 40P01),
+    * class 08 (connection exceptions), class 53 (insufficient resources),
+    * 57P03 (cannot_connect_now), plus JDBC's own transient/recoverable
+    * exception hierarchy. Everything else (constraint violations, syntax,
+    * datatype) fails the task immediately — retrying those wastes the
+    * whole backoff budget on a deterministic error.
+    */
+  def isTransient(e: SQLException): Boolean = {
+    val st = Option(e.getSQLState).getOrElse("")
+    e.isInstanceOf[SQLTransientException] ||
+      e.isInstanceOf[SQLRecoverableException] ||
+      st.startsWith("40") || st.startsWith("08") || st.startsWith("53") ||
+      st == "57P03"
+  }
+
+  /** The connection itself is suspect — replace it rather than reuse. */
+  def isConnectionFailure(e: SQLException): Boolean = {
+    val st = Option(e.getSQLState).getOrElse("")
+    e.isInstanceOf[SQLRecoverableException] || st.startsWith("08")
+  }
+
+  /** Exponential backoff with jitter, the reference's tenacity shape
+    * (`wait_exponential_jitter(initial=0.4, max=10)`): 0.4s, 0.8s, 1.6s,
+    * … capped at 10s, plus up to 1s uniform jitter so a deadlock storm's
+    * retries don't re-collide in lockstep.
+    */
+  def backoffMs(attempt: Int, initialMs: Long = 400, maxMs: Long = 10000): Long = {
+    val expo = math.min(maxMs, initialMs << math.min(attempt - 1, 20))
+    expo + java.util.concurrent.ThreadLocalRandom.current().nextLong(1000)
+  }
+
+  /** Default attempt budget — the reference's `stop_after_attempt(5)`. */
+  val DefaultMaxAttempts = 5
+
   def write(
       df: DataFrame,
       table: String,
       pkColumns: Seq[String],
       orderingCol: String,
       batchSize: Int,
-      connect: () => Connection): Unit = {
+      connect: () => Connection,
+      maxAttempts: Int = DefaultMaxAttempts,
+      sleepMs: Long => Unit = Thread.sleep): Unit = {
     val schema = df.schema
     val columns = schema.fieldNames.toSeq
     val effBatch = math.min(batchSize, maxRowsPerStatement(columns.size))
@@ -132,16 +170,38 @@ object JdbcUpsertSink {
     val ordIdx = schema.fieldIndex(orderingCol)
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
-        val conn = connect()
+        var conn = connect()
         try {
           conn.setAutoCommit(false)
           rows.grouped(effBatch).foreach { raw =>
             val batch = dedupBatch(raw, pkIdx, ordIdx)
             val sql = upsertSql(table, columns, pkColumns, orderingCol, batch.size)
-            val stmt = conn.prepareStatement(sql)
-            try bindAndExecute(stmt, schema, batch)
-            finally stmt.close()
-            conn.commit()
+            // each statement is retried with backoff on *transient* failures
+            // (the reference rides out deadlock storms the same way); the
+            // upsert is idempotent under the >= ordering guard, so replaying
+            // a batch whose commit outcome is unknown is safe.
+            var attempt = 1
+            var done = false
+            while (!done) {
+              try {
+                val stmt = conn.prepareStatement(sql)
+                try bindAndExecute(stmt, schema, batch)
+                finally stmt.close()
+                conn.commit()
+                done = true
+              } catch {
+                case e: SQLException if attempt < maxAttempts && isTransient(e) =>
+                  val rolledBack =
+                    try { conn.rollback(); true } catch { case _: SQLException => false }
+                  if (!rolledBack || isConnectionFailure(e)) {
+                    try conn.close() catch { case _: SQLException => () }
+                    conn = connect()
+                    conn.setAutoCommit(false)
+                  }
+                  sleepMs(backoffMs(attempt))
+                  attempt += 1
+              }
+            }
           }
         } finally conn.close()
       }

@@ -1,7 +1,7 @@
 package graft
 
 import java.lang.reflect.{InvocationHandler, Method, Proxy}
-import java.sql.{Connection, PreparedStatement}
+import java.sql.{Connection, PreparedStatement, SQLException}
 import scala.collection.mutable
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.Row
@@ -105,6 +105,92 @@ class JdbcUpsertSinkSpec extends SparkSpec {
     assert(got.keySet == expected.keySet)
     assert(got(1L) == "new" && got(2L) == "only")
   }
+
+  test("transient classification mirrors the reference's retry policy") {
+    import java.sql.{SQLTransientException, SQLRecoverableException}
+    assert(JdbcUpsertSink.isTransient(new SQLException("deadlock detected", "40P01")))
+    assert(JdbcUpsertSink.isTransient(new SQLException("serialization failure", "40001")))
+    assert(JdbcUpsertSink.isTransient(new SQLException("conn reset", "08006")))
+    assert(JdbcUpsertSink.isTransient(new SQLException("too many clients", "53300")))
+    assert(JdbcUpsertSink.isTransient(new SQLException("starting up", "57P03")))
+    assert(JdbcUpsertSink.isTransient(new SQLTransientException("timeout")))
+    assert(JdbcUpsertSink.isTransient(new SQLRecoverableException("gone")))
+    // deterministic errors fail fast
+    assert(!JdbcUpsertSink.isTransient(new SQLException("unique violation", "23505")))
+    assert(!JdbcUpsertSink.isTransient(new SQLException("syntax error", "42601")))
+    assert(!JdbcUpsertSink.isTransient(new SQLException("no state")))
+    // backoff: exponential from 400ms capped at 10s, jitter < 1s
+    for (a <- 1 to 10) {
+      val ms = JdbcUpsertSink.backoffMs(a)
+      val expo = math.min(10000L, 400L << (a - 1))
+      assert(ms >= expo && ms < expo + 1000, s"attempt $a -> $ms")
+    }
+  }
+
+  test("deadlock storm: N transient failures then success commits exactly once") {
+    GlobalFlakyModel.reset(failures = 3,
+      () => new SQLException("deadlock detected", "40P01"))
+    val df = Seq((1L, "a", 10L), (1L, "b", 20L), (2L, "c", 5L))
+      .toDF("id", "v", "updated_at").coalesce(1)
+    // sleeps must be recorded in the static model: the closure is serialized
+    // into the task, so a captured local buffer would receive nothing
+    JdbcUpsertSink.write(df, "t", Seq("id"), "updated_at", batchSize = 100,
+      connect = () => GlobalFlakyModel.connection(),
+      maxAttempts = 5, sleepMs = ms => GlobalFlakyModel.sleeps.add(ms))
+    import scala.jdk.CollectionConverters._
+    assert(GlobalFlakyModel.table.asScala.map { case (k, (v, _)) => k -> v }.toMap ==
+      Map(1L -> "b", 2L -> "c"))
+    assert(GlobalFlakyModel.executeAttempts.get == 4) // 3 failures + 1 success
+    assert(GlobalFlakyModel.applies.get == 1)         // the batch landed exactly once
+    val sleeps = GlobalFlakyModel.sleeps.asScala.toVector
+    assert(sleeps.size == 3)
+    // tenacity shape: 400·2^(n-1) plus <1s jitter
+    for ((s, i) <- sleeps.zipWithIndex) {
+      val expo = 400L << i
+      assert(s >= expo && s < expo + 1000, s"sleep $i was $s")
+    }
+    // deadlocks do not force a reconnect
+    assert(GlobalFlakyModel.connects.get == 1)
+  }
+
+  test("connection failure triggers reconnect and the replay still lands once") {
+    GlobalFlakyModel.reset(failures = 1,
+      () => new SQLException("connection reset by peer", "08006"))
+    val df = Seq((7L, "x", 1L)).toDF("id", "v", "updated_at").coalesce(1)
+    JdbcUpsertSink.write(df, "t", Seq("id"), "updated_at", batchSize = 100,
+      connect = () => GlobalFlakyModel.connection(),
+      maxAttempts = 5, sleepMs = _ => ())
+    import scala.jdk.CollectionConverters._
+    assert(GlobalFlakyModel.table.asScala.keySet == Set(7L))
+    assert(GlobalFlakyModel.connects.get == 2) // original + replacement
+    assert(GlobalFlakyModel.applies.get == 1)
+  }
+
+  test("non-transient failure fails the batch immediately — no retry") {
+    GlobalFlakyModel.reset(failures = 100,
+      () => new SQLException("unique violation", "23505"))
+    val df = Seq((9L, "z", 1L)).toDF("id", "v", "updated_at").coalesce(1)
+    intercept[Exception] {
+      JdbcUpsertSink.write(df, "t", Seq("id"), "updated_at", batchSize = 100,
+        connect = () => GlobalFlakyModel.connection(),
+        maxAttempts = 5, sleepMs = _ => ())
+    }
+    assert(GlobalFlakyModel.executeAttempts.get == 1)
+    assert(GlobalFlakyModel.table.isEmpty)
+  }
+
+  test("attempt budget exhausted: the last transient error propagates") {
+    GlobalFlakyModel.reset(failures = 100,
+      () => new SQLException("deadlock detected", "40P01"))
+    val df = Seq((9L, "z", 1L)).toDF("id", "v", "updated_at").coalesce(1)
+    intercept[Exception] {
+      JdbcUpsertSink.write(df, "t", Seq("id"), "updated_at", batchSize = 100,
+        connect = () => GlobalFlakyModel.connection(),
+        maxAttempts = 3, sleepMs = _ => ())
+    }
+    assert(GlobalFlakyModel.executeAttempts.get == 3) // exactly maxAttempts
+    assert(GlobalFlakyModel.table.isEmpty)
+  }
 }
 
 /** Static sink model reachable from executor threads (local mode shares the
@@ -137,6 +223,70 @@ object GlobalSinkModel {
                   case _ => null
                 }
               }).asInstanceOf[PreparedStatement]
+          case _ => null
+        }
+      }).asInstanceOf[Connection]
+  }
+}
+
+/** Flaky-sink double: fails the next `failures` executeUpdate calls with the
+  * injected exception, then applies batches to the in-memory table model —
+  * the shape of a deadlock storm / connection drop the retry path exists
+  * for. Counters are global because foreachPartition runs on executor
+  * threads in the shared local-mode JVM.
+  */
+object GlobalFlakyModel {
+  import java.util.concurrent.atomic.AtomicInteger
+  @volatile var table: java.util.concurrent.ConcurrentHashMap[Long, (String, Long)] = _
+  val failuresRemaining = new AtomicInteger(0)
+  val executeAttempts = new AtomicInteger(0)
+  val connects = new AtomicInteger(0)
+  val applies = new AtomicInteger(0)
+  val sleeps = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+  @volatile var failure: () => java.sql.SQLException = _
+
+  def reset(failures: Int, f: () => java.sql.SQLException): Unit = {
+    table = new java.util.concurrent.ConcurrentHashMap[Long, (String, Long)]()
+    failuresRemaining.set(failures)
+    executeAttempts.set(0)
+    connects.set(0)
+    applies.set(0)
+    sleeps.clear()
+    failure = f
+  }
+
+  def connection(): Connection = {
+    connects.incrementAndGet()
+    val rows = mutable.Buffer[Any]()
+    Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[Connection]),
+      new InvocationHandler {
+        def invoke(proxy: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "prepareStatement" =>
+            Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[PreparedStatement]),
+              new InvocationHandler {
+                def invoke(p2: Any, m2: Method, a2: Array[AnyRef]): AnyRef = m2.getName match {
+                  case n if n.startsWith("set") && a2 != null && a2.length >= 2 =>
+                    rows += a2(1); null
+                  case "executeUpdate" =>
+                    executeAttempts.incrementAndGet()
+                    if (failuresRemaining.getAndDecrement() > 0) {
+                      rows.clear()
+                      throw failure()
+                    }
+                    rows.grouped(3).foreach { g =>
+                      val id = g(0).asInstanceOf[Long]
+                      val v = g(1).asInstanceOf[String]
+                      val ts = g(2).asInstanceOf[Long]
+                      table.merge(id, (v, ts),
+                        (oldV, newV) => if (newV._2 >= oldV._2) newV else oldV)
+                    }
+                    applies.incrementAndGet()
+                    rows.clear()
+                    Integer.valueOf(1)
+                  case _ => null
+                }
+              }).asInstanceOf[PreparedStatement]
+          case "rollback" => rows.clear(); null
           case _ => null
         }
       }).asInstanceOf[Connection]
