@@ -5,7 +5,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.col
-import graft.sources.{ExportCatalog, ExportFile}
+import graft.sources.{ExportCatalog, ExportFile, RowGroupResume}
 import graft.streaming.{ClosedSession, SessionEvent, StatefulSessions}
 
 /** Export-directory discovery (the reference's S3 listing contract) and
@@ -171,5 +171,61 @@ class SourcesStreamingSpec extends SparkSpec {
         s"user 1's extended session must close via timeout: $closed")
       assert(closed.exists(s => s.user_id == 2L && s.n_events == 1L), s"user 2: $closed")
     } finally q.stop()
+  }
+
+  test("row-group resume: kill mid-full, resume, final state equals one-shot") {
+    // a single parquet file with many small row groups (tiny block size)
+    val root = Files.createTempDirectory("graft-rgresume").toFile.getAbsolutePath
+    spark.range(10000)
+      .select(col("id"), (col("id") * 7 % 1000).as("v"))
+      .coalesce(1).write
+      .option("parquet.block.size", "16384")
+      .option("parquet.page.size", "4096")
+      .parquet(s"$root/full")
+    val file = new java.io.File(s"$root/full").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .get.getAbsolutePath
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val groups = RowGroupResume.rowGroups(conf, file)
+    assert(groups.size >= 4, s"need several row groups to test resume, got ${groups.size}")
+    assert(groups.map(_.rows).sum == 10000L)
+    assert(groups.head.firstRowIndex == 0L)
+
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").as[Long].collect().toSet
+
+    // one-shot baseline
+    val oneShot = scala.collection.mutable.Set[Long]()
+    val b0 = RowGroupResume.importFull(spark, file, s"$root/track_oneshot", 2,
+      df => { oneShot ++= ids(df); () })
+    assert(b0 == (groups.size + 1) / 2)
+    assert(oneShot.toSet == (0L until 10000L).toSet)
+
+    // crash after 2 committed batches
+    val beforeCrash = scala.collection.mutable.Set[Long]()
+    var batches = 0
+    intercept[IllegalStateException] {
+      RowGroupResume.importFull(spark, file, s"$root/track", 2, df => {
+        if (batches == 2) throw new IllegalStateException("killed mid-full")
+        beforeCrash ++= ids(df); batches += 1
+      })
+    }
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    assert(RowGroupResume.lastImported(fs, s"$root/track", file) == 3) // 2 batches × 2 groups
+    val (resumeAt, total) = RowGroupResume.progress(spark, s"$root/track", file)
+    assert(resumeAt == 3 && total == groups.size)
+
+    // resume: only the remaining batches are re-delivered
+    val afterResume = scala.collection.mutable.Set[Long]()
+    val b2 = RowGroupResume.importFull(spark, file, s"$root/track", 2,
+      df => { afterResume ++= ids(df); () })
+    assert(b2 == b0 - 2)
+    assert(beforeCrash.intersect(afterResume).isEmpty, "resume must not replay committed batches")
+    assert(beforeCrash.toSet ++ afterResume.toSet == oneShot.toSet,
+      "crash + resume must equal the one-shot import exactly")
+    // fully imported → nothing left
+    assert(RowGroupResume.importFull(spark, file, s"$root/track", 2,
+      _ => fail("no batch expected")) == 0)
   }
 }
