@@ -122,6 +122,76 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.9, f"IVF recall@5 $r%.4f")
   }
 
+  test("t04 winnowing fingerprint overlap vs exact n-gram containment (sf0.01)") {
+    // the registered t04 operating point: char-8-grams, window 4
+    import graft.expressions.TextKernels.WinnowFingerprint
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val k = 8; val w = 4
+    def evalFp(text: String, window: Int): Set[Long] =
+      WinnowFingerprint(org.apache.spark.sql.catalyst.expressions.Literal("x"), k, window)
+        .nullSafeEval(UTF8String.fromString(text))
+        .asInstanceOf[ArrayData].toLongArray().toSet
+
+    val docs = Tables.documents(spark, dir01)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    // window=1 keeps every (deduped) gram hash — the exact n-gram set from
+    // the SAME hash pipeline, so the comparison isolates the winnowing loss
+    val exact = docs.map { case (id, t) => id -> evalFp(t, 1) }.toMap
+    val winnowed = docs.map { case (id, t) => id -> evalFp(t, w) }.toMap
+
+    def jacc(a: Set[Long], b: Set[Long]): Double =
+      if (a.isEmpty && b.isEmpty) 1.0 else a.intersect(b).size.toDouble / a.union(b).size
+
+    val ids = docs.map(_._1)
+    val truth = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      if jacc(exact(ids(i)), exact(ids(j))) >= 0.5
+    } yield (ids(i), ids(j))).toVector
+    assert(truth.nonEmpty, "sf0.01 documents must contain near-dup pairs")
+
+    // detection recall: a truth pair must share at least one fingerprint —
+    // winnowing guarantees this for any shared run >= k+w-1 = 11 chars,
+    // and J>=0.5 documents share many such runs
+    val detected = truth.count { case (a, b) =>
+      winnowed(a).intersect(winnowed(b)).nonEmpty
+    }
+    val recall = detected.toDouble / truth.size
+    // estimator quality: fingerprint Jaccard vs exact Jaccard on truth pairs
+    val mae = truth.map { case (a, b) =>
+      math.abs(jacc(winnowed(a), winnowed(b)) - jacc(exact(a), exact(b)))
+    }.sum / truth.size
+    // density: winnowing keeps ~2/(w+1) of gram positions; after dedup the
+    // ratio drifts with repetition, so gate loosely
+    val density = docs.map { case (id, _) =>
+      winnowed(id).size.toDouble / math.max(exact(id).size, 1) }.sum / docs.length
+    info(f"t04 truth=${truth.size} shareRecall=$recall%.4f mae=$mae%.4f density=$density%.3f")
+    println(f"RECALL t04 truth=${truth.size} share=$recall%.4f mae=$mae%.4f density=$density%.3f")
+    assert(recall >= 0.95, f"winnowing detection recall $recall%.4f")
+    assert(mae <= 0.35, f"fingerprint-Jaccard MAE $mae%.4f")
+    assert(density > 0.1 && density < 0.9, f"winnowing density $density%.3f out of range")
+  }
+
+  test("t04 winnowing guarantee: shared runs >= k+w-1 always share a fingerprint (planted)") {
+    import graft.expressions.TextKernels.WinnowFingerprint
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val k = 8; val w = 4
+    def fp(text: String): Set[Long] =
+      WinnowFingerprint(org.apache.spark.sql.catalyst.expressions.Literal("x"), k, w)
+        .nullSafeEval(UTF8String.fromString(text))
+        .asInstanceOf[ArrayData].toLongArray().toSet
+
+    val docs = Tables.documents(spark, dir01)
+      .select("text").as[String].collect().take(50)
+    // perturb both ends: the shared middle still contains runs >= 11 chars
+    val hits = docs.count { t => fp("zzz@@ " + t + " ##qqq").intersect(fp(t)).nonEmpty }
+    assert(hits == docs.length,
+      s"MOSS guarantee violated: only $hits/${docs.length} perturbed pairs share a fingerprint")
+    // negative control: disjoint-alphabet strings share nothing
+    assert(fp("aaaaaaaaaaaaaaaaaaaaaaaa").intersect(fp("bbbbbbbbbbbbbbbbbbbbbbbb")).isEmpty)
+  }
+
   test("hyperplane candidates prune hard at realistic near-dup thresholds (planted)") {
     // 400 random base vectors + 100 planted near-dups (small noise, cos≈0.99):
     // the regime real dedup corpora live in. Wide bands (2×8 of 16 bits)
