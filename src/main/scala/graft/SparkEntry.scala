@@ -360,6 +360,71 @@ object SparkEntry {
         .limit(10)
         .select(col("o_orderkey"), col("o_orderdate").cast("date").cast("string").as("o_date"), col("revenue"))
     },
+    "q34_nation_trade" -> q { (s, dir) =>
+      // TPC-H Q7 shape: bidirectional trade volume between a nation pair by
+      // ship year. The nation filter is applied to the two SMALL dims
+      // (supplier, customer) before they touch the facts, so the fact-fact
+      // lineitem⋈orders join — the only genuinely big join — runs on
+      // pre-pruned inputs; the shipdate range predicate pushes to the scan.
+      val pair = Seq("NATION_1", "NATION_2")
+      val n = Tables.nation(s, dir).where(col("n_name").isin(pair: _*))
+      val supp = Tables.supplier(s, dir)
+        .join(broadcast(n.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(n.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("c_nk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
+      val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .where((col("supp_nation") === pair.head && col("cust_nation") === pair(1)) ||
+          (col("supp_nation") === pair(1) && col("cust_nation") === pair.head))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(round(sum(col("volume")), 2).as("revenue"), count(lit(1)).as("n_items"))
+    },
+    "q35_returned_items" -> q { (s, dir) =>
+      // TPC-H Q10 shape, Spark-first: aggregate revenue per CUSTOMER KEY
+      // before the customer join (the SQL formulation groups by every
+      // customer attribute; pre-aggregating on the key shrinks the shuffle
+      // to |custkeys| rows and turns the customer join into a post-agg
+      // lookup), then deterministic top-20.
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val ord = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      // revenue sums as exact 1e-4-scaled integers: a double sum is order-
+      // dependent and a .xx5 boundary rounds differently between engines
+      // (observed at sf0.01); the integer sum is associative, so the value
+      // AND the top-20 ordering are engine-exact
+      val byCust = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("rev") * 10000).cast("long")).as("rev4"), count(lit(1)).as("n_items"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      byCust.join(cust, col("o_custkey") === col("c_custkey"))
+        .orderBy(col("rev4").desc, col("c_custkey").asc)
+        .limit(20)
+        // no display rounding: the sum is exactly .xxxx, and round(x, 2) of
+        // a true .xx5 midpoint disagrees between engines (Spark rounds the
+        // shortest decimal repr, DuckDB the binary value); the division of
+        // the same integer is bitwise identical on both sides
+        .select(col("c_custkey"), col("c_name"), (col("rev4") / 10000.0).as("revenue"),
+          col("c_acctbal"), col("n_name"), col("n_items"))
+    },
     "q31_profile" -> q { (s, dir) =>
       // one-scan ingest profiling: null counts, key cardinalities, numeric
       // ranges — the admission gate before a slice enters the merge
@@ -682,6 +747,37 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q34_nation_trade" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |       round(sum(volume), 2) AS revenue, count(*) AS n_items
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |             l_extendedprice * (1.0 - l_discount) AS volume
+        |      FROM lineitem
+        |      JOIN supplier ON l_suppkey = s_suppkey
+        |      JOIN orders ON l_orderkey = o_orderkey
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |        AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |        AND l_shipdate < TIMESTAMP '1997-01-01')
+        |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q35_returned_items" ->
+      """SELECT c_custkey, c_name, rev4 / 10000.0 AS revenue, c_acctbal, n_name, n_items
+        |FROM (SELECT c_custkey, c_name, c_acctbal, n_name,
+        |             sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) AS rev4,
+        |             count(*) AS n_items
+        |      FROM lineitem
+        |      JOIN orders ON l_orderkey = o_orderkey
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation ON c_nationkey = n_nationkey
+        |      WHERE l_returnflag = 'R'
+        |        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |        AND o_orderdate < TIMESTAMP '1996-04-01'
+        |      GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |      ORDER BY rev4 DESC, c_custkey ASC LIMIT 20)""".stripMargin,
     "q31_profile" ->
       """SELECT count(*) AS n_rows,
         |  count(user_id) AS nn_user_id, count(DISTINCT user_id) AS nd_user_id,

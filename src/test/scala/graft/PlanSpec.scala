@@ -54,6 +54,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q34: dims broadcast into the fact joins; facts join by shuffle once") {
+    val p = plan("q34_nation_trade")
+    // nation→supplier, nation→customer, supplier→lineitem, customer→orders
+    // are all broadcast; only lineitem⋈orders may shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("SortMergeJoin".r.findAllIn(p).length <= 1,
+      "more than the one fact-fact shuffle join:\n" + p)
+    assert(p.contains("PushedFilters"), "shipdate range not pushed to scan:\n" + p)
+  }
+
+  test("q35: pre-aggregated revenue feeds a bounded top-20") {
+    val p = plan("q35_returned_items")
+    // partial + final aggregate on o_custkey happen below the customer
+    // join (plan prints root-first, so the custkey join line precedes its
+    // aggregate child)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must be a TakeOrdered (bounded), not a global sort:\n" + p)
+  }
+
   test("q24: SCD2 derivation is one shuffle + one sort (window over key)") {
     val p = plan("q24_scd2_intervals")
     assert(p.contains("Window"), p)
