@@ -4,7 +4,8 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import java.sql.SQLException
+import org.apache.spark.sql.functions.{col, concat, lit}
 import graft.sources.{ExportCatalog, ExportFile, RowGroupResume}
 import graft.streaming.{ClosedSession, SessionEvent, StatefulSessions}
 
@@ -227,5 +228,57 @@ class SourcesStreamingSpec extends SparkSpec {
     // fully imported → nothing left
     assert(RowGroupResume.importFull(spark, file, s"$root/track", 2,
       _ => fail("no batch expected")) == 0)
+  }
+
+  test("end-to-end: chunked full import → flaky upsert sink → crash → resume") {
+    // the round's pieces composed the way a real deployment runs them: a
+    // full export imported in row-group batches, each batch upserted through
+    // the retrying sink; one batch survives a transient deadlock, then the
+    // job dies; the resumed job completes, and the final table equals a
+    // clean one-shot import exactly.
+    val root = Files.createTempDirectory("graft-e2e-rg").toFile.getAbsolutePath
+    spark.range(10000)
+      .select(col("id"), concat(lit("v"), col("id")).as("v"), (col("id") % 97).as("ts"))
+      .coalesce(1).write
+      .option("parquet.block.size", "16384").option("parquet.page.size", "4096")
+      .parquet(s"$root/full")
+    val file = new java.io.File(s"$root/full").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .get.getAbsolutePath
+    val conf = spark.sparkContext.hadoopConfiguration
+    val nGroups = RowGroupResume.rowGroups(conf, file).size
+    assert(nGroups >= 4)
+
+    def upsert(df: org.apache.spark.sql.DataFrame): Unit =
+      graft.sinks.JdbcUpsertSink.write(df.select(col("id"), col("v"), col("ts")),
+        "t", Seq("id"), "ts", batchSize = 500,
+        connect = () => GlobalFlakyModel.connection(), maxAttempts = 5, sleepMs = _ => ())
+
+    // clean one-shot baseline
+    GlobalFlakyModel.reset(failures = 0, () => new SQLException("unused"))
+    RowGroupResume.importFull(spark, file, s"$root/track_base", 2, upsert)
+    import scala.jdk.CollectionConverters._
+    val oneShot = GlobalFlakyModel.table.asScala.toMap
+    assert(oneShot.size == 10000)
+
+    // flaky run: first upsert statement hits a deadlock (retried inside the
+    // sink), then the driver-side loop is killed after 1 batch
+    GlobalFlakyModel.reset(failures = 1, () => new SQLException("deadlock detected", "40P01"))
+    val survived = GlobalFlakyModel.table // keep the same table across the "crash"
+    var batches = 0
+    intercept[IllegalStateException] {
+      RowGroupResume.importFull(spark, file, s"$root/track", 2, df => {
+        if (batches == 1) throw new IllegalStateException("killed")
+        upsert(df); batches += 1
+      })
+    }
+    assert(GlobalFlakyModel.executeAttempts.get >= 2, "the deadlock retry must have fired")
+
+    // resume into the SAME table; no further failures
+    GlobalFlakyModel.failuresRemaining.set(0)
+    GlobalFlakyModel.table = survived
+    RowGroupResume.importFull(spark, file, s"$root/track", 2, upsert)
+    assert(GlobalFlakyModel.table.asScala.toMap == oneShot,
+      "crash + resume through the retrying sink must equal the one-shot import")
   }
 }
