@@ -15,14 +15,14 @@ object Bench {
     "q16_brand_volume", "q18_nation_rollup", "q21_asof_join", "q22_range_join",
     "q24_scd2_intervals", "q25_mutual_edges", "q26_price_percentiles", "q27_age_metrics",
     "q28_asof_native", "q29_salted_join", "q30_incremental_agg", "q32_ship_priority",
-    "q34_nation_trade", "q35_returned_items",
+    "q34_nation_trade", "q35_returned_items", "q36_cheapest_supplier",
     // d05 (all-pairs cartesian) is deliberately NOT a headliner: it exists
     // as the correctness baseline / d07 oracle mirror only — benching a
     // cartesian would grade the one plan shape the engine never ships
     "d01_dedup_exact", "d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
     "d06_dedup_clusters", "d07_embed_neardup_lsh",
     "s01_ann_brute", "s02_ann_lsh", "s03_ann_ivf",
-    "t01_langid", "t02_quality", "t04_fingerprint")
+    "t01_langid", "t02_quality", "t04_fingerprint", "t05_normalize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -521,6 +521,40 @@ object SparkEntry {
           size(col("fp")).cast("long").as("n_fp"),
           array_min(col("fp")).as("fp_min"))
     },
+    "t05_normalize" -> q { (s, dir) =>
+      // pre-dedup corpus normalization: markup/URL/e-mail/control stripping,
+      // case folding, whitespace collapse — one codegen'd regexp chain, the
+      // canonical pass ahead of d01/d02's hashing (formatting noise must not
+      // defeat dedup). The synthetic corpus is already clean, so here the
+      // pass is identity-shaped; the adversarial forms live in TextFnsSpec.
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFns.normalize(col("text")).as("norm_text"),
+        TextFns.noiseCount(col("text")).as("n_noise"),
+        length(TextFns.normalize(col("text"))).cast("long").as("n_chars_norm"))
+    },
+    "q36_cheapest_supplier" -> q { (s, dir) =>
+      // TPC-H Q2 shape on the available tables: per part, the supplier
+      // quoting the lowest price (deterministic min-suppkey tie-break).
+      // Grouped argmin = ONE shuffle with map-side partial min_by — no
+      // window sort, no self-join back onto the facts (the textbook SQL
+      // recomputes the min in a correlated subquery and re-joins; min_by
+      // folds both into the same aggregate).
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      val best = li.groupBy(col("l_partkey"))
+        .agg(
+          min_by(col("l_suppkey"), struct(col("l_extendedprice"), col("l_suppkey"))).as("best_suppkey"),
+          min(col("l_extendedprice")).as("best_price"),
+          count(lit(1)).as("n_quotes"))
+      best
+        .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+          col("best_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey").as("partkey"), col("p_brand"), col("s_name"),
+          col("best_price"), col("n_quotes"))
+    },
     "m01_multimodal" -> q { (s, dir) =>
       val media = Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
       Multimodal.featureStats(Multimodal.decodeFeatures(s, media))
@@ -841,6 +875,35 @@ object SparkEntry {
     "q20_json_struct" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket, count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
+    "t05_normalize" -> {
+      // the exact regexp chain of TextFns.normalize, in the Java/RE2-common
+      // subset, with DuckDB's 'g' flag
+      val norm =
+        """trim(regexp_replace(lower(
+          |  regexp_replace(
+          |    regexp_replace(
+          |      regexp_replace(
+          |        regexp_replace(text, '<[^>]*>', ' ', 'g'),
+          |        'https?://[^ \t\n\r]+', ' ', 'g'),
+          |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+          |    '[\x00-\x1f]', ' ', 'g')),
+          |  '  +', ' ', 'g'))""".stripMargin
+      s"""SELECT doc_id, norm_text,
+         |  CAST(len(regexp_extract_all(text, '<[^>]*>'))
+         |     + len(regexp_extract_all(text, 'https?://[^ \\t\\n\\r]+'))
+         |     + len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_noise,
+         |  CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+         |FROM (SELECT doc_id, text, $norm AS norm_text FROM documents)""".stripMargin
+    },
+    "q36_cheapest_supplier" ->
+      """WITH r AS (SELECT l_partkey, l_suppkey, l_extendedprice,
+        |                  row_number() OVER (PARTITION BY l_partkey ORDER BY l_extendedprice ASC, l_suppkey ASC) AS rn,
+        |                  count(*) OVER (PARTITION BY l_partkey) AS n_quotes,
+        |                  min(l_extendedprice) OVER (PARTITION BY l_partkey) AS best_price
+        |           FROM lineitem)
+        |SELECT l_partkey AS partkey, p_brand, s_name, best_price, n_quotes
+        |FROM r JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rn = 1""".stripMargin,
     "q21_asof_join" ->
       """WITH p AS (SELECT o_orderkey, o_custkey % 100 AS uid,
         |                  1704067200000000 + (epoch_ms(o_orderdate) % 2592000000) * 1000 AS t_us

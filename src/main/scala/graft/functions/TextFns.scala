@@ -120,6 +120,31 @@ object TextFns {
     * in ANSI SQL: token count, mean token length, punctuation ratio,
     * stopword ratio (English markers).
     */
+  /** Corpus text normalization — the canonical pre-hash cleanup a training
+    * pipeline runs before exact/near dedup (so that formatting noise never
+    * defeats dedup): strip markup tags, URLs, e-mail addresses, and control
+    * characters; lowercase; collapse runs of whitespace; trim. Pure
+    * `regexp_replace` chains — codegen'd, one scan pass, no UDF.
+    *
+    * Patterns stay inside the regex subset Java and RE2 agree on, so the
+    * DuckDB oracle can reproduce them verbatim.
+    */
+  def normalize(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val noUrls = regexp_replace(noTags, "https?://[^ \\t\\n\\r]+", " ")
+    val noMail = regexp_replace(noUrls, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", " ")
+    val noCtl = regexp_replace(noMail, "[\\x00-\\x1f]", " ")
+    trim(regexp_replace(lower(noCtl), "  +", " "))
+  }
+
+  /** How many normalization-target tokens the raw text carried (markup,
+    * URLs, e-mails) — a cheap data-quality signal alongside [[normalize]].
+    */
+  def noiseCount(text: Column): Column =
+    (regexp_count(text, lit("<[^>]*>")) +
+      regexp_count(text, lit("https?://[^ \\t\\n\\r]+")) +
+      regexp_count(text, lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))).cast("long")
+
   def qualityFeatures(text: Column): Map[String, Column] = {
     val toks = tokens(text)
     val nToks = size(toks).cast("long")

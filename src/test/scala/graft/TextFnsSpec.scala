@@ -118,6 +118,23 @@ class TextFnsSpec extends SparkSpec {
     assert(kernel.toSeq == declarative.toSeq)
   }
 
+  test("normalize strips markup/URLs/emails/control chars, folds case, collapses whitespace") {
+    def norm(s: String): (String, Long) =
+      Seq(s).toDF("text")
+        .select(TextFns.normalize(col("text")).as("n"), TextFns.noiseCount(col("text")).as("c"))
+        .as[(String, Long)].head()
+
+    assert(norm("<p>Hello</p> visit https://example.com/x?y=1 or mail me@example.org  NOW") ==
+      (("hello visit or mail now", 4L)))
+    assert(norm("a\u0001b\nc") == (("a b c", 0L)))
+    assert(norm("  Tabs\tand\r\nnewlines  ") == (("tabs and newlines", 0L)))
+    assert(norm("http://plain.example/path trailing") == (("trailing", 1L)))
+    // already-clean text is a fixpoint — the guarantee the dedup family
+    // relies on (normalize(normalize(x)) == normalize(x))
+    val clean = "key agg row scan slow fast table value"
+    assert(norm(clean) == ((clean, 0L)))
+  }
+
   test("token-stats kernel matches declarative token/length/stopword counts") {
     import graft.expressions.TextKernels
     val docs = Seq("the cat, the hat!", "", "  one  ", "a bb ccc dddd the")
