@@ -72,6 +72,24 @@ object IncrementalStream {
       .start()
   }
 
+  /** Streaming counterpart of the reference's in-batch PK dedup
+    * (db.py:800-815 keeps one row per key per batch): exactly-once-per-key
+    * delivery on an unbounded stream, with state bounded by the watermark —
+    * `dropDuplicatesWithinWatermark` evicts a key's entry once the
+    * watermark passes its event time, so memory is O(keys-per-window),
+    * never O(stream). (Plain `dropDuplicates` on a stream would keep every
+    * key forever — the state-bound difference that decides 100 TB/∞-time
+    * viability.)
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Watermarked sliding-window event counts — the streaming aggregation
     * shape (event-time windows + late-data handling) on the events stream.
     */

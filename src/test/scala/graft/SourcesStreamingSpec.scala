@@ -134,6 +134,41 @@ class SourcesStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked stream dedup: one row per key in-window, state evicts after") {
+    import graft.streaming.IncrementalStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val deduped = IncrementalStream.dedupWithinWatermark(
+      in.toDF().toDF("k", "ts", "v"), "ts", Seq("k"), "10 seconds")
+
+    val q = deduped.writeStream.format("memory").queryName("graft_dedup")
+      .outputMode("append").start()
+    try {
+      def t(sec: Long) = new Timestamp(sec * 1000L)
+      // duplicate key within the window: one survivor
+      in.addData((1L, t(100), "first"), (1L, t(101), "dup"), (2L, t(100), "b"))
+      q.processAllAvailable()
+      assert(spark.table("graft_dedup").count() == 2)
+
+      // same batch-window duplicate arriving in the NEXT batch, watermark
+      // still behind: still deduped (cross-batch state)
+      in.addData((1L, t(102), "dup2"))
+      q.processAllAvailable()
+      assert(spark.table("graft_dedup").count() == 2)
+
+      // push the watermark far past the horizon, then re-send key 1: the
+      // evicted state must NOT suppress the new epoch's row — this is the
+      // bounded-state behavior plain dropDuplicates cannot give
+      in.addData((9L, t(1000), "advance"))
+      q.processAllAvailable()
+      in.addData((1L, t(995), "new-epoch"))
+      q.processAllAvailable()
+      val vs = spark.table("graft_dedup").selectExpr("v").as[String].collect().toSet
+      assert(vs.contains("new-epoch"), s"got $vs")
+      assert(!vs.contains("dup") && !vs.contains("dup2"), s"got $vs")
+    } finally q.stop()
+  }
+
   test("stateful sessions: in-batch close, cross-batch state, event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
