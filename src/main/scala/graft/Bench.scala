@@ -22,7 +22,8 @@ object Bench {
     "d01_dedup_exact", "d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
     "d06_dedup_clusters", "d07_embed_neardup_lsh",
     "s01_ann_brute", "s02_ann_lsh", "s03_ann_ivf",
-    "t01_langid", "t02_quality", "t04_fingerprint", "t05_normalize")
+    "t01_langid", "t02_quality", "t04_fingerprint", "t05_normalize",
+    "t06_stratified_sample", "t07_cap_per_source")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

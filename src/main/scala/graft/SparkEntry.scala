@@ -555,6 +555,26 @@ object SparkEntry {
         .select(col("l_partkey").as("partkey"), col("p_brand"), col("s_name"),
           col("best_price"), col("n_quotes"))
     },
+    "t06_stratified_sample" -> q { (s, dir) =>
+      // corpus rebalancing: downsample the dominant language, keep the rest
+      // — deterministic scan filter, no shuffle (see Sampling.scaladoc for
+      // the hash-selector production variant; the raw key keeps the oracle
+      // exact)
+      val d = Tables.documents(s, dir)
+      Sampling.stratifiedSample(d, col("lang"), col("doc_id"),
+          ratePercent = Map("en" -> 30), defaultPercent = 100)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    },
+    "t07_cap_per_source" -> q { (s, dir) =>
+      // representative selection: at most 25 docs per (source, lang),
+      // first-by-id — WindowGroupLimit bounds the shuffle to k rows/group
+      Sampling.capPerGroup(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"), col("lang"), col("n_chars")),
+          Seq(col("source"), col("lang")), Seq(col("doc_id").asc), k = 25)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_kept"), max(col("doc_id")).as("max_kept_id"))
+    },
     "m01_multimodal" -> q { (s, dir) =>
       val media = Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
       Multimodal.featureStats(Multimodal.decodeFeatures(s, media))
@@ -895,6 +915,18 @@ object SparkEntry {
          |  CAST(length(norm_text) AS BIGINT) AS n_chars_norm
          |FROM (SELECT doc_id, text, $norm AS norm_text FROM documents)""".stripMargin
     },
+    "t06_stratified_sample" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM documents
+        |WHERE doc_id % 100 < (CASE WHEN lang = 'en' THEN 30 ELSE 100 END)
+        |GROUP BY lang""".stripMargin,
+    "t07_cap_per_source" ->
+      """SELECT source, lang, count(*) AS n_kept, max(doc_id) AS max_kept_id
+        |FROM (SELECT source, lang, doc_id,
+        |             row_number() OVER (PARTITION BY source, lang ORDER BY doc_id ASC) AS rn
+        |      FROM documents)
+        |WHERE rn <= 25
+        |GROUP BY source, lang""".stripMargin,
     "q36_cheapest_supplier" ->
       """WITH r AS (SELECT l_partkey, l_suppkey, l_extendedprice,
         |                  row_number() OVER (PARTITION BY l_partkey ORDER BY l_extendedprice ASC, l_suppkey ASC) AS rn,

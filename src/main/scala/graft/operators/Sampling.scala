@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-balancing operators for training-data pipelines: downsample
+  * dominant strata (language/source/domain) and cap per-group document
+  * counts. Both are deterministic — a re-run selects the same rows, which
+  * is what makes a 100 TB sampling job resumable and its output
+  * reproducible (RNG-based `sample()` re-draws on every retry/recompute,
+  * so a lost partition silently changes the corpus).
+  */
+object Sampling {
+
+  /** Keep a per-stratum fraction of rows, chosen by a deterministic
+    * selector. `selector` must be (or derive from) a stable per-row value;
+    * `pmod(selector, 100) < rate%` keeps ~rate% of each stratum with zero
+    * coordination — a pure scan filter, no shuffle, no state.
+    *
+    * For unbiased selection at scale use a mixed hash of the row key
+    * (`xxhash64(key, seed)`) as the selector; the oracle-checked query uses
+    * the raw key so DuckDB can reproduce the choice function exactly.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      stratum: Column,
+      selector: Column,
+      ratePercent: Map[String, Int],
+      defaultPercent: Int): DataFrame = {
+    val rate = ratePercent.foldLeft(lit(defaultPercent)) { case (acc, (k, v)) =>
+      when(stratum === lit(k), lit(v)).otherwise(acc)
+    }
+    df.where(pmod(selector, lit(100)) < rate)
+  }
+
+  /** Cap each group at `k` rows, keeping the first `k` in `ord` order —
+    * representative selection (e.g. N docs per source, one canonical doc
+    * per dedup cluster). The `row_number <= k` form hits Spark's
+    * WindowGroupLimit rewrite: map tasks ship at most k rows per group into
+    * the exchange, so shuffle volume is O(groups × k), not O(rows).
+    * `ord` must end in a unique column for determinism.
+    */
+  def capPerGroup(df: DataFrame, groupCols: Seq[Column], ord: Seq[Column], k: Int): DataFrame = {
+    require(k > 0)
+    val w = Window.partitionBy(groupCols: _*).orderBy(ord: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .drop("_rn")
+  }
+}
