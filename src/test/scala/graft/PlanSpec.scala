@@ -74,6 +74,22 @@ class PlanSpec extends SparkSpec {
       "top-20 must be a TakeOrdered (bounded), not a global sort:\n" + p)
   }
 
+  test("q36: grouped argmin is one shuffle with map-side partial min_by") {
+    val p = plan("q36_cheapest_supplier")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
+    assert(p.contains("BroadcastHashJoin"), "dim lookups must broadcast:\n" + p)
+    assert(!p.contains("Window"), "argmin must not fall back to a window sort:\n" + p)
+    assert("SortMergeJoin".r.findAllIn(p).length == 0,
+      "post-agg dim joins must not shuffle:\n" + p)
+  }
+
+  test("t05: normalization chain stays inside whole-stage codegen") {
+    val p = plan("t05_normalize")
+    assert(p.contains("*("), "no codegen stages:\n" + p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("lambdafunction"),
+      "normalization must be a pure expression chain:\n" + p)
+  }
+
   test("q24: SCD2 derivation is one shuffle + one sort (window over key)") {
     val p = plan("q24_scd2_intervals")
     assert(p.contains("Window"), p)
