@@ -15,7 +15,7 @@ object Bench {
     "q16_brand_volume", "q18_nation_rollup", "q21_asof_join", "q22_range_join",
     "q24_scd2_intervals", "q25_mutual_edges", "q26_price_percentiles", "q27_age_metrics",
     "q28_asof_native", "q29_salted_join", "q30_incremental_agg", "q32_ship_priority",
-    "q34_nation_trade", "q35_returned_items", "q36_cheapest_supplier",
+    "q34_nation_trade", "q35_returned_items", "q36_cheapest_supplier", "q37_follow_suggest",
     // d05 (all-pairs cartesian) is deliberately NOT a headliner: it exists
     // as the correctness baseline / d07 oracle mirror only — benching a
     // cartesian would grade the one plan shape the engine never ships

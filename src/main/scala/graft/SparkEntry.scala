@@ -281,6 +281,17 @@ object SparkEntry {
         .where(col("dst").isNotNull)
       GraphOps.mutualEdges(edges, "src", "dst")
     },
+    "q37_follow_suggest" -> q { (s, dir) =>
+      // friend-of-follow recommendations on the events-derived FOLLOWS graph
+      // (same edge derivation as q25): 2-hop fan-out over deduped edges,
+      // anti-join exclusion, top-5 per user
+      val edges = Tables.events(s, dir).select(
+        col("user_id").as("src"),
+        pmod(graft.expressions.JsonKernels.jsonLongField(col("props"), "k"), lit(150)).as("dst"))
+      GraphOps.suggestFollows(edges, "src", "dst", k = 5)
+        .select(col("u").as("user_id"), col("cand").as("suggested_id"),
+          col("n_common"), col("rnk").as("rank"))
+    },
     "q26_price_percentiles" -> q { (s, dir) =>
       // discrete (type-1) quantiles via row_number selection: integer row
       // picks, no interpolation float math to drift between engines
@@ -974,6 +985,26 @@ object SparkEntry {
         |SELECT f.a, f.b
         |FROM (SELECT s AS a, d AS b FROM e WHERE s < d) f
         |JOIN (SELECT d AS a, s AS b FROM e WHERE s > d) r USING (a, b)""".stripMargin,
+    "q37_follow_suggest" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id AS s, CAST(json_extract_string(props, '$.k') AS BIGINT) % 150 AS d
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |    AND user_id <> CAST(json_extract_string(props, '$.k') AS BIGINT) % 150),
+        |fof AS (
+        |  SELECT a.s AS u, b.d AS cand
+        |  FROM e a JOIN e b ON a.d = b.s
+        |  WHERE b.d <> a.s),
+        |sugg AS (
+        |  SELECT u, cand, count(*) AS n_common
+        |  FROM fof
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s = fof.u AND e.d = fof.cand)
+        |  GROUP BY u, cand)
+        |SELECT user_id, suggested_id, n_common, CAST(rnk AS BIGINT) AS "rank"
+        |FROM (SELECT u AS user_id, cand AS suggested_id, n_common,
+        |             row_number() OVER (PARTITION BY u ORDER BY n_common DESC, cand ASC) AS rnk
+        |      FROM sugg)
+        |WHERE rnk <= 5""".stripMargin,
     "q26_price_percentiles" ->
       """SELECT o_orderpriority,
         |       max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN o_totalprice END) AS p50,

@@ -44,6 +44,40 @@ object GraphOps {
       .select(col(label) +: col(key) +: props.map(c => col(s"_latest.$c").as(c)) :+ col("n_updates"): _*)
   }
 
+  /** Friend-of-follow recommendations — the canonical 2-hop query a FOLLOWS
+    * graph serves: for each user, candidate accounts their followees follow,
+    * minus themselves and accounts they already follow, ranked by how many
+    * followees follow the candidate; top `k` per user.
+    *
+    * Plan shape at scale: the 2-hop fan-out is ONE self-join of the deduped
+    * edge set shuffled on the middle vertex (dedup FIRST — fan-out over raw
+    * multi-edges would square the duplication), the already-followed
+    * exclusion is a shuffle-free-side anti join on (user, candidate), and
+    * the per-user top-k goes through the `row_number <= k` WindowGroupLimit
+    * rewrite (≤k rows per user cross the final exchange). Skewed celebrity
+    * middle vertices are AQE's skew-join case; the degree cap a production
+    * deployment would add (drop middles with degree > D) composes as one
+    * pre-filter on [[degrees]].
+    */
+  def suggestFollows(edges: DataFrame, src: String, dst: String, k: Int): DataFrame = {
+    val e = edges
+      .select(col(src).as("_s"), col(dst).as("_d"))
+      .where(col("_d").isNotNull && col("_s") =!= col("_d"))
+      .distinct()
+    val fof = e.select(col("_s").as("u"), col("_d").as("mid"))
+      .join(e.select(col("_s").as("mid"), col("_d").as("cand")), "mid")
+      .where(col("cand") =!= col("u"))
+    val sugg = fof
+      .join(e.select(col("_s").as("u"), col("_d").as("cand")), Seq("u", "cand"), "left_anti")
+      .groupBy(col("u"), col("cand"))
+      .agg(count(lit(1)).as("n_common"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("n_common").desc, col("cand").asc)
+    sugg.withColumn("_rnk", row_number().over(w))
+      .where(col("_rnk") <= k)
+      .select(col("u"), col("cand"), col("n_common"), col("_rnk").cast("long").as("rnk"))
+  }
+
   /** Reciprocal (mutual) edges: unordered pairs {a, b} with both a→b and
     * b→a present — the "mutual follows" query the reference's FOLLOWS graph
     * serves. Distinct edges first (MERGE semantics), then a self-join keyed

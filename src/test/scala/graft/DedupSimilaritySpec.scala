@@ -137,6 +137,23 @@ class DedupSimilaritySpec extends SparkSpec {
       ("addr", 1L, "0xabc", 1L)))
   }
 
+  test("suggestFollows: 2-hop candidates minus self and already-followed, ranked") {
+    import graft.operators.GraphOps
+    val edges = Seq(
+      (1L, 2L), (1L, 3L),           // a follows b, c
+      (2L, 4L), (3L, 4L), (3L, 1L), // b→d, c→d, c→a
+      (4L, 1L),                     // d→a
+      (2L, 4L)                      // duplicate edge: must not double-count
+    ).toDF("src", "dst")
+    val out = GraphOps.suggestFollows(edges, "src", "dst", k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 4L, 2L, 1L), // both of a's followees follow d
+      (2L, 1L, 1L, 1L),
+      (3L, 2L, 1L, 1L), // via a; d→a is excluded (c already follows a)
+      (4L, 2L, 1L, 1L), (4L, 3L, 1L, 2L)))
+  }
+
   test("mutualEdges finds exactly the reciprocal pairs, once each") {
     import graft.operators.GraphOps
     val edges = Seq(
