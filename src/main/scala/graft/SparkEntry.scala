@@ -281,6 +281,37 @@ object SparkEntry {
         .where(col("dst").isNotNull)
       GraphOps.mutualEdges(edges, "src", "dst")
     },
+    "q38_cu_accounting" -> q { (s, dir) =>
+      // reference CU cost accounting (db.py:440-480, neynar_api.py:39): each
+      // table has a per-row CU price; when row filters are active the
+      // filtered multiplier applies to every SCANNED row (pre-filter) and
+      // the plain per-row price is zeroed — you pay for what the importer
+      // reads, not what it keeps. Prices are a static map here (the
+      // reference fetches them from its pricing portal at runtime).
+      // ONE aggregate scan per table; the filtered table counts scanned and
+      // kept in the same pass (conditional sum, no second scan).
+      val mult = 2L // settings.filtered_row_multiplier
+      def costed(name: String, df: DataFrame, price: Long): DataFrame =
+        df.agg(count(lit(1)).as("n_scanned"))
+          .select(lit(name).as("table_name"), col("n_scanned"),
+            col("n_scanned").as("n_imported"),
+            (col("n_scanned") * lit(price)).as("cu_cost"))
+      val filterJson =
+        """{"$or": [
+          |  {"data.event_type": {"$in": ["purchase", "click"]}},
+          |  {"data.value": {"$gte": 150.0}, "data.event_type": {"$nin": ["error", "signup"]}}
+          |]}""".stripMargin
+      val pred = RowFilter.compile(filterJson)
+      val filteredEvents = Tables.events(s, dir)
+        .agg(count(lit(1)).as("n_scanned"),
+          sum(when(pred, 1L).otherwise(0L)).as("n_imported"))
+        .select(lit("events").as("table_name"), col("n_scanned"), col("n_imported"),
+          (col("n_scanned") * lit(2L) * lit(mult)).as("cu_cost"))
+      costed("orders", Tables.orders(s, dir), 3L)
+        .unionByName(costed("lineitem", Tables.lineitem(s, dir), 1L))
+        .unionByName(costed("customer", Tables.customer(s, dir), 5L))
+        .unionByName(filteredEvents)
+    },
     "q37_follow_suggest" -> q { (s, dir) =>
       // friend-of-follow recommendations on the events-derived FOLLOWS graph
       // (same edge derivation as q25): 2-hop fan-out over deduped edges,
@@ -985,6 +1016,19 @@ object SparkEntry {
         |SELECT f.a, f.b
         |FROM (SELECT s AS a, d AS b FROM e WHERE s < d) f
         |JOIN (SELECT d AS a, s AS b FROM e WHERE s > d) r USING (a, b)""".stripMargin,
+    "q38_cu_accounting" ->
+      """SELECT 'orders' AS table_name, count(*) AS n_scanned, count(*) AS n_imported, count(*) * 3 AS cu_cost FROM orders
+        |UNION ALL
+        |SELECT 'lineitem', count(*), count(*), count(*) * 1 FROM lineitem
+        |UNION ALL
+        |SELECT 'customer', count(*), count(*), count(*) * 5 FROM customer
+        |UNION ALL
+        |SELECT 'events', count(*),
+        |       sum(CASE WHEN event_type IN ('purchase', 'click')
+        |                  OR (value >= 150.0 AND event_type NOT IN ('error', 'signup'))
+        |                THEN 1 ELSE 0 END),
+        |       count(*) * 2 * 2
+        |FROM events""".stripMargin,
     "q37_follow_suggest" ->
       """WITH e AS (
         |  SELECT DISTINCT user_id AS s, CAST(json_extract_string(props, '$.k') AS BIGINT) % 150 AS d
