@@ -622,10 +622,21 @@ object SparkEntry {
       Multimodal.featureStats(Multimodal.decodeFeatures(s, media))
     },
     "m02_frame_sample" -> q { (s, dir) =>
-      val media = Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
-      Multimodal.sampleFrames(Multimodal.decodeFeatures(s, media), stride = 8)
+      // frame sampling over REAL decode: the frame count comes from parsing
+      // the RAWM payload, and the oracle re-derives it from the generator's
+      // arithmetic — bytes → decode → frames must equal the model
+      val media = Multimodal.syntheticRawMedia(s, 600)
+      Multimodal.sampleFrames(Multimodal.decodeRawFeatures(s, media), stride = 2)
         .groupBy(col("media_id"))
         .agg(max(col("n_frames")).cast("long").as("n_frames"), count(lit(1)).as("n_sampled"))
+    },
+    "m04_raw_decode" -> q { (s, dir) =>
+      // REAL decode: per-media pixel statistics computed from the payload
+      // bytes (header parse + one pass over samples); the oracle computes
+      // the same numbers from the generator's closed-form sample function
+      Multimodal.decodeRawFeatures(s, Multimodal.syntheticRawMedia(s, 600))
+        .select(col("media_id"), col("kind"), col("payload_bytes"),
+          col("n_frames"), col("mean_sample"), col("min_sample"), col("max_sample"))
     },
     "m03_resize_plan" -> q { (s, dir) =>
       // metadata-only resize planning: payload bytes are never touched
@@ -937,6 +948,29 @@ object SparkEntry {
     "q20_json_struct" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket, count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
+    "m02_frame_sample" ->
+      """SELECT i AS media_id, CAST(i % 4 + 1 AS BIGINT) AS n_frames,
+        |       CAST((i % 4 + 2) // 2 AS BIGINT) AS n_sampled
+        |FROM range(0, 600) t(i) WHERE i % 3 = 2""".stripMargin,
+    "m04_raw_decode" ->
+      """WITH d AS (
+        |  SELECT i AS media_id,
+        |         CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |         (i % 7 + 2) * (i % 5 + 2)
+        |           * (CASE WHEN i % 3 = 1 THEN 1 ELSE 3 END)
+        |           * (CASE WHEN i % 3 = 2 THEN i % 4 + 1 ELSE 1 END) AS len,
+        |         CASE WHEN i % 3 = 2 THEN i % 4 + 1 ELSE 1 END AS frames
+        |  FROM range(0, 600) t(i)),
+        |s AS (SELECT media_id, kind, len, frames,
+        |             list_transform(range(0, len), x -> (media_id * 31 + x * 17) % 251) AS smp
+        |      FROM d)
+        |SELECT media_id, kind,
+        |       CAST(9 + len AS BIGINT) AS payload_bytes,
+        |       CAST(frames AS INTEGER) AS n_frames,
+        |       CAST(list_sum(smp) AS DOUBLE) / len AS mean_sample,
+        |       CAST(list_min(smp) AS INTEGER) AS min_sample,
+        |       CAST(list_max(smp) AS INTEGER) AS max_sample
+        |FROM s""".stripMargin,
     "t05_normalize" -> {
       // the exact regexp chain of TextFns.normalize, in the Java/RE2-common
       // subset, with DuckDB's 'g' flag

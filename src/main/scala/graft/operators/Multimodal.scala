@@ -12,10 +12,18 @@ import org.apache.spark.sql.types._
   * and decode/feature-extraction runs batched per partition (the Scala
   * analog of `mapInPandas`).
   *
-  * The decode step is a clearly-marked STUB (no image/audio libraries in
-  * this container): a deterministic fake that derives "decoded" properties
-  * from the bytes. The Spark-side plumbing — schema, batch iteration,
-  * partition-parallel execution — is real and tested.
+  * Two decode paths:
+  *  - [[decodeRawFeatures]] — a REAL decoder for the self-describing RAWM
+  *    container (magic + width/height/channels header + raw interleaved
+  *    samples): header parsing, frame segmentation, and pixel statistics
+  *    are computed from the actual payload bytes. Raw containers are what
+  *    a pre-tokenization training pipeline stores anyway (decode-once,
+  *    scan-many); the format needs no codec library.
+  *  - [[decodeFeatures]] — the batched pipeline shape for COMPRESSED
+  *    codecs (JPEG/Opus/H.264), whose decode step remains a clearly-marked
+  *    STUB: those libraries don't exist in this container, so a
+  *    deterministic fake stands in while schema, batch iteration, and
+  *    partition-parallel execution stay real and tested.
   */
 object Multimodal {
 
@@ -41,6 +49,127 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("payload"),
       (pmod(col(idCol).cast("long") * lit(2654435761L), lit(1024L)) + 1).cast("int").as("meta_width"),
       (pmod(col(idCol).cast("long") * lit(2246822519L), lit(1024L)) + 1).cast("int").as("meta_height"))
+
+  // ---- RAWM container: [R A W M][u16 width][u16 height][u8 channels][samples…]
+
+  private val Magic: Array[Byte] = Array('R', 'A', 'W', 'M').map(_.toByte)
+  private val HeaderLen = 9
+
+  /** Encode one frame-sequence payload: header + `frames × w × h × c` raw
+    * samples. Big-endian u16 dims keep the header arithmetic trivial.
+    */
+  def packRawMedia(width: Int, height: Int, channels: Int, samples: Array[Byte]): Array[Byte] = {
+    require(width > 0 && width <= 0xFFFF && height > 0 && height <= 0xFFFF)
+    require(channels > 0 && channels <= 255)
+    require(samples.length % (width * height * channels) == 0, "partial frame")
+    val out = new Array[Byte](HeaderLen + samples.length)
+    System.arraycopy(Magic, 0, out, 0, 4)
+    out(4) = (width >> 8).toByte; out(5) = width.toByte
+    out(6) = (height >> 8).toByte; out(7) = height.toByte
+    out(8) = channels.toByte
+    System.arraycopy(samples, 0, out, HeaderLen, samples.length)
+    out
+  }
+
+  /** Decoded RAWM properties, computed from the real bytes. */
+  final case class RawDecoded(width: Int, height: Int, channels: Int,
+      nFrames: Int, meanSample: Double, minSample: Int, maxSample: Int)
+
+  /** Parse a RAWM payload: None when the magic/shape is wrong (corrupt or
+    * foreign payloads must not kill a 100 TB job — they surface as NULL
+    * feature rows the pipeline can route to quarantine).
+    */
+  def decodeRaw(payload: Array[Byte]): Option[RawDecoded] = {
+    if (payload == null || payload.length < HeaderLen) return None
+    var i = 0
+    while (i < 4) { if (payload(i) != Magic(i)) return None; i += 1 }
+    val w = ((payload(4) & 0xFF) << 8) | (payload(5) & 0xFF)
+    val h = ((payload(6) & 0xFF) << 8) | (payload(7) & 0xFF)
+    val c = payload(8) & 0xFF
+    if (w == 0 || h == 0 || c == 0) return None
+    val frameBytes = w * h * c
+    val body = payload.length - HeaderLen
+    if (body == 0 || body % frameBytes != 0) return None
+    var sum = 0L
+    var mn = 255
+    var mx = 0
+    i = HeaderLen
+    while (i < payload.length) {
+      val v = payload(i) & 0xFF
+      sum += v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      i += 1
+    }
+    Some(RawDecoded(w, h, c, body / frameBytes, sum.toDouble / body, mn, mx))
+  }
+
+  /** Synthetic RAWM media table: deterministic payloads, small dims, 1–4
+    * frames. The sample function is position-based modular arithmetic
+    * (`(id·31 + i·17) mod 251`), NOT a recursive PRNG, deliberately: any
+    * SQL engine can recompute the expected pixel statistics from first
+    * principles, which is what gives the real-decode queries a DuckDB
+    * oracle — the oracle models the generator arithmetically while Spark
+    * recovers the same numbers by actually parsing the bytes.
+    */
+  def syntheticRawMedia(spark: SparkSession, n: Int): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    spark.range(n.toLong).toDF("media_id").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        val w = (id % 7 + 2).toInt; val h = (id % 5 + 2).toInt
+        val c = if (kind == "audio") 1 else 3
+        val frames = if (kind == "video") (id % 4 + 1).toInt else 1
+        val samples = new Array[Byte](w * h * c * frames)
+        var i = 0
+        while (i < samples.length) {
+          samples(i) = ((id * 31 + i * 17) % 251).toByte
+          i += 1
+        }
+        Row(id, kind, packRawMedia(w, h, c, samples), w, h)
+      }
+    }(enc)
+  }
+
+  /** REAL batched decode of RAWM payloads: one pass per partition, NULL
+    * features for undecodable rows.
+    */
+  def decodeRawFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    val outSchema = StructType(media.schema.fields.filterNot(_.name == "payload") ++ Seq(
+      StructField("payload_bytes", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("mean_sample", DoubleType, nullable = true),
+      StructField("min_sample", IntegerType, nullable = true),
+      StructField("max_sample", IntegerType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    // positional access: upstream mapPartitions stages can hand over plain
+    // GenericRows (no schema), where name-based getAs would throw
+    val schema = media.schema
+    val iId = schema.fieldIndex("media_id")
+    val iKind = schema.fieldIndex("kind")
+    val iPayload = schema.fieldIndex("payload")
+    val iW = schema.fieldIndex("meta_width")
+    val iH = schema.fieldIndex("meta_height")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](iPayload)
+        val d = decodeRaw(payload)
+        Row(
+          r.getLong(iId),
+          r.getString(iKind),
+          r.getInt(iW),
+          r.getInt(iH),
+          (if (payload == null) 0 else payload.length).toLong,
+          d.map(_.nFrames).orNull,
+          d.map(_.meanSample).orNull,
+          d.map(_.minSample).orNull,
+          d.map(_.maxSample).orNull)
+      }
+    }(enc)
+  }
 
   /** STUB decode: in production this would call an image/audio codec on each
     * payload batch. Here it derives deterministic pseudo-features so the

@@ -41,6 +41,52 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("RAWM round-trip: pack → decode recovers header and exact pixel stats") {
+    import graft.operators.Multimodal
+    // hand-built 2×2 single-channel, 2 frames: samples 10,20,30,40 / 50,60,70,80
+    val samples = Array(10, 20, 30, 40, 50, 60, 70, 80).map(_.toByte)
+    val d = Multimodal.decodeRaw(Multimodal.packRawMedia(2, 2, 1, samples)).get
+    assert(d.width == 2 && d.height == 2 && d.channels == 1 && d.nFrames == 2)
+    assert(d.meanSample == 45.0 && d.minSample == 10 && d.maxSample == 80)
+    // high-byte dims survive the u16 big-endian encoding
+    val big = Multimodal.packRawMedia(300, 2, 1, new Array[Byte](600))
+    assert(Multimodal.decodeRaw(big).get.width == 300)
+  }
+
+  test("RAWM decode rejects corrupt payloads as None, never throws") {
+    import graft.operators.Multimodal
+    assert(Multimodal.decodeRaw(null).isEmpty)
+    assert(Multimodal.decodeRaw(Array[Byte]()).isEmpty)
+    assert(Multimodal.decodeRaw("JPEGnot-a-rawm-payload".getBytes).isEmpty)
+    // right magic, truncated body (partial frame)
+    val good = Multimodal.packRawMedia(2, 2, 1, new Array[Byte](8))
+    assert(Multimodal.decodeRaw(good.dropRight(1)).isEmpty)
+    // zero-dim header
+    val zero = good.clone(); zero(4) = 0; zero(5) = 0
+    assert(Multimodal.decodeRaw(zero).isEmpty)
+  }
+
+  test("decodeRawFeatures: real byte stats match the generator's closed form") {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions.col
+    val out = Multimodal.decodeRawFeatures(spark, Multimodal.syntheticRawMedia(spark, 60))
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(out.size == 60)
+    for (id <- Seq(0L, 1L, 2L, 59L)) {
+      val r = out(id)
+      val w = id % 7 + 2; val h = id % 5 + 2
+      val c = if (id % 3 == 1) 1 else 3
+      val frames = if (id % 3 == 2) id % 4 + 1 else 1
+      val len = (w * h * c * frames).toInt
+      val smp = (0 until len).map(i => (id * 31 + i * 17) % 251)
+      assert(r.getAs[Long]("payload_bytes") == 9L + len)
+      assert(r.getAs[Int]("n_frames") == frames.toInt)
+      assert(r.getAs[Double]("mean_sample") == smp.sum.toDouble / len)
+      assert(r.getAs[Int]("min_sample") == smp.min.toInt)
+      assert(r.getAs[Int]("max_sample") == smp.max.toInt)
+    }
+  }
+
   test("upsert batch size is clamped to the 65535-parameter Postgres limit") {
     assert(JdbcUpsertSink.maxRowsPerStatement(10) == 6553)
     assert(JdbcUpsertSink.maxRowsPerStatement(1) == 65535)
