@@ -93,6 +93,91 @@ class PyLiteralJsonSpec extends SparkSpec {
     assert(ok(2L) == ((Some(8L), None)))
   }
 
+  test("differential fuzz: random value trees, Python repr vs expected JSON") {
+    // build random nested values, render them exactly as Python's repr
+    // would, and check the converter produces the JSON rendering of the
+    // same tree. Spacing is identical on both sides by construction, so
+    // the comparison is a plain string equality.
+    val rnd = new scala.util.Random(20260812L)
+
+    sealed trait V
+    case class VStr(s: String) extends V
+    case class VInt(i: Long) extends V
+    case class VBool(b: Boolean) extends V
+    case object VNone extends V
+    case class VList(vs: List[V]) extends V
+    case class VDict(kvs: List[(String, V)]) extends V
+
+    val charPool = "abz09 _-!?.,:/#\\'\"\n\té世"
+    def randStr(): String =
+      (0 until rnd.nextInt(8)).map(_ => charPool(rnd.nextInt(charPool.length))).mkString
+    def randV(depth: Int): V = rnd.nextInt(if (depth >= 3) 4 else 6) match {
+      case 0 => VStr(randStr())
+      case 1 => VInt(rnd.nextLong() % 100000)
+      case 2 => VBool(rnd.nextBoolean())
+      case 3 => VNone
+      case 4 => VList(List.fill(rnd.nextInt(3))(randV(depth + 1)))
+      case 5 => VDict(List.fill(rnd.nextInt(3) + 1)(randStr() -> randV(depth + 1)))
+    }
+
+    // Python repr: single quotes unless the string contains ' and not ";
+    // escapes \\ \' (or \"), \n, \t; non-ASCII printables stay literal
+    def pyStr(s: String): String = {
+      val q = if (s.contains("'") && !s.contains("\"")) '"' else '\''
+      val b = new StringBuilder; b += q
+      s.foreach {
+        case '\\' => b ++= "\\\\"
+        case c if c == q => b += '\\' += q
+        case '\n' => b ++= "\\n"
+        case '\t' => b ++= "\\t"
+        case c => b += c
+      }
+      (b += q).toString
+    }
+    def pyRepr(v: V): String = v match {
+      case VStr(s) => pyStr(s)
+      case VInt(i) => i.toString
+      case VBool(b) => if (b) "True" else "False"
+      case VNone => "None"
+      case VList(vs) => vs.map(pyRepr).mkString("[", ", ", "]")
+      case VDict(kvs) => kvs.map { case (k, x) => s"${pyStr(k)}: ${pyRepr(x)}" }.mkString("{", ", ", "}")
+    }
+    def jsonStr(s: String): String = {
+      val b = new StringBuilder; b += '"'
+      s.foreach {
+        case '\\' => b ++= "\\\\"
+        case '"' => b ++= "\\\""
+        case '\n' => b ++= "\\n"
+        case '\t' => b ++= "\\t"
+        case c => b += c
+      }
+      (b += '"').toString
+    }
+    def json(v: V): String = v match {
+      case VStr(s) => jsonStr(s)
+      case VInt(i) => i.toString
+      case VBool(b) => if (b) "true" else "false"
+      case VNone => "null"
+      case VList(vs) => vs.map(json).mkString("[", ", ", "]")
+      case VDict(kvs) => kvs.map { case (k, x) => s"${jsonStr(k)}: ${json(x)}" }.mkString("{", ", ", "}")
+    }
+
+    var checked = 0
+    for (_ <- 0 until 500) {
+      // force the reference's trigger shape: top level is a dict with a
+      // single-quotable first key (or a list of such dicts)
+      val dict = VDict(("k" + randStr().replace("'", "").replace("\"", "")) -> randV(1)
+        :: List.fill(rnd.nextInt(3))(randStr() -> randV(1)))
+      val v: V = if (rnd.nextBoolean()) dict else VList(dict :: Nil)
+      val repr = pyRepr(v)
+      if (repr.startsWith("{'") || repr.startsWith("[{'")) {
+        checked += 1
+        assert(norm(repr) == json(v), s"repr: $repr")
+      }
+    }
+    assert(checked > 300, s"only $checked triggering samples — generator broken")
+  }
+
   test("SQL surface: py_json_normalize registered") {
     GraftFunctions.register(spark)
     val out = spark.sql(
