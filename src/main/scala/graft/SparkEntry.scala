@@ -501,6 +501,15 @@ object SparkEntry {
       Dedup.connectedComponents(pairs, "a", "b")
         .select(col("node_id").as("vec_id"), col("cluster_id"))
     },
+    "s04_cluster_centroids" -> q { (s, dir) =>
+      // representative vectors for the d06 clusters: exact integer-scaled
+      // centroid per (cluster, dim) — order/partitioning-independent
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Dedup.embeddingNearDupBucketed(emb, "vec_id", "embedding", minCosine = 0.35, dim = 64)
+      val clusters = Dedup.connectedComponents(pairs, "a", "b")
+        .select(col("node_id").as("vec_id"), col("cluster_id"))
+      Dedup.clusterCentroids(clusters, emb, "vec_id", "embedding")
+    },
     "s01_ann_brute" -> q { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
@@ -908,6 +917,28 @@ object SparkEntry {
         |  UNION
         |  SELECT s.u, r.label FROM sym s JOIN reach r ON s.v = r.node)
         |SELECT node AS vec_id, min(label) AS cluster_id FROM reach GROUP BY node""".stripMargin,
+    "s04_cluster_centroids" ->
+      """WITH RECURSIVE pr AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE))) AS dot,
+        |    list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS na,
+        |    list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |e AS (SELECT a, b FROM pr WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.35),
+        |sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+        |reach(node, label) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+        |  UNION
+        |  SELECT s.u, r.label FROM sym s JOIN reach r ON s.v = r.node),
+        |cl AS (SELECT node AS vec_id, min(label) AS cluster_id FROM reach GROUP BY node),
+        |cells AS (
+        |  SELECT cl.cluster_id, i - 1 AS dim,
+        |         CAST(round(CAST(emb.embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) AS v6
+        |  FROM cl JOIN embeddings emb ON cl.vec_id = emb.vec_id
+        |  CROSS JOIN range(1, 65) t(i))
+        |SELECT cluster_id, CAST(dim AS BIGINT) AS dim, count(*) AS n_members,
+        |       CAST(sum(v6) AS DOUBLE) / (count(*) * 1000000) AS centroid
+        |FROM cells GROUP BY cluster_id, dim""".stripMargin,
     "s01_ann_brute" ->
       """WITH q AS (SELECT * FROM embeddings WHERE vec_id < 8),
         |scored AS (

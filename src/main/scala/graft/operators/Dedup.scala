@@ -309,4 +309,33 @@ object Dedup {
       .where(col("cos") >= lit(minCosine))
       .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
   }
+
+  /** Per-cluster centroid of member embeddings — the canonicalization step
+    * after [[connectedComponents]] (pick/compute one representative per
+    * near-dup cluster) and the k-means/IVF training primitive.
+    *
+    * Distributed shape: `posexplode` to (cluster, dim) cells, one shuffle
+    * on the composite key — map-side partial aggregation reduces the
+    * explode's N×dim cells to |clusters|×dim rows before the exchange, so
+    * the explode never amplifies shuffle volume.
+    *
+    * Components sum as 1e-6-scaled integers (float addition is
+    * order-dependent; the integer sum is exact, so centroids are identical
+    * across engines, partitionings, and retries — same determinism rule as
+    * q35's revenue). The scale is lossless for float32 inputs: a 24-bit
+    * mantissa times 10⁶ stays under 2⁵³, so the double product and its
+    * rounding are exact.
+    *
+    * `clusters` must carry (`vec_id`, `cluster_id`); output is one row per
+    * (cluster_id, dim) with the member count and the centroid component.
+    */
+  def clusterCentroids(clusters: DataFrame, embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
+    clusters.join(embeddings, clusters("vec_id") === embeddings(idCol))
+      .select(col("cluster_id"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("cluster_id"), col("dim"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(round(col("v").cast("double") * lit(1000000L)).cast("long")).as("sum6"))
+      .select(col("cluster_id"), col("dim").cast("long").as("dim"), col("n_members"),
+        (col("sum6").cast("double") / (col("n_members") * lit(1000000L))).as("centroid"))
 }
