@@ -639,6 +639,18 @@ object SparkEntry {
         .groupBy(col("media_id"))
         .agg(max(col("n_frames")).cast("long").as("n_frames"), count(lit(1)).as("n_sampled"))
     },
+    "m05_audio_windows" -> q { (s, dir) =>
+      // ASR-style framing plan (window 16, hop 8) over the REAL decoded
+      // sample count — the per-window DSP itself belongs to the codec
+      // stage; the framing arithmetic and the metadata-only plan shape are
+      // the pipeline's job. Full windows only.
+      Multimodal.decodeRawFeatures(s, Multimodal.syntheticRawMedia(s, 600))
+        .where(col("kind") === "audio")
+        .select(col("media_id"), (col("payload_bytes") - 9).as("n_samples"))
+        .select(col("media_id"), col("n_samples"),
+          greatest(lit(0L),
+            (floor((col("n_samples") - 16) / 8) + 1).cast("long")).as("n_windows"))
+    },
     "m04_raw_decode" -> q { (s, dir) =>
       // REAL decode: per-media pixel statistics computed from the payload
       // bytes (header parse + one pass over samples); the oracle computes
@@ -983,6 +995,12 @@ object SparkEntry {
       """SELECT i AS media_id, CAST(i % 4 + 1 AS BIGINT) AS n_frames,
         |       CAST((i % 4 + 2) // 2 AS BIGINT) AS n_sampled
         |FROM range(0, 600) t(i) WHERE i % 3 = 2""".stripMargin,
+    "m05_audio_windows" ->
+      """SELECT i AS media_id,
+        |       CAST(len AS BIGINT) AS n_samples,
+        |       CAST(CASE WHEN len >= 16 THEN (len - 16) // 8 + 1 ELSE 0 END AS BIGINT) AS n_windows
+        |FROM (SELECT i, (i % 7 + 2) * (i % 5 + 2) AS len
+        |      FROM range(0, 600) t(i) WHERE i % 3 = 1)""".stripMargin,
     "m04_raw_decode" ->
       """WITH d AS (
         |  SELECT i AS media_id,
