@@ -16,6 +16,10 @@ object Bench {
     "q24_scd2_intervals", "q25_mutual_edges", "q26_price_percentiles", "q27_age_metrics",
     "q28_asof_native", "q29_salted_join", "q30_incremental_agg", "q32_ship_priority",
     "q34_nation_trade", "q35_returned_items", "q36_cheapest_supplier", "q37_follow_suggest",
+    "q38_cu_accounting",
+    // s04 re-runs d06's whole candidate+closure pipeline (already benched
+    // via d06); m04/m05 are constant-size generators, not SF-scaled —
+    // benching them would measure nothing about the data path
     // d05 (all-pairs cartesian) is deliberately NOT a headliner: it exists
     // as the correctness baseline / d07 oracle mirror only — benching a
     // cartesian would grade the one plan shape the engine never ships
