@@ -90,6 +90,27 @@ class PlanSpec extends SparkSpec {
       "normalization must be a pure expression chain:\n" + p)
   }
 
+  test("s04: explode cells partially aggregate before the exchange") {
+    val p = plan("s04_cluster_centroids")
+    // the (cluster, dim) cell aggregation must carry a partial (map-side)
+    // phase — without it the explode's N×dim rows all cross the shuffle
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "no map-side partial aggregation under the explode:\n" + p)
+    assert(p.contains("Generate"), p) // posexplode node present
+  }
+
+  test("q38: each table's accounting is one aggregate scan, no joins") {
+    val p = plan("q38_cu_accounting")
+    assert(!p.contains("Join"), "accounting must not join anything:\n" + p)
+    assert(p.contains("Union"), p)
+    // scanned vs kept on events come from ONE pass (conditional sum), so
+    // exactly four scans — one per table (count only the final AQE plan;
+    // the string repeats them in the == Initial Plan == section)
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(finalPlan).length == 4,
+      "events must be scanned once (conditional sum), not twice:\n" + p)
+  }
+
   test("q24: SCD2 derivation is one shuffle + one sort (window over key)") {
     val p = plan("q24_scd2_intervals")
     assert(p.contains("Window"), p)
