@@ -639,6 +639,26 @@ object SparkEntry {
         .groupBy(col("media_id"))
         .agg(max(col("n_frames")).cast("long").as("n_frames"), count(lit(1)).as("n_sampled"))
     },
+    "t08_contamination" -> q { (s, dir) =>
+      // eval-set contamination screening — the n-gram collision check a
+      // training corpus runs before any benchmark evaluation: a document
+      // sharing a k-token shingle with the eval set is flagged with the
+      // collision count. Shingle hashing is the d02/d04 codegen kernel;
+      // the eval side is tiny by construction, so its distinct shingle
+      // hashes BROADCAST and the corpus never shuffles — at 100 TB this
+      // is a pure scan + broadcast-hash-join + per-doc agg.
+      import graft.expressions.HashExprs
+      val k = 5
+      val docs = Tables.documents(s, dir)
+      val evalSet = docs.where(col("doc_id") < 20)
+        .select(explode(HashExprs.tokenShingleHashes(col("text"), k)).as("sh"))
+        .distinct()
+      docs.where(col("doc_id") >= 20)
+        .select(col("doc_id"), explode(HashExprs.tokenShingleHashes(col("text"), k)).as("sh"))
+        .join(broadcast(evalSet), "sh")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("sh")).as("n_shared_shingles"))
+    },
     "m05_audio_windows" -> q { (s, dir) =>
       // ASR-style framing plan (window 16, hop 8) over the REAL decoded
       // sample count — the per-window DSP itself belongs to the codec
@@ -995,6 +1015,26 @@ object SparkEntry {
       """SELECT i AS media_id, CAST(i % 4 + 1 AS BIGINT) AS n_frames,
         |       CAST((i % 4 + 2) // 2 AS BIGINT) AS n_sampled
         |FROM range(0, 600) t(i) WHERE i % 3 = 2""".stripMargin,
+    // same set-identity trick as d04: the kernel's shingle hashing is a
+    // collision-free set identity on this corpus, so the oracle works on
+    // the shingle STRINGS directly
+    "t08_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |sets AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(tk) <= 5 THEN [array_to_string(tk, ' ')]
+        |              ELSE list_transform(range(1, len(tk) - 3), i -> array_to_string(tk[i:i+4], ' ')) END) AS sh
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT unnest(sh) AS g FROM sets WHERE doc_id < 20),
+        |hits AS (
+        |  SELECT s.doc_id, t.g
+        |  FROM sets s, unnest(s.sh) AS t(g)
+        |  WHERE s.doc_id >= 20 AND t.g IN (SELECT g FROM ev))
+        |SELECT doc_id, count(DISTINCT g) AS n_shared_shingles
+        |FROM hits GROUP BY doc_id""".stripMargin,
     "m05_audio_windows" ->
       """SELECT i AS media_id,
         |       CAST(len AS BIGINT) AS n_samples,
