@@ -16,6 +16,18 @@ object SparkEntry {
   private val BackfillStartUs = 1704412800000000L
   private val BackfillEndUs = 1705708800000000L
 
+  /** The canonical row-filter DSL document — q03 applies it, q38 accounts
+    * for the filtered sync it defines; one constant so they can't diverge.
+    */
+  private val RowFilterDemoJson =
+    """{"$or": [
+      |  {"data.event_type": {"$in": ["purchase", "click"]}},
+      |  {"data.value": {"$gte": 150.0}, "data.event_type": {"$nin": ["error", "signup"]}}
+      |]}""".stripMargin
+
+  /** Per-row CU price of the filtered events sync (q38). */
+  private val EventsCuPrice = 2L
+
   /** Session prep for every entry point: our hash pipelines rely on 64-bit
     * wraparound (ANSI off) and events.ts is parquet TIMESTAMP(NANOS).
     */
@@ -52,13 +64,8 @@ object SparkEntry {
       MergeOps.snapshotMerge(full, inc, Seq("user_id"), Seq("ts_us", "event_id"))
     },
     "q03_rowfilter" -> q { (s, dir) =>
-      val filterJson =
-        """{"$or": [
-          |  {"data.event_type": {"$in": ["purchase", "click"]}},
-          |  {"data.value": {"$gte": 150.0}, "data.event_type": {"$nin": ["error", "signup"]}}
-          |]}""".stripMargin
       Tables.events(s, dir)
-        .where(RowFilter.compile(filterJson))
+        .where(RowFilter.compile(RowFilterDemoJson))
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     },
     "q04_backfill_range" -> q { (s, dir) =>
@@ -296,17 +303,12 @@ object SparkEntry {
           .select(lit(name).as("table_name"), col("n_scanned"),
             col("n_scanned").as("n_imported"),
             (col("n_scanned") * lit(price)).as("cu_cost"))
-      val filterJson =
-        """{"$or": [
-          |  {"data.event_type": {"$in": ["purchase", "click"]}},
-          |  {"data.value": {"$gte": 150.0}, "data.event_type": {"$nin": ["error", "signup"]}}
-          |]}""".stripMargin
-      val pred = RowFilter.compile(filterJson)
+      val pred = RowFilter.compile(RowFilterDemoJson)
       val filteredEvents = Tables.events(s, dir)
         .agg(count(lit(1)).as("n_scanned"),
           sum(when(pred, 1L).otherwise(0L)).as("n_imported"))
         .select(lit("events").as("table_name"), col("n_scanned"), col("n_imported"),
-          (col("n_scanned") * lit(2L) * lit(mult)).as("cu_cost"))
+          (col("n_scanned") * lit(EventsCuPrice) * lit(mult)).as("cu_cost"))
       costed("orders", Tables.orders(s, dir), 3L)
         .unionByName(costed("lineitem", Tables.lineitem(s, dir), 1L))
         .unionByName(costed("customer", Tables.customer(s, dir), 5L))
@@ -418,12 +420,14 @@ object SparkEntry {
         .join(broadcast(n.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))),
           col("c_nationkey") === col("c_nk"))
         .select(col("c_custkey"), col("cust_nation"))
+      // volume sums as exact 1e-4-scaled integers (order-independent across
+      // engines/partitionings — the q35 determinism rule)
       val li = Tables.lineitem(s, dir)
         .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
         .select(col("l_orderkey"), col("l_suppkey"),
           year(col("l_shipdate")).cast("long").as("l_year"),
-          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000).cast("long").as("vol4"))
       val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -431,7 +435,7 @@ object SparkEntry {
         .where((col("supp_nation") === pair.head && col("cust_nation") === pair(1)) ||
           (col("supp_nation") === pair(1) && col("cust_nation") === pair.head))
         .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
-        .agg(round(sum(col("volume")), 2).as("revenue"), count(lit(1)).as("n_items"))
+        .agg((sum(col("vol4")).cast("double") / 10000.0).as("revenue"), count(lit(1)).as("n_items"))
     },
     "q35_returned_items" -> q { (s, dir) =>
       // TPC-H Q10 shape, Spark-first: aggregate revenue per CUSTOMER KEY
@@ -660,13 +664,14 @@ object SparkEntry {
         .agg(countDistinct(col("sh")).as("n_shared_shingles"))
     },
     "m05_audio_windows" -> q { (s, dir) =>
-      // ASR-style framing plan (window 16, hop 8) over the REAL decoded
-      // sample count — the per-window DSP itself belongs to the codec
-      // stage; the framing arithmetic and the metadata-only plan shape are
-      // the pipeline's job. Full windows only.
-      Multimodal.decodeRawFeatures(s, Multimodal.syntheticRawMedia(s, 600))
+      // ASR-style framing plan (window 16, hop 8): only the payload LENGTH
+      // is needed, so no decode runs — the payload bytes are never
+      // inspected, exactly the metadata-only plan shape m03 uses. Full
+      // windows only.
+      Multimodal.syntheticRawMedia(s, 600)
         .where(col("kind") === "audio")
-        .select(col("media_id"), (col("payload_bytes") - 9).as("n_samples"))
+        .select(col("media_id"),
+          (length(col("payload")) - Multimodal.HeaderLen).cast("long").as("n_samples"))
         .select(col("media_id"), col("n_samples"),
           greatest(lit(0L),
             (floor((col("n_samples") - 16) / 8) + 1).cast("long")).as("n_windows"))
@@ -897,10 +902,10 @@ object SparkEntry {
         |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
     "q34_nation_trade" ->
       """SELECT supp_nation, cust_nation, l_year,
-        |       round(sum(volume), 2) AS revenue, count(*) AS n_items
+        |       CAST(sum(vol4) AS DOUBLE) / 10000.0 AS revenue, count(*) AS n_items
         |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |             CAST(year(l_shipdate) AS BIGINT) AS l_year,
-        |             l_extendedprice * (1.0 - l_discount) AS volume
+        |             CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT) AS vol4
         |      FROM lineitem
         |      JOIN supplier ON l_suppkey = s_suppkey
         |      JOIN orders ON l_orderkey = o_orderkey

@@ -48,12 +48,21 @@ object PyLiteralJson {
     */
   def normalize(u: UTF8String): UTF8String = {
     if (u == null) return null
+    // byte-level gate BEFORE any allocation: the strict-JSON hot path must
+    // pay only this prefix inspection, never a per-row toString decode
+    val nb = u.numBytes
+    if (nb < 2) return u
+    val b0 = u.getByte(0)
+    val b1 = u.getByte(1)
+    val mayTrigger =
+      (b0 == '{'.toByte && b1 == '\''.toByte) ||
+        (b0 == '['.toByte && b1 == '{'.toByte && nb >= 3 && u.getByte(2) == '\''.toByte) ||
+        // stringified bytes repr: b'…' / b"…" (quote must close)
+        (b0 == 'b'.toByte && (b1 == '\''.toByte || b1 == '"'.toByte) && nb >= 3 && u.getByte(nb - 1) == b1)
+    if (!mayTrigger) return u
     val s = u.toString
     if (isTrigger(s)) return UTF8String.fromString(convert(s))
-    // stringified bytes repr: b'…' / b"…" whose decoded body triggers
-    if (s.length >= 3 && s.charAt(0) == 'b' &&
-        (s.charAt(1) == '\'' || s.charAt(1) == '"') &&
-        s.charAt(s.length - 1) == s.charAt(1)) {
+    if (s.charAt(0) == 'b') {
       val inner = unescapePython(s.substring(2, s.length - 1))
       if (isTrigger(inner)) return UTF8String.fromString(convert(inner))
     }

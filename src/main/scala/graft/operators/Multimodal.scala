@@ -53,7 +53,8 @@ object Multimodal {
   // ---- RAWM container: [R A W M][u16 width][u16 height][u8 channels][samples…]
 
   private val Magic: Array[Byte] = Array('R', 'A', 'W', 'M').map(_.toByte)
-  private val HeaderLen = 9
+  /** Header bytes: magic(4) + u16 width + u16 height + u8 channels. */
+  val HeaderLen = 9
 
   /** Encode one frame-sequence payload: header + `frames × w × h × c` raw
     * samples. Big-endian u16 dims keep the header arithmetic trivial.
@@ -87,8 +88,10 @@ object Multimodal {
     val h = ((payload(6) & 0xFF) << 8) | (payload(7) & 0xFF)
     val c = payload(8) & 0xFF
     if (w == 0 || h == 0 || c == 0) return None
-    val frameBytes = w * h * c
-    val body = payload.length - HeaderLen
+    // Long arithmetic: 65535×65535×255 overflows Int, and an adversarial
+    // header must yield None, not a divide-by-zero in the modulo below
+    val frameBytes = w.toLong * h * c
+    val body = (payload.length - HeaderLen).toLong
     if (body == 0 || body % frameBytes != 0) return None
     var sum = 0L
     var mn = 255
@@ -101,7 +104,7 @@ object Multimodal {
       if (v > mx) mx = v
       i += 1
     }
-    Some(RawDecoded(w, h, c, body / frameBytes, sum.toDouble / body, mn, mx))
+    Some(RawDecoded(w, h, c, (body / frameBytes).toInt, sum.toDouble / body, mn, mx))
   }
 
   /** Synthetic RAWM media table: deterministic payloads, small dims, 1–4
@@ -146,8 +149,13 @@ object Multimodal {
       StructField("max_sample", IntegerType, nullable = true)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     // positional access: upstream mapPartitions stages can hand over plain
-    // GenericRows (no schema), where name-based getAs would throw
+    // GenericRows (no schema), where name-based getAs would throw. The row
+    // below is built in mediaSchema's column order, so reject frames whose
+    // layout differs — a reordered/extended schema would mis-assign values.
     val schema = media.schema
+    require(schema.fieldNames.sameElements(mediaSchema.fieldNames),
+      s"decodeRawFeatures expects the mediaSchema layout ${mediaSchema.fieldNames.mkString(",")}, " +
+        s"got ${schema.fieldNames.mkString(",")}")
     val iId = schema.fieldIndex("media_id")
     val iKind = schema.fieldIndex("kind")
     val iPayload = schema.fieldIndex("payload")

@@ -62,9 +62,18 @@ object RowGroupResume {
     } finally reader.close()
   }
 
-  /** Tracking markers live under `trackingDir/<file base name>/rg-<N>`. */
-  private def markerDir(trackingDir: String, file: String): Path =
-    new Path(trackingDir, file.substring(file.lastIndexOf('/') + 1))
+  /** Tracking markers live under `trackingDir/<base name>-<path hash>/rg-<N>`.
+    * The full-path hash disambiguates files that share a base name under
+    * different directories (export layouts repeat names across date dirs) —
+    * keying on the base name alone would let one file's markers silently
+    * skip another's row groups.
+    */
+  private def markerDir(trackingDir: String, file: String): Path = {
+    val crc = new java.util.zip.CRC32
+    crc.update(file.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val base = file.substring(file.lastIndexOf('/') + 1)
+    new Path(trackingDir, f"$base-${crc.getValue}%08x")
+  }
 
   /** Highest contiguously-recorded completed row group, or -1. Markers are
     * written in order, so the max is the resume point; a gap (possible only

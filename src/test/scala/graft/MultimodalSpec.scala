@@ -64,6 +64,11 @@ class MultimodalSpec extends SparkSpec {
     // zero-dim header
     val zero = good.clone(); zero(4) = 0; zero(5) = 0
     assert(Multimodal.decodeRaw(zero).isEmpty)
+    // adversarial dims whose frame size overflows Int (32768×32768×4 = 2^32)
+    // must reject cleanly, not divide-by-zero on the wrapped value
+    val evil = good.clone()
+    evil(4) = 0x80.toByte; evil(5) = 0; evil(6) = 0x80.toByte; evil(7) = 0; evil(8) = 4
+    assert(Multimodal.decodeRaw(evil).isEmpty)
   }
 
   test("decodeRawFeatures: real byte stats match the generator's closed form") {
