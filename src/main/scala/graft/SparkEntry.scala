@@ -505,6 +505,16 @@ object SparkEntry {
       Dedup.connectedComponents(pairs, "a", "b")
         .select(col("node_id").as("vec_id"), col("cluster_id"))
     },
+    "d08_dedup_incremental" -> q { (s, dir) =>
+      // incremental index maintenance: 10% of docs (id ≡ 9 mod 10, so the
+      // split scales with SF) arrive as the new batch; only pairs touching
+      // the batch are computed — the existing corpus is never self-joined
+      val docs = Tables.documents(s, dir)
+      Dedup.ngramJaccardDelta(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 9),
+        docs.where(pmod(col("doc_id"), lit(10)) === 9),
+        "doc_id", "text")
+    },
     "s04_cluster_centroids" -> q { (s, dir) =>
       // representative vectors for the d06 clusters: exact integer-scaled
       // centroid per (cluster, dim) — order/partitioning-independent
@@ -863,6 +873,25 @@ object SparkEntry {
         |           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS j
         |  FROM sets x JOIN sets y ON x.doc_id < y.doc_id)
         |SELECT a, b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5""".stripMargin,
+    // the full d04 exact-pairs set restricted to pairs touching the new
+    // batch — the delta path's equality contract
+    "d08_dedup_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |sets AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+        |              ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS j
+        |  FROM sets x JOIN sets y ON x.doc_id < y.doc_id)
+        |SELECT a, b, round(j, 4) AS jaccard FROM pairs
+        |WHERE j >= 0.5 AND (a % 10 = 9 OR b % 10 = 9)""".stripMargin,
     // NOTE: DuckDB's list_cosine_similarity computes in float32 and can never
     // hash-match a double pipeline; these oracles re-derive cosine in double
     // (list_sum is sequential left-to-right, matching the Spark loop).

@@ -202,6 +202,64 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Incremental near-dup maintenance: exact-Jaccard pairs TOUCHING a new
+    * document batch — new×new and new×existing, never existing×existing
+    * (those are already in the index). This is how dedup actually runs on
+    * a living 100 TB corpus: the daily delta is orders of magnitude smaller
+    * than the corpus, so re-running the full self-join (O(corpus) band
+    * keys shuffled) to discover pairs that all touch the delta is pure
+    * waste. Here only the DELTA's band keys drive the join — the corpus
+    * side streams by, and with a small delta Catalyst/AQE broadcasts the
+    * delta bands so the corpus never shuffles at all. Shingle sets are
+    * re-joined per surviving candidate id only.
+    *
+    * Equality contract (spec-asserted): identical to
+    * `ngramJaccard(existing ∪ newDocs)` restricted to pairs with at least
+    * one side in `newDocs` — same banding, same estimator gate, same exact
+    * kernel, so the delta path inherits the full path's recall exactly.
+    */
+  def ngramJaccardDelta(
+      existing: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    val numHashes = 64
+    val bands = 16
+    val rowsPerBand = numHashes / bands
+    def banded(docs: DataFrame): DataFrame = docs
+      .select(
+        col(idCol).as("id"),
+        HashExprs
+          .minhashSignature(HashExprs.tokenShingleHashes(col(textCol), shingleK), numHashes)
+          .as("sig"))
+      .repartition(col("id")) // materialize sig once (see minhashLsh)
+      .withColumn("band", explode(TextFns.lshBands(col("sig"), bands, rowsPerBand)))
+    val newB = banded(newDocs)
+    val allB = banded(existing).unionByName(newB)
+    val cand = newB.select(col("id").as("x"), col("sig").as("sig_x"), col("band"))
+      .join(allB.select(col("id").as("y"), col("sig").as("sig_y"), col("band")), Seq("band"))
+      .where(col("x") =!= col("y"))
+      // canonical orientation so new-new pairs (seen from both sides) and
+      // new-old pairs (seen once) land identically
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"),
+        HashExprs.arrayMatchFraction(col("sig_x"), col("sig_y")).as("est"))
+      .groupBy(col("a"), col("b"))
+      .agg(max(col("est")).as("est"))
+      .where(col("est") >= lit(0.2))
+      .select(col("a"), col("b"))
+    val sets = existing.unionByName(newDocs).select(
+      col(idCol).as("id"),
+      HashExprs.tokenShingleHashes(col(textCol), shingleK).as("sh"))
+    cand
+      .join(sets.withColumnRenamed("id", "a").withColumnRenamed("sh", "sh_a"), Seq("a"))
+      .join(sets.withColumnRenamed("id", "b").withColumnRenamed("sh", "sh_b"), Seq("b"))
+      .select(col("a"), col("b"), HashExprs.longSetJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= lit(minJaccard))
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Candidate pairs sharing at least one hyperplane-signature band.
     * `nBands` bands of `bandBits` bits each (packed in one 64-bit
     * signature); two vectors with angle θ agree on one hyperplane bit with

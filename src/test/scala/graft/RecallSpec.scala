@@ -122,6 +122,21 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.9, f"IVF recall@5 $r%.4f")
   }
 
+  test("d08 delta dedup equals the full run restricted to new-touching pairs (sf0.01)") {
+    val docs = Tables.documents(spark, dir01)
+    def rows(df: DataFrame): Set[(Long, Long, Double)] =
+      df.as[(Long, Long, Double)].collect().toSet
+    val full = rows(Dedup.ngramJaccard(docs, "doc_id", "text"))
+      .filter { case (a, b, _) => a % 10 == 9 || b % 10 == 9 }
+    val delta = rows(Dedup.ngramJaccardDelta(
+      docs.where(pmod(col("doc_id"), lit(10)) =!= 9),
+      docs.where(pmod(col("doc_id"), lit(10)) === 9),
+      "doc_id", "text"))
+    println(s"RECALL d08 newTouching=${full.size} delta=${delta.size}")
+    assert(delta == full,
+      s"missing=${(full -- delta).take(5)} extra=${(delta -- full).take(5)}")
+  }
+
   test("t04 winnowing fingerprint overlap vs exact n-gram containment (sf0.01)") {
     // the registered t04 operating point: char-8-grams, window 4
     import graft.expressions.TextKernels.WinnowFingerprint
