@@ -118,6 +118,59 @@ object Dedup {
   /** Candidate near-duplicate pairs via MinHash + LSH banding, with the
     * MinHash-estimated Jaccard attached. Pairs are (a < b), distinct.
     */
+  /** (id, sig, band) rows: MinHash signature per doc, exploded to one row
+    * per LSH band — the shared front end of every minhash pipeline (full
+    * self-join and delta alike, so their banding can never diverge).
+    *
+    * `barrier = true` inserts a repartition on id: it materializes the
+    * signature exactly once per doc (without it Catalyst can inline the
+    * signature tree past the explode into per-band evaluation) and is the
+    * co-locating exchange a SELF-join wants. Pass `false` for a side that
+    * must NOT shuffle (the streamed corpus side of the delta join): band
+    * rows then stay in their scan stage, trading a possible bands-fold
+    * recompute of the codegen'd signature inside that stage for zero
+    * exchange.
+    */
+  private def bandedSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int,
+      numHashes: Int,
+      bands: Int,
+      barrier: Boolean): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = docs.select(
+      col(idCol).as("id"),
+      HashExprs
+        .minhashSignature(HashExprs.tokenShingleHashes(col(textCol), shingleK), numHashes)
+        .as("sig"))
+    (if (barrier) sigs.repartition(col("id")) else sigs)
+      .withColumn("band", explode(TextFns.lshBands(col("sig"), bands, rowsPerBand)))
+  }
+
+  /** Exact n-gram Jaccard scoring of candidate (a, b) pairs: shingle sets
+    * re-joined per candidate id, one kernel evaluation per pair — shared by
+    * the full and delta paths so their exact stage can never diverge.
+    */
+  private def exactJaccardOnCandidates(
+      candidates: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int,
+      minJaccard: Double): DataFrame = {
+    val sets = docs.select(
+      col(idCol).as("id"),
+      HashExprs.tokenShingleHashes(col(textCol), shingleK).as("sh"))
+    candidates
+      .join(sets.withColumnRenamed("id", "a").withColumnRenamed("sh", "sh_a"), Seq("a"))
+      .join(sets.withColumnRenamed("id", "b").withColumnRenamed("sh", "sh_b"), Seq("b"))
+      .select(col("a"), col("b"), HashExprs.longSetJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= lit(minJaccard))
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   def minhashLsh(
       docs: DataFrame,
       idCol: String,
@@ -126,19 +179,7 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       minEstJaccard: Double = 0.5): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val sigs = docs
-      .select(
-        col(idCol).as("id"),
-        HashExprs
-          .minhashSignature(HashExprs.tokenShingleHashes(col(textCol), shingleK), numHashes)
-          .as("sig"))
-      // shuffle barrier: materializes the signature exactly once per doc.
-      // Without it Catalyst inlines the (expensive, interpreted) signature
-      // tree past the explode into per-join-row evaluation. It is also the
-      // co-locating exchange you want before a self-join at scale.
-      .repartition(col("id"))
-      .withColumn("band", explode(TextFns.lshBands(col("sig"), bands, rowsPerBand)))
+    val sigs = bandedSignatures(docs, idCol, textCol, shingleK, numHashes, bands, barrier = true)
     // the band hash mixes the band index in via the xxhash64 seed, so
     // joining on the band hash alone is sufficient
     val left = sigs.select(col("id").as("a"), col("sig").as("sig_a"), col("band"))
@@ -191,15 +232,7 @@ object Dedup {
       .select(col("a"), col("b"))
     // exact Jaccard over the hashed shingle sets (collision odds ~2^-64):
     // one kernel evaluation per candidate pair, no string-array shuffling
-    val sets = docs.select(
-      col(idCol).as("id"),
-      HashExprs.tokenShingleHashes(col(textCol), shingleK).as("sh"))
-    candidates
-      .join(sets.withColumnRenamed("id", "a").withColumnRenamed("sh", "sh_a"), Seq("a"))
-      .join(sets.withColumnRenamed("id", "b").withColumnRenamed("sh", "sh_b"), Seq("b"))
-      .select(col("a"), col("b"), HashExprs.longSetJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .where(col("jaccard") >= lit(minJaccard))
-      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+    exactJaccardOnCandidates(candidates, docs, idCol, textCol, shingleK, minJaccard)
   }
 
   /** Incremental near-dup maintenance: exact-Jaccard pairs TOUCHING a new
@@ -225,19 +258,12 @@ object Dedup {
       textCol: String,
       shingleK: Int = 3,
       minJaccard: Double = 0.5): DataFrame = {
-    val numHashes = 64
-    val bands = 16
-    val rowsPerBand = numHashes / bands
-    def banded(docs: DataFrame): DataFrame = docs
-      .select(
-        col(idCol).as("id"),
-        HashExprs
-          .minhashSignature(HashExprs.tokenShingleHashes(col(textCol), shingleK), numHashes)
-          .as("sig"))
-      .repartition(col("id")) // materialize sig once (see minhashLsh)
-      .withColumn("band", explode(TextFns.lshBands(col("sig"), bands, rowsPerBand)))
-    val newB = banded(newDocs)
-    val allB = banded(existing).unionByName(newB)
+    // delta side: barrier on (tiny — cheap exchange, sig materialized once).
+    // corpus side: NO barrier — its band rows never leave their scan stage,
+    // which is the whole point of the delta join.
+    val newB = bandedSignatures(newDocs, idCol, textCol, shingleK, 64, 16, barrier = true)
+    val allB = bandedSignatures(existing, idCol, textCol, shingleK, 64, 16, barrier = false)
+      .unionByName(newB)
     val cand = newB.select(col("id").as("x"), col("sig").as("sig_x"), col("band"))
       .join(allB.select(col("id").as("y"), col("sig").as("sig_y"), col("band")), Seq("band"))
       .where(col("x") =!= col("y"))
@@ -249,15 +275,7 @@ object Dedup {
       .agg(max(col("est")).as("est"))
       .where(col("est") >= lit(0.2))
       .select(col("a"), col("b"))
-    val sets = existing.unionByName(newDocs).select(
-      col(idCol).as("id"),
-      HashExprs.tokenShingleHashes(col(textCol), shingleK).as("sh"))
-    cand
-      .join(sets.withColumnRenamed("id", "a").withColumnRenamed("sh", "sh_a"), Seq("a"))
-      .join(sets.withColumnRenamed("id", "b").withColumnRenamed("sh", "sh_b"), Seq("b"))
-      .select(col("a"), col("b"), HashExprs.longSetJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .where(col("jaccard") >= lit(minJaccard))
-      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+    exactJaccardOnCandidates(cand, existing.unionByName(newDocs), idCol, textCol, shingleK, minJaccard)
   }
 
   /** Candidate pairs sharing at least one hyperplane-signature band.

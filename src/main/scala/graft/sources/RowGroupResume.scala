@@ -63,15 +63,18 @@ object RowGroupResume {
   }
 
   /** Tracking markers live under `trackingDir/<base name>-<path hash>/rg-<N>`.
-    * The full-path hash disambiguates files that share a base name under
+    * The path hash disambiguates files that share a base name under
     * different directories (export layouts repeat names across date dirs) —
     * keying on the base name alone would let one file's markers silently
-    * skip another's row groups.
+    * skip another's row groups. The hash is computed over the
+    * fs-QUALIFIED path, so different spellings of the same file (relative,
+    * absolute, with/without scheme) resolve to the same marker dir.
     */
-  private def markerDir(trackingDir: String, file: String): Path = {
+  private def markerDir(fs: FileSystem, trackingDir: String, file: String): Path = {
+    val qualified = fs.makeQualified(new Path(file)).toString
     val crc = new java.util.zip.CRC32
-    crc.update(file.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val base = file.substring(file.lastIndexOf('/') + 1)
+    crc.update(qualified.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val base = qualified.substring(qualified.lastIndexOf('/') + 1)
     new Path(trackingDir, f"$base-${crc.getValue}%08x")
   }
 
@@ -81,7 +84,7 @@ object RowGroupResume {
     * safe — better to re-import a batch than to skip one.
     */
   def lastImported(fs: FileSystem, trackingDir: String, file: String): Int = {
-    val dir = markerDir(trackingDir, file)
+    val dir = markerDir(fs, trackingDir, file)
     if (!fs.exists(dir)) return -1
     val done = fs.listStatus(dir).iterator
       .map(_.getPath.getName)
@@ -93,7 +96,7 @@ object RowGroupResume {
   }
 
   def recordProgress(fs: FileSystem, trackingDir: String, file: String, lastGroup: Int): Unit = {
-    val dir = markerDir(trackingDir, file)
+    val dir = markerDir(fs, trackingDir, file)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     fs.create(new Path(dir, s"rg-$lastGroup"), true).close()
   }
