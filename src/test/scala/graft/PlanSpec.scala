@@ -90,6 +90,12 @@ class PlanSpec extends SparkSpec {
       "normalization must be a pure expression chain:\n" + p)
   }
 
+  test("q37: per-user top-k goes through WindowGroupLimit, not a full sort") {
+    val p = plan("q37_follow_suggest")
+    assert(p.contains("WindowGroupLimit"),
+      "top-5 per user must bound the window input:\n" + p)
+  }
+
   test("s04: explode cells partially aggregate before the exchange") {
     val p = plan("s04_cluster_centroids")
     // the (cluster, dim) cell aggregation must carry a partial (map-side)
