@@ -27,7 +27,7 @@ object Bench {
     "d06_dedup_clusters", "d07_embed_neardup_lsh", "d08_dedup_incremental",
     "s01_ann_brute", "s02_ann_lsh", "s03_ann_ivf",
     "t01_langid", "t02_quality", "t04_fingerprint", "t05_normalize",
-    "t06_stratified_sample", "t07_cap_per_source", "t08_contamination")
+    "t06_stratified_sample", "t07_cap_per_source", "t08_contamination", "t09_repetition")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -653,6 +653,22 @@ object SparkEntry {
         .groupBy(col("media_id"))
         .agg(max(col("n_frames")).cast("long").as("n_frames"), count(lit(1)).as("n_sampled"))
     },
+    "t09_repetition" -> q { (s, dir) =>
+      // Gopher-style repetition signals — the filters an LLM corpus applies
+      // alongside quality scoring (t02): duplicate-token fraction and
+      // top-token fraction per document. Explode + two bounded groupBys
+      // (map-side partials), no interpreted lambdas anywhere.
+      val toks = Tables.documents(s, dir).select(col("doc_id"),
+        explode(TextFns.tokens(col("text"))).as("tok"))
+      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_count"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4).as("dup_token_frac"),
+          round(col("top_count").cast("double") / col("n_tokens"), 4).as("top_token_frac"))
+    },
     "t08_contamination" -> q { (s, dir) =>
       // eval-set contamination screening — the n-gram collision check a
       // training corpus runs before any benchmark evaluation: a document
@@ -1049,6 +1065,18 @@ object SparkEntry {
       """SELECT i AS media_id, CAST(i % 4 + 1 AS BIGINT) AS n_frames,
         |       CAST((i % 4 + 2) // 2 AS BIGINT) AS n_sampled
         |FROM range(0, 600) t(i) WHERE i % 3 = 2""".stripMargin,
+    "t09_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok)
+        |SELECT doc_id,
+        |       CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       count(*) AS n_distinct,
+        |       round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 4) AS dup_token_frac,
+        |       round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_token_frac
+        |FROM c GROUP BY doc_id""".stripMargin,
     // same set-identity trick as d04: the kernel's shingle hashing is a
     // collision-free set identity on this corpus, so the oracle works on
     // the shingle STRINGS directly
