@@ -1065,6 +1065,22 @@ object SparkEntry {
       """SELECT i AS media_id, CAST(i % 4 + 1 AS BIGINT) AS n_frames,
         |       CAST((i % 4 + 2) // 2 AS BIGINT) AS n_sampled
         |FROM range(0, 600) t(i) WHERE i % 3 = 2""".stripMargin,
+    // the stub decode is a closed-form model over (media_id, payload byte
+    // length); strlen(text) reproduces the UTF-8 byte count of the payload
+    "m01_multimodal" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |         CAST(strlen(text) AS BIGINT) AS payload_bytes
+        |  FROM documents),
+        |f AS (
+        |  SELECT kind, payload_bytes,
+        |         ((doc_id * 31 + payload_bytes) % 64) + 1 AS n_frames,
+        |         ((doc_id * 17 + payload_bytes * 13) % 10000) / 10000.0 AS mean_luma
+        |  FROM m)
+        |SELECT kind, count(*) AS n_media, CAST(sum(payload_bytes) AS BIGINT) AS total_bytes,
+        |       round(avg(n_frames), 4) AS avg_frames, round(avg(mean_luma), 4) AS avg_luma
+        |FROM f GROUP BY kind""".stripMargin,
     "t09_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -1143,7 +1159,7 @@ object SparkEntry {
          |FROM (SELECT doc_id, text, $norm AS norm_text FROM documents)""".stripMargin
     },
     "t06_stratified_sample" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
         |WHERE doc_id % 100 < (CASE WHEN lang = 'en' THEN 30 ELSE 100 END)
         |GROUP BY lang""".stripMargin,
@@ -1209,9 +1225,9 @@ object SparkEntry {
         |SELECT 'customer', count(*), count(*), count(*) * 5 FROM customer
         |UNION ALL
         |SELECT 'events', count(*),
-        |       sum(CASE WHEN event_type IN ('purchase', 'click')
+        |       CAST(sum(CASE WHEN event_type IN ('purchase', 'click')
         |                  OR (value >= 150.0 AND event_type NOT IN ('error', 'signup'))
-        |                THEN 1 ELSE 0 END),
+        |                THEN 1 ELSE 0 END) AS BIGINT),
         |       count(*) * 2 * 2
         |FROM events""".stripMargin,
     "q37_follow_suggest" ->

@@ -182,15 +182,18 @@ object Multimodal {
   /** STUB decode: in production this would call an image/audio codec on each
     * payload batch. Here it derives deterministic pseudo-features so the
     * pipeline shape (batched per-partition decode → feature columns) is
-    * fully exercised.
+    * fully exercised. The fake is a CLOSED-FORM model over
+    * `(media_id, payload byte length)` — the length is read from the real
+    * payload bytes, and the arithmetic is plain modular math any SQL engine
+    * can recompute (`strlen(text)` reproduces the UTF-8 byte count), which
+    * is what gives the m01 pipeline a cross-engine oracle — the same trick
+    * the RAWM generator uses (see [[syntheticRawMedia]]).
     */
-  private def fakeDecode(payload: Array[Byte]): (Int, Double) = {
-    // ??? <- real codec goes here; deterministic fake below
-    var h = 1125899906842597L
-    var i = 0
-    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-    val nFrames = math.abs(h % 64).toInt + 1
-    val meanLuma = math.abs((h / 64) % 10000).toDouble / 10000.0
+  private def fakeDecode(mediaId: Long, payload: Array[Byte]): (Int, Double) = {
+    // ??? <- real codec goes here; closed-form deterministic fake below
+    val len = payload.length.toLong
+    val nFrames = ((mediaId * 31 + len) % 64).toInt + 1
+    val meanLuma = ((mediaId * 17 + len * 13) % 10000).toDouble / 10000.0
     (nFrames, meanLuma)
   }
 
@@ -207,7 +210,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
-        val (nFrames, meanLuma) = fakeDecode(payload)
+        val (nFrames, meanLuma) = fakeDecode(r.getAs[Long]("media_id"), payload)
         Row(
           r.getAs[Long]("media_id"),
           r.getAs[String]("kind"),
