@@ -61,10 +61,19 @@ object PyLiteralJson {
         (b0 == 'b'.toByte && (b1 == '\''.toByte || b1 == '"'.toByte) && nb >= 3 && u.getByte(nb - 1) == b1)
     if (!mayTrigger) return u
     val s = u.toString
-    if (isTrigger(s)) return UTF8String.fromString(convert(s))
+    if (isTrigger(s)) {
+      val c = convert(s)
+      return if (c == null) u else UTF8String.fromString(c)
+    }
     if (s.charAt(0) == 'b') {
       val inner = unescapePython(s.substring(2, s.length - 1))
-      if (isTrigger(inner)) return UTF8String.fromString(convert(inner))
+      if (isTrigger(inner)) {
+        // invalid literals (e.g. a hand-written repr whose unescaped quotes
+        // turn ambiguous) fail convert → pass the ORIGINAL through unchanged;
+        // the reference's bytes branch likewise keeps such payloads raw
+        val c = convert(inner)
+        return if (c == null) u else UTF8String.fromString(c)
+      }
     }
     u
   }
@@ -74,8 +83,8 @@ object PyLiteralJson {
 
   /** Decode Python string-literal escapes into their actual characters
     * (the inverse of repr): `\\`, `\'`, `\"`, `\n`, `\t`, `\r`, `\b`,
-    * `\f`, `\0`, `\xNN`, `\uNNNN`. Unknown escapes keep the backslash,
-    * exactly as Python literals do.
+    * `\f`, `\ooo` (1–3 octal digits, `\0` included), `\xNN`, `\uNNNN`.
+    * Unknown escapes keep the backslash, exactly as Python literals do.
     */
   private[expressions] def unescapePython(s: String): String = {
     if (s.indexOf('\\') < 0) return s
@@ -94,7 +103,11 @@ object PyLiteralJson {
           case 'r'  => out.append('\r'); i += 2
           case 'b'  => out.append('\b'); i += 2
           case 'f'  => out.append('\f'); i += 2
-          case '0'  => out.append('\u0000'); i += 2
+          case o if o >= '0' && o <= '7' =>
+            // Python octal escapes: \o, \oo, \ooo (1-3 octal digits)
+            val end = octalEnd(s, i + 1)
+            out.append(Integer.parseInt(s.substring(i + 1, end), 8).toChar)
+            i = end
           case 'x' if i + 3 < n && isHex(s.charAt(i + 2)) && isHex(s.charAt(i + 3)) =>
             out.append(Integer.parseInt(s.substring(i + 2, i + 4), 16).toChar); i += 4
           case 'u' if i + 5 < n && (2 to 5).forall(k => isHex(s.charAt(i + k))) =>
@@ -106,6 +119,15 @@ object PyLiteralJson {
     out.toString
   }
 
+  /** End index (exclusive) of a Python octal escape's digit run: up to 3
+    * octal digits starting at `start` (which is known to hold one).
+    */
+  private def octalEnd(s: String, start: Int): Int = {
+    var end = start + 1
+    while (end < s.length && end - start < 3 && s.charAt(end) >= '0' && s.charAt(end) <= '7') end += 1
+    end
+  }
+
   private def isHex(c: Char): Boolean =
     (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
 
@@ -113,6 +135,11 @@ object PyLiteralJson {
     * tokens (either quote style) are decoded from Python escaping and
     * re-encoded with JSON escaping; bare `True`/`False`/`None` map to
     * their JSON spellings; tuples become arrays.
+    *
+    * Returns `null` when a string token never closes — the signature of an
+    * INVALID literal (e.g. a hand-assembled repr with ambiguous quotes,
+    * where `ast.literal_eval` would throw too). The caller passes the
+    * original payload through unchanged rather than emit corrupt JSON.
     */
   private[expressions] def convert(s: String): String = {
     val n = s.length
@@ -136,7 +163,10 @@ object PyLiteralJson {
               case 'r'  => out.append("\\r"); i += 2
               case 'b'  => out.append("\\b"); i += 2
               case 'f'  => out.append("\\f"); i += 2
-              case '0'  => out.append("\\u0000"); i += 2
+              case o if o >= '0' && o <= '7' =>
+                val end = octalEnd(s, i + 1)
+                appendJsonChar(out, Integer.parseInt(s.substring(i + 1, end), 8).toChar)
+                i = end
               case 'x' if i + 3 < n && isHex(s.charAt(i + 2)) && isHex(s.charAt(i + 3)) =>
                 out.append("\\u00").append(s.charAt(i + 2)).append(s.charAt(i + 3)); i += 4
               case 'u' if i + 5 < n && (2 to 5).forall(k => isHex(s.charAt(i + k))) =>
@@ -147,6 +177,7 @@ object PyLiteralJson {
             }
           } else { appendJsonChar(out, ch); i += 1 }
         }
+        if (i >= n) return null // unterminated string token: invalid literal
         i += 1 // closing quote
         out.append('"')
       } else if (c == 'T' && s.startsWith("True", i) && bareAt(s, i, 4)) {

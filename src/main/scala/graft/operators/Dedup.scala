@@ -219,6 +219,15 @@ object Dedup {
       .where(col("hamming") <= lit(maxHamming))
   }
 
+  /** Candidate-generation operating point shared by [[ngramJaccard]] and
+    * [[ngramJaccardDelta]]. The delta path's spec-asserted equality with
+    * the full path holds only while BOTH use the same banding and
+    * estimator gate — keep these in one place.
+    */
+  private val NgramNumHashes = 64
+  private val NgramBands = 16
+  private val NgramMinEstJaccard = 0.2
+
   /** Exact n-gram Jaccard similarity on LSH-generated candidates: the
     * scale-correct way to get true Jaccard pairs without an O(N²) cross join.
     */
@@ -228,7 +237,7 @@ object Dedup {
       textCol: String,
       shingleK: Int = 3,
       minJaccard: Double = 0.5): DataFrame = {
-    val candidates = minhashLsh(docs, idCol, textCol, shingleK, 64, 16, minEstJaccard = 0.2)
+    val candidates = minhashLsh(docs, idCol, textCol, shingleK, NgramNumHashes, NgramBands, minEstJaccard = NgramMinEstJaccard)
       .select(col("a"), col("b"))
     // exact Jaccard over the hashed shingle sets (collision odds ~2^-64):
     // one kernel evaluation per candidate pair, no string-array shuffling
@@ -261,8 +270,8 @@ object Dedup {
     // delta side: barrier on (tiny — cheap exchange, sig materialized once).
     // corpus side: NO barrier — its band rows never leave their scan stage,
     // which is the whole point of the delta join.
-    val newB = bandedSignatures(newDocs, idCol, textCol, shingleK, 64, 16, barrier = true)
-    val allB = bandedSignatures(existing, idCol, textCol, shingleK, 64, 16, barrier = false)
+    val newB = bandedSignatures(newDocs, idCol, textCol, shingleK, NgramNumHashes, NgramBands, barrier = true)
+    val allB = bandedSignatures(existing, idCol, textCol, shingleK, NgramNumHashes, NgramBands, barrier = false)
       .unionByName(newB)
     val cand = newB.select(col("id").as("x"), col("sig").as("sig_x"), col("band"))
       .join(allB.select(col("id").as("y"), col("sig").as("sig_y"), col("band")), Seq("band"))
@@ -273,7 +282,7 @@ object Dedup {
         HashExprs.arrayMatchFraction(col("sig_x"), col("sig_y")).as("est"))
       .groupBy(col("a"), col("b"))
       .agg(max(col("est")).as("est"))
-      .where(col("est") >= lit(0.2))
+      .where(col("est") >= lit(NgramMinEstJaccard))
       .select(col("a"), col("b"))
     exactJaccardOnCandidates(cand, existing.unionByName(newDocs), idCol, textCol, shingleK, minJaccard)
   }

@@ -86,9 +86,13 @@ object RowGroupResume {
   def lastImported(fs: FileSystem, trackingDir: String, file: String): Int = {
     val dir = markerDir(fs, trackingDir, file)
     if (!fs.exists(dir)) return -1
+    // strict rg-<digits> match: stray files in the marker dir (editor
+    // temps, copy-tool leftovers like "rg-tmp") must be ignored, not
+    // throw and permanently wedge resume for this file
     val done = fs.listStatus(dir).iterator
       .map(_.getPath.getName)
-      .collect { case s if s.startsWith("rg-") => s.substring(3).toInt }
+      .collect { case s if s.startsWith("rg-") => s.substring(3) }
+      .flatMap(_.toIntOption)
       .toSet
     var last = -1
     while (done.contains(last + 1)) last += 1
@@ -98,7 +102,13 @@ object RowGroupResume {
   def recordProgress(fs: FileSystem, trackingDir: String, file: String, lastGroup: Int): Unit = {
     val dir = markerDir(fs, trackingDir, file)
     if (!fs.exists(dir)) fs.mkdirs(dir)
-    fs.create(new Path(dir, s"rg-$lastGroup"), true).close()
+    // no-overwrite create gives true create-once semantics; an existing
+    // marker (crash-replay of an already-recorded batch) is fine as-is —
+    // markers are empty, so there is nothing to overwrite. Exact exception
+    // type varies by FileSystem impl, so gate the swallow on existence.
+    val p = new Path(dir, s"rg-$lastGroup")
+    try fs.create(p, false).close()
+    catch { case e: java.io.IOException => if (!fs.exists(p)) throw e }
   }
 
   /** The rows of row groups [from..to] as a DataFrame — a row-index range

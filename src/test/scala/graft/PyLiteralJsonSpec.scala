@@ -56,6 +56,35 @@ class PyLiteralJsonSpec extends SparkSpec {
     assert(norm("b\"{'k': 1}\"") == """{"k": 1}""")
     // str(b'[{\'k\': 2}]') — single-quoted wrapper, escaped inner quotes
     assert(norm("b'[{\\'k\\': 2}]'") == """[{"k": 2}]""")
+    // content-level \' escape INSIDE a bytes-wrapped single-quoted string:
+    // true repr doubles the content backslash, so the two escape layers
+    // decode independently — content b"{'k': 'it\'s'}" stores as
+    // b'{\'k\': \'it\\\'s\'}' and must recover the apostrophe
+    assert(norm("b'{\\'k\\': \\'it\\\\\\'s\\'}'") == """{"k": "it's"}""")
+  }
+
+  test("octal escapes decode with Python literal semantics") {
+    // \12 (octal 10 = \n) and \101 (octal 65 = 'A'); \0 is the 1-digit case
+    assert(norm("{'text': 'a\\12b'}") == """{"text": "a\nb"}""")
+    assert(norm("{'text': 'a\\101b'}") == """{"text": "aAb"}""")
+    assert(norm("{'text': 'a\\0b'}") == "{\"text\": \"a\\u0000b\"}")
+    // octal digits stop at 3; the 4th is a literal character
+    assert(norm("{'text': '\\1017'}") == """{"text": "A7"}""")
+    // \8 is NOT octal: unknown escape keeps its backslash
+    assert(norm("{'text': 'a\\8b'}") == """{"text": "a\\8b"}""")
+    // bytes wrapper layer decodes octal too: b'{\'k\': \'\\101\'}'
+    assert(norm("b'{\\'k\\': \\'\\\\101\\'}'") == """{"k": "A"}""")
+  }
+
+  test("invalid literals pass through unchanged instead of corrupt JSON") {
+    // a hand-assembled repr whose unescaped apostrophe makes the literal
+    // ambiguous (ast.literal_eval would throw): b"{'k': 'it\'s'}" decodes
+    // to {'k': 'it's'} — unterminated token → original instance unchanged
+    for (s <- Seq("b\"{'k': 'it\\'s'}\"", "b\"{'k': 'it's'}\"", "{'k': 'it's'}",
+                  "{'unterminated", "[{'a': 'b")) {
+      val in = UTF8String.fromString(s)
+      assert(PyLiteralJson.normalize(in) eq in, s"input: $s")
+    }
   }
 
   test("non-triggering input passes through as the same instance") {
@@ -162,7 +191,25 @@ class PyLiteralJsonSpec extends SparkSpec {
       case VDict(kvs) => kvs.map { case (k, x) => s"${jsonStr(k)}: ${json(x)}" }.mkString("{", ", ", "}")
     }
 
+    // Python's str(bytes) repr: wrapper quote, backslash/quote/control
+    // escaping per byte (non-printables become \xNN)
+    def pyBytesRepr(content: String): String = {
+      val q = if (content.contains("'") && !content.contains("\"")) '"' else '\''
+      val b = new StringBuilder; b += 'b' += q
+      content.foreach {
+        case '\\' => b ++= "\\\\"
+        case c if c == q => b += '\\' += q
+        case '\n' => b ++= "\\n"
+        case '\r' => b ++= "\\r"
+        case '\t' => b ++= "\\t"
+        case c if c < ' ' || c > '~' => b ++= f"\\x${c.toInt}%02x"
+        case c => b += c
+      }
+      (b += q).toString
+    }
+
     var checked = 0
+    var checkedBytes = 0
     for (_ <- 0 until 500) {
       // force the reference's trigger shape: top level is a dict with a
       // single-quotable first key (or a list of such dicts)
@@ -173,9 +220,17 @@ class PyLiteralJsonSpec extends SparkSpec {
       if (repr.startsWith("{'") || repr.startsWith("[{'")) {
         checked += 1
         assert(norm(repr) == json(v), s"repr: $repr")
+        // bytes-wrapped variant: str(repr.encode()) — exact for ASCII
+        // content, where bytes↔chars is the identity
+        if (repr.forall(c => c >= ' ' && c <= '~' || c == '\n' || c == '\t')) {
+          checkedBytes += 1
+          val wrapped = pyBytesRepr(repr)
+          assert(norm(wrapped) == json(v), s"bytes repr: $wrapped")
+        }
       }
     }
     assert(checked > 300, s"only $checked triggering samples — generator broken")
+    assert(checkedBytes > 100, s"only $checkedBytes bytes-wrapped samples — generator broken")
   }
 
   test("SQL surface: py_json_normalize registered") {

@@ -249,6 +249,15 @@ class SourcesStreamingSpec extends SparkSpec {
     }
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
     assert(RowGroupResume.lastImported(fs, s"$root/track", file) == 3) // 2 batches × 2 groups
+    // stray files in the marker dir (editor temps, copy-tool leftovers)
+    // must be ignored, not throw and wedge resume
+    val mDir = new java.io.File(s"$root/track").listFiles().head
+    for (stray <- Seq("rg-tmp", "rg-12abc", "rg-", "_SUCCESS"))
+      new java.io.File(mDir, stray).createNewFile()
+    assert(RowGroupResume.lastImported(fs, s"$root/track", file) == 3)
+    // re-recording an already-recorded marker (crash-replay) is a no-op
+    RowGroupResume.recordProgress(fs, s"$root/track", file, 3)
+    assert(RowGroupResume.lastImported(fs, s"$root/track", file) == 3)
     val (resumeAt, total) = RowGroupResume.progress(spark, s"$root/track", file)
     assert(resumeAt == 3 && total == groups.size)
 
