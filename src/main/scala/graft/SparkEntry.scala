@@ -218,6 +218,15 @@ object SparkEntry {
           col("n_customers"), col("sum_acctbal"))
     },
     "q19_registry_sync" -> q { (s, dir) => Registry.syncAll(s, dir) },
+    "q39_typed_sync" -> q { (s, dir) =>
+      // registry sync with per-table JSONB cleaning (db.py:45 JSON_COLUMNS +
+      // db.py:261-282 clean_jsonb_data): the synced events state lands with
+      // props as a TYPED struct, not a JSON string — the flattened typed
+      // field below only exists because from_json succeeded on every row
+      Registry.currentStateTyped(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("event_type"), col("props.k").as("prop_k"))
+    },
     "q33_node_merge" -> q { (s, dir) =>
       // reference node MERGE (users.py:12, neo4j_queries.py:8-37): one node
       // table per label, latest property write wins. Two entity sources with
@@ -853,6 +862,11 @@ object SparkEntry {
         |UNION ALL SELECT 'lineitem', count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
         |UNION ALL SELECT 'orders', count(DISTINCT o_orderkey) FROM orders
         |UNION ALL SELECT 'supplier', count(DISTINCT s_suppkey) FROM supplier""".stripMargin,
+    "q39_typed_sync" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1""".stripMargin,
     "q33_node_merge" ->
       """WITH n AS (
         |  SELECT 'user' AS label, user_id AS node_key, event_type AS name, value AS score,

@@ -23,6 +23,17 @@ object Registry {
     "supplier" -> (Seq("s_suppkey"), Seq("s_suppkey")),
     "lineitem" -> (Seq("l_orderkey", "l_linenumber"), Seq("l_shipdate", "l_orderkey")))
 
+  /** Per-table JSONB cleaning config — the analog of the reference's
+    * JSON_COLUMNS list (db.py:45-51) consumed by clean_jsonb_data
+    * (db.py:261-282). The reference keeps one GLOBAL column-name list and
+    * its own TODO says "this should be a dict of table names to column
+    * names"; here it is that dict, and each column also carries the struct
+    * schema (as DDL) its cleaned JSON parses into, so a synced table lands
+    * with typed columns instead of raw JSON strings.
+    */
+  val jsonColumns: Map[String, Map[String, String]] = Map(
+    "events" -> Map("props" -> "k BIGINT"))
+
   def load(spark: SparkSession, dir: String, table: String): DataFrame =
     if (table == "events") Tables.events(spark, dir) else Tables.load(spark, dir, table)
 
@@ -30,6 +41,22 @@ object Registry {
   def currentState(spark: SparkSession, dir: String, table: String): DataFrame = {
     val (pk, ord) = syncTables(table)
     MergeOps.latestByKey(load(spark, dir, table), pk, ord)
+  }
+
+  /** Current state with the table's configured JSONB columns landed as
+    * TYPED structs: py_json_normalize repairs Python-literal payloads (the
+    * literal_eval branch of clean_jsonb_data), then from_json parses into
+    * the declared schema. Both are scan-stage expressions — no shuffle
+    * beyond the latest-wins merge itself.
+    */
+  def currentStateTyped(spark: SparkSession, dir: String, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    import org.apache.spark.sql.types.StructType
+    jsonColumns.getOrElse(table, Map.empty).foldLeft(currentState(spark, dir, table)) {
+      case (df, (c, ddl)) =>
+        df.withColumn(c,
+          from_json(graft.expressions.PyLiteralJson.pyJsonNormalize(col(c)), StructType.fromDDL(ddl)))
+    }
   }
 
   /** Sync summary across every registered table (one job per table; a real

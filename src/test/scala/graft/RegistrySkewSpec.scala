@@ -14,6 +14,22 @@ class RegistrySkewSpec extends SparkSpec {
     assert(out("customer") == Tables.customer(spark, sfDir).count())
   }
 
+  test("typed registry sync lands configured JSONB columns as structs") {
+    val typed = Registry.currentStateTyped(spark, sfDir, "events")
+    // the props column must be a STRUCT after sync, not a JSON string
+    val propsField = typed.schema("props")
+    assert(propsField.dataType.isInstanceOf[org.apache.spark.sql.types.StructType],
+      s"props should land typed, got ${propsField.dataType}")
+    // every current-state row parsed (strict JSON and Python-literal forms
+    // both repair through py_json_normalize → from_json)
+    val n = typed.count()
+    assert(n == Tables.events(spark, sfDir).select("user_id").distinct().count())
+    assert(typed.where(col("props.k").isNull).count() == 0, "no row may lose its payload")
+    // unconfigured tables pass through currentStateTyped unchanged
+    val cust = Registry.currentStateTyped(spark, sfDir, "customer")
+    assert(cust.schema == Registry.currentState(spark, sfDir, "customer").schema)
+  }
+
   test("salted aggregation equals plain aggregation") {
     val ev = Tables.events(spark, sfDir)
     val salted = Skew.saltedSumCount(ev, Seq("event_type"), "value", 8, Seq("event_id"))
