@@ -154,6 +154,46 @@ object JdbcUpsertSink {
   /** Default attempt budget — the reference's `stop_after_attempt(5)`. */
   val DefaultMaxAttempts = 5
 
+  /** Adaptive batch sizing — the reference's performance-manager feedback
+    * loop (`database/unified_performance.py:180-198` adjust_batch_size):
+    * when the trailing `window` batches average slower than `slowMs`,
+    * shrink 20% (the reference's exact factor), floored at `min`. The
+    * reference only ever shrinks; here the recovery direction exists too
+    * (grow 25% toward `max` when the trailing average is comfortably fast)
+    * because a Spark import is long-lived — a transient slow spell
+    * (deadlock storm, checkpoint stall) must not leave every later
+    * statement dribble-sized. Observations reset after each adjustment so
+    * the next decision is made from times measured at the NEW size.
+    */
+  final class AdaptiveBatchSizer(
+      initial: Int,
+      min: Int,
+      max: Int,
+      slowMs: Double = 3000.0,
+      fastMs: Double = 500.0,
+      window: Int = 5) extends Serializable {
+    require(min >= 1 && initial >= min && initial <= max, s"bad bounds: $min <= $initial <= $max")
+    private var current = initial
+    private var n = 0
+    private var sumMs = 0.0
+
+    def size: Int = current
+
+    /** Record one batch's wall time; returns the (possibly adjusted) size. */
+    def record(batchMs: Double): Int = {
+      n += 1
+      sumMs += batchMs
+      if (n >= window) {
+        val avg = sumMs / n
+        if (avg > slowMs) current = math.max(min, (current * 0.8).toInt)
+        else if (avg < fastMs) current = math.min(max, math.max(current + 1, (current * 1.25).toInt))
+        n = 0
+        sumMs = 0.0
+      }
+      current
+    }
+  }
+
   def write(
       df: DataFrame,
       table: String,
@@ -162,7 +202,9 @@ object JdbcUpsertSink {
       batchSize: Int,
       connect: () => Connection,
       maxAttempts: Int = DefaultMaxAttempts,
-      sleepMs: Long => Unit = Thread.sleep): Unit = {
+      sleepMs: Long => Unit = Thread.sleep,
+      adaptive: Boolean = false,
+      nanoTime: () => Long = () => System.nanoTime()): Unit = {
     val schema = df.schema
     val columns = schema.fieldNames.toSeq
     val effBatch = math.min(batchSize, maxRowsPerStatement(columns.size))
@@ -170,10 +212,20 @@ object JdbcUpsertSink {
     val ordIdx = schema.fieldIndex(orderingCol)
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
+        // per-partition sizer: each connection observes its own backend
+        val sizer =
+          if (adaptive) new AdaptiveBatchSizer(effBatch, math.max(1, effBatch / 8), effBatch)
+          else null
         var conn = connect()
         try {
           conn.setAutoCommit(false)
-          rows.grouped(effBatch).foreach { raw =>
+          val buf = new scala.collection.mutable.ArrayBuffer[Row](effBatch)
+          while (rows.hasNext) {
+            val want = if (sizer == null) effBatch else sizer.size
+            buf.clear()
+            while (rows.hasNext && buf.size < want) buf += rows.next()
+            val raw = buf.toSeq
+            val t0 = if (sizer == null) 0L else nanoTime()
             val batch = dedupBatch(raw, pkIdx, ordIdx)
             val sql = upsertSql(table, columns, pkColumns, orderingCol, batch.size)
             // each statement is retried with backoff on *transient* failures
@@ -202,6 +254,7 @@ object JdbcUpsertSink {
                   attempt += 1
               }
             }
+            if (sizer != null) sizer.record((nanoTime() - t0) / 1e6)
           }
         } finally conn.close()
       }

@@ -127,6 +127,49 @@ class JdbcUpsertSinkSpec extends SparkSpec {
     }
   }
 
+  test("AdaptiveBatchSizer: 20% shrink when slow, bounded growth when fast") {
+    val s = new JdbcUpsertSink.AdaptiveBatchSizer(100, 10, 100)
+    // five slow observations → one 20% reduction (the reference's factor)
+    for (_ <- 1 to 5) s.record(5000.0)
+    assert(s.size == 80)
+    // keeps shrinking while slow, floored at min
+    for (_ <- 1 to 50) s.record(5000.0)
+    assert(s.size == 10)
+    // recovery: fast observations grow 25% per window, capped at max
+    for (_ <- 1 to 5) s.record(100.0)
+    assert(s.size == 12)
+    for (_ <- 1 to 100) s.record(100.0)
+    assert(s.size == 100)
+    // in-between times leave the size alone
+    for (_ <- 1 to 10) s.record(1500.0)
+    assert(s.size == 100)
+  }
+
+  test("adaptive write shrinks batches under a slow backend and recovers after") {
+    // fake clock: the first 10 statements cost 5s each (slow spell), the
+    // rest 100ms. initial batch 16, floor 16/8 = 2.
+    GlobalAdaptiveModel.reset(slowStatements = 10, slowMsPerStmt = 5000, fastMsPerStmt = 100)
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val df = spark.range(400)
+      .select(col("id"), concat(lit("v"), col("id")).as("v"), col("id").as("updated_at"))
+      .coalesce(1)
+    JdbcUpsertSink.write(df, "t", Seq("id"), "updated_at", batchSize = 16,
+      connect = () => GlobalAdaptiveModel.connection(),
+      maxAttempts = 1, sleepMs = _ => (), adaptive = true,
+      nanoTime = () => GlobalAdaptiveModel.nowNs.get())
+    import scala.jdk.CollectionConverters._
+    val sizes = GlobalAdaptiveModel.sizes.asScala.toVector.map(_.toInt)
+    assert(sizes.sum == 400, "every row lands exactly once")
+    // deterministic trace: 16 → (slow window ×2) 12 → 9, then the fast
+    // phase grows 25%/window back to the configured cap: 11 → 13 → 16
+    assert(sizes.take(5) == Vector(16, 16, 16, 16, 16))
+    assert(sizes.min == 9, s"expected shrink to 9, trace: $sizes")
+    assert(sizes.slice(10, 15) == Vector(9, 9, 9, 9, 9))
+    assert(sizes.slice(15, 20) == Vector(11, 11, 11, 11, 11))
+    assert(sizes.indexOf(9) < sizes.lastIndexOf(16), "size must recover after the slow spell")
+    assert(sizes.drop(25).init.forall(_ == 16), s"recovered tail should run at the cap: $sizes")
+  }
+
   test("deadlock storm: N transient failures then success commits exactly once") {
     GlobalFlakyModel.reset(failures = 3,
       () => new SQLException("deadlock detected", "40P01"))
@@ -190,6 +233,48 @@ class JdbcUpsertSinkSpec extends SparkSpec {
     }
     assert(GlobalFlakyModel.executeAttempts.get == 3) // exactly maxAttempts
     assert(GlobalFlakyModel.table.isEmpty)
+  }
+}
+
+/** Fake-clock sink model for the adaptive-sizing spec: each executeUpdate
+  * records the statement's row count and advances the clock by a scheduled
+  * per-statement cost (slow spell first, then fast).
+  */
+object GlobalAdaptiveModel {
+  val nowNs = new java.util.concurrent.atomic.AtomicLong(0L)
+  val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+  private val stmts = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile private var slowN = 0
+  @volatile private var slowCost = 0L
+  @volatile private var fastCost = 0L
+
+  def reset(slowStatements: Int, slowMsPerStmt: Long, fastMsPerStmt: Long): Unit = {
+    nowNs.set(0L); sizes.clear(); stmts.set(0)
+    slowN = slowStatements; slowCost = slowMsPerStmt; fastCost = fastMsPerStmt
+  }
+
+  def connection(): Connection = {
+    val binds = new java.util.concurrent.atomic.AtomicInteger(0)
+    Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[Connection]),
+      new InvocationHandler {
+        def invoke(proxy: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "prepareStatement" =>
+            Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[PreparedStatement]),
+              new InvocationHandler {
+                def invoke(p2: Any, m2: Method, a2: Array[AnyRef]): AnyRef = m2.getName match {
+                  case n if n.startsWith("set") && a2 != null && a2.length >= 2 =>
+                    binds.incrementAndGet(); null
+                  case "executeUpdate" =>
+                    sizes.add(binds.getAndSet(0) / 3) // 3 columns per row
+                    val k = stmts.incrementAndGet()
+                    nowNs.addAndGet((if (k <= slowN) slowCost else fastCost) * 1000000L)
+                    Integer.valueOf(1)
+                  case _ => null
+                }
+              }).asInstanceOf[PreparedStatement]
+          case _ => null
+        }
+      }).asInstanceOf[Connection]
   }
 }
 
