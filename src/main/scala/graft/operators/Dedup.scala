@@ -40,28 +40,45 @@ object Dedup {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
     // Iterative plans MUST cut lineage each pass: persist() caches data but
     // the logical plan still nests — by iteration n the plan TREE (and every
     // explain/UI string Spark renders of it) grows exponentially, and the
     // driver burns minutes stringifying plans before running 100ms jobs.
     // localCheckpoint(eager) materializes AND truncates the plan to a leaf.
-    // (Cluster-prod variant: reliable checkpoint dir for executor-loss
-    // recovery; same structure.)
+    //
+    // `checkpointDir` selects the cluster-prod variant: RELIABLE
+    // checkpoints against a real (HDFS/object-store) directory. A local
+    // checkpoint pins blocks to the executors that computed them — lose one
+    // executor mid-loop at 100 TB and the whole job dies; a reliable
+    // checkpoint survives executor loss at the cost of a distributed-FS
+    // write per iteration. Same loop either way (checkpoint files are
+    // reclaimed by Spark's ContextCleaner with
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true, else at app
+    // end).
+    val useReliable = checkpointDir.isDefined
+    checkpointDir.foreach { d =>
+      val sc = pairs.sparkSession.sparkContext
+      if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+    }
+    def ckpt(df: DataFrame, eager: Boolean): DataFrame =
+      if (useReliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+    // reliable checkpoints hold no block-manager blocks; only local ones
+    // need the explicit release
+    def release(df: DataFrame): Unit =
+      if (!useReliable) org.apache.spark.sql.graft.ColumnBridge.unpersistLocalCheckpoint(df)
     // materialize the pair generator ONCE: the symmetrization union would
     // otherwise evaluate the (possibly expensive — LSH band join) upstream
     // plan twice, doubling the cost of the whole operator
-    val p = pairs
-      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .localCheckpoint(true)
-    val sym = p
+    val p = ckpt(pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")), true)
+    val sym = ckpt(p
       .union(p.select(col("v").as("u"), col("u").as("v")))
-      .distinct()
-      .localCheckpoint(true)
-    org.apache.spark.sql.graft.ColumnBridge.unpersistLocalCheckpoint(p)
-    var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+      .distinct(), true)
+    release(p)
+    var labels = ckpt(sym.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")), true)
     var iter = 0
     var converged = false
     // previous iteration's checkpoint blocks, released once the next
@@ -78,7 +95,7 @@ object Dedup {
         .select(
           col("node"), col("label").as("prev"),
           least(col("label"), coalesce(col("nlab"), col("label"))).as("label"))
-        .localCheckpoint(false) // lazy: materializes once at the convergence action
+        .transform(d => ckpt(d, false)) // lazy: materializes once at the convergence action
       // pointer jumping: replace each label by ITS current label (labels are
       // always node ids, so self-join resolves one chain hop) — iterations
       // drop from O(diameter) to O(log diameter). The prev label rides along
@@ -91,19 +108,18 @@ object Dedup {
           col("node"),
           coalesce(col("ll"), col("label")).as("label"),
           (coalesce(col("ll"), col("label")) =!= col("prev")).as("changed"))
-        .localCheckpoint(true)
+        .transform(d => ckpt(d, true))
       converged = next.where(col("changed")).isEmpty
       // next is materialized: the previous iteration's label blocks and this
       // iteration's intermediate propagation blocks are dead weight — without
       // this, storage grows O(iterations × |pairs|) until RDD GC
-      import org.apache.spark.sql.graft.ColumnBridge
-      ColumnBridge.unpersistLocalCheckpoint(propagated)
-      ColumnBridge.unpersistLocalCheckpoint(prevCkpt)
+      release(propagated)
+      release(prevCkpt)
       prevCkpt = next
       labels = next.select(col("node"), col("label"))
       iter += 1
     }
-    org.apache.spark.sql.graft.ColumnBridge.unpersistLocalCheckpoint(sym)
+    release(sym)
     labels.select(col("node").as("node_id"), col("label").as("cluster_id"))
   }
 

@@ -119,6 +119,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: reliable-checkpoint mode yields identical labels") {
+    // the cluster-prod variant (real checkpoint dir, survives executor
+    // loss) must be the SAME algorithm — compare label maps exactly on a
+    // graph that needs several pointer-jumping iterations
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val pairs = (1L until 40L).map(i => (i, i + 1)) ++ Seq((100L, 101L), (200L, 201L), (201L, 202L))
+    val df = pairs.toDF("a", "b")
+    val local = Dedup.connectedComponents(df, "a", "b").as[(Long, Long)].collect().toMap
+    val reliable = Dedup.connectedComponents(df, "a", "b", checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == local)
+    assert(local.values.toSet == Set(1L, 100L, 200L))
+    // the reliable run actually wrote checkpoint files to the dir
+    def anyFile(f: java.io.File): Boolean =
+      f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
+    assert(anyFile(new java.io.File(dir)), "reliable mode must checkpoint to the real dir")
+  }
+
   test("mergeNodes keeps the latest property write per (label, key)") {
     import graft.operators.GraphOps
     val nodes = Seq(
