@@ -26,8 +26,9 @@ object Bench {
     "d01_dedup_exact", "d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
     "d06_dedup_clusters", "d07_embed_neardup_lsh", "d08_dedup_incremental",
     "s01_ann_brute", "s02_ann_lsh", "s03_ann_ivf",
-    "t01_langid", "t02_quality", "t04_fingerprint", "t05_normalize",
-    "t06_stratified_sample", "t07_cap_per_source", "t08_contamination", "t09_repetition")
+    "t01_langid", "t02_quality", "t03_tokens", "t04_fingerprint", "t05_normalize",
+    "t06_stratified_sample", "t07_cap_per_source", "t08_contamination", "t09_repetition",
+    "t10_pii_redact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,7 +61,10 @@ object Bench {
       System.err.println(f"[bench] pass$pass $name $dt%.2fs")
       dt
     }
-    val names = headline.filter(qs.contains)
+    // optional first arg: comma-separated query names — isolated runs for
+    // variance triage (the driver always runs the full headline list)
+    val names0 = headline.filter(qs.contains)
+    val names = if (args.nonEmpty) names0.filter(args(0).split(',').toSet) else names0
     // untimed warmup at the smallest SF: pays Janino codegen + C2 JIT for
     // every query's generated classes outside the measured window (the
     // plans and generated code are data-size independent)

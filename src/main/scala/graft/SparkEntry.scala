@@ -662,6 +662,33 @@ object SparkEntry {
         .groupBy(col("media_id"))
         .agg(max(col("n_frames")).cast("long").as("n_frames"), count(lit(1)).as("n_sampled"))
     },
+    "t10_pii_redact" -> q { (s, dir) =>
+      // PII scrubbing — the redaction pass a training corpus runs before
+      // anything downstream sees the text. The synthetic corpus carries no
+      // PII, so deterministic e-mails/phones/IPs are injected from doc_id
+      // arithmetic (the m04 closed-form-generator trick): the oracle
+      // re-derives the same injection, so the regex redaction itself is
+      // what gets cross-checked. One codegen scan pass, no shuffle.
+      val injected = Tables.documents(s, dir).select(
+        col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" contact u"), col("doc_id").cast("string"), lit("@example.com now")))
+          .when(pmod(col("doc_id"), lit(5)) === 1,
+            concat(lit(" call 1-555-010-"),
+              lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"), lit(" today")))
+          .when(pmod(col("doc_id"), lit(5)) === 2,
+            concat(lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+              lit("."), pmod(col("doc_id"), lit(100)).cast("string"), lit(" logged")))
+          .otherwise(lit(""))).as("text"))
+      val counts = TextFns.piiCounts(col("text"))
+      injected.select(
+        col("doc_id"),
+        TextFns.redactPii(col("text")).as("clean_text"),
+        counts("n_emails").as("n_emails"),
+        counts("n_phones").as("n_phones"),
+        counts("n_ips").as("n_ips"))
+    },
     "t09_repetition" -> q { (s, dir) =>
       // Gopher-style repetition signals — the filters an LLM corpus applies
       // alongside quality scoring (t02): duplicate-token fraction and
@@ -1095,6 +1122,32 @@ object SparkEntry {
         |SELECT kind, count(*) AS n_media, CAST(sum(payload_bytes) AS BIGINT) AS total_bytes,
         |       round(avg(n_frames), 4) AS avg_frames, round(avg(mean_luma), 4) AS avg_luma
         |FROM f GROUP BY kind""".stripMargin,
+    // same injection arithmetic as the Spark side; regexes are in the
+    // Java/RE2-common subset so both engines match byte-identically
+    "t10_pii_redact" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |         text || CASE CAST(doc_id % 5 AS INTEGER)
+        |           WHEN 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |           WHEN 1 THEN ' call 1-555-010-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' today'
+        |           WHEN 2 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) || ' logged'
+        |           ELSE '' END AS text
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, text,
+        |         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g') AS no_mail
+        |  FROM inj),
+        |c AS (
+        |  SELECT *, regexp_replace(no_mail, '([0-9]{1,3}\.){3}[0-9]{1,3}', ' ', 'g') AS no_ip FROM b)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(no_ip, '\+?[0-9][0-9 -]{7,}[0-9]')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(no_mail, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips
+        |FROM c""".stripMargin,
     "t09_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -137,6 +137,42 @@ object TextFns {
     trim(regexp_replace(lower(noCtl), "  +", " "))
   }
 
+  /** PII patterns shared by [[redactPii]] and [[piiCounts]] — kept to the
+    * Java/RE2-common regex subset (no lookaround, no backrefs) so a SQL
+    * oracle evaluates them byte-identically.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhonePattern = "\\+?[0-9][0-9 -]{7,}[0-9]"
+
+  /** PII redaction — the scrub a training corpus runs before anything else
+    * sees the text: e-mails, IPv4 addresses, and phone-shaped digit runs
+    * are replaced with typed placeholder tokens. Order matters and is
+    * fixed: e-mails first (they contain dotted digit runs), then IPs (dots
+    * block the phone pattern from crossing them), then phones. A codegen
+    * `regexp_replace` chain — one scan pass, no UDF.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /** Per-kind PII match counts, mirroring [[redactPii]]'s replacement order
+    * exactly: IPs are counted on e-mail-blanked text and phones on
+    * e-mail-and-IP-blanked text, so a digit run inside an e-mail can never
+    * double-count as a phone.
+    */
+  def piiCounts(text: Column): Map[String, Column] = {
+    val noMail = regexp_replace(text, EmailPattern, " ")
+    val noIp = regexp_replace(noMail, Ipv4Pattern, " ")
+    Map(
+      "n_emails" -> regexp_count(text, lit(EmailPattern)).cast("long"),
+      "n_ips" -> regexp_count(noMail, lit(Ipv4Pattern)).cast("long"),
+      "n_phones" -> regexp_count(noIp, lit(PhonePattern)).cast("long"))
+  }
+
   /** How many normalization-target tokens the raw text carried (markup,
     * URLs, e-mails) — a cheap data-quality signal alongside [[normalize]].
     */

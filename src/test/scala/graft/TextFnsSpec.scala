@@ -118,6 +118,24 @@ class TextFnsSpec extends SparkSpec {
     assert(kernel.toSeq == declarative.toSeq)
   }
 
+  test("redactPii replaces emails, IPs, and phone runs with typed tokens") {
+    def red(s: String): (String, Long, Long, Long) = {
+      val df = Seq(s).toDF("text")
+      val counts = TextFns.piiCounts(col("text"))
+      df.select(TextFns.redactPii(col("text")).as("r"),
+          counts("n_emails"), counts("n_phones"), counts("n_ips"))
+        .as[(String, Long, Long, Long)].head()
+    }
+    assert(red("mail a.b+c@ex-1.org or b@x.io now") == (("mail <EMAIL> or <EMAIL> now", 2L, 0L, 0L)))
+    assert(red("call +1 555-010-99 asap") == (("call <PHONE> asap", 0L, 1L, 0L)))
+    assert(red("from 192.168.0.1 port 80") == (("from <IP> port 80", 0L, 0L, 1L)))
+    // order: the IP's digit runs must not leak into a phone match, and a
+    // digit-heavy email local part must not count as a phone
+    assert(red("x 10.0.0.1 y 1-555-010-42 z") == (("x <IP> y <PHONE> z", 0L, 1L, 1L)))
+    assert(red("d 1234567890@spam.example e") == (("d <EMAIL> e", 1L, 0L, 0L)))
+    assert(red("clean text stays clean") == (("clean text stays clean", 0L, 0L, 0L)))
+  }
+
   test("normalize strips markup/URLs/emails/control chars, folds case, collapses whitespace") {
     def norm(s: String): (String, Long) =
       Seq(s).toDF("text")
