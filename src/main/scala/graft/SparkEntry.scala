@@ -388,6 +388,15 @@ object SparkEntry {
     "d05_embed_neardup" -> q { (s, dir) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.35)
     },
+    "s05_range_search" -> q { (s, dir) =>
+      // range (threshold) similarity search: all corpus vectors within
+      // cos >= 0.35 of each query — banded corpus scan + broadcast banded
+      // queries, corpus never shuffles; oracle is the brute-force scan,
+      // which doubles as a 100%-recall assertion (d07's trick)
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshRangeSearch(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
+        minCosine = 0.35, dim = 64)
+    },
     "d07_embed_neardup_lsh" -> q { (s, dir) =>
       // bucketed scale path: LSH band candidates + exact cosine re-rank;
       // same oracle as d05 — banding recall must be (and is) 1.0 here
@@ -961,6 +970,16 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT a, b, round(dot/(sqrt(na)*sqrt(nb)), 4) AS cos
         |FROM p WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.35""".stripMargin,
+    "s05_range_search" ->
+      """WITH p AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.embedding, c.embedding), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE))) AS dot,
+        |    list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nq,
+        |    list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nc
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 8)
+        |SELECT q_id, neighbor_id, round(dot/(sqrt(nq)*sqrt(nc)), 4) AS cos
+        |FROM p WHERE dot/(sqrt(nq)*sqrt(nc)) >= 0.35""".stripMargin,
     // d07 is the bucketed scale path for the same contract: the all-pairs
     // oracle doubles as a 100%-recall assertion on the LSH candidates
     "d07_embed_neardup_lsh" ->

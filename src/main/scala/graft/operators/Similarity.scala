@@ -142,4 +142,60 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("q_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("rank"))
   }
+
+  /** Range similarity search over LSH buckets: EVERY corpus vector with
+    * cosine ≥ `minCosine` of each query — the retrieval contract a
+    * blocklist screen or kNN-graph expansion needs, where top-k would
+    * silently truncate the answer set.
+    *
+    * Shape at 100 TB: the corpus side is banded scan-side (signature is
+    * one codegen pass; only (band, id, sig) enters the join — vectors stay
+    * home) and the QUERY side is banded and broadcast, so the corpus never
+    * shuffles — the s01/t08 broadcast pattern applied to banding. A pair
+    * colliding in k bands is kept once by the same stateless
+    * first-matching-band XOR filter as the d07 pair path (no distinct over
+    * the collision volume); survivors re-join the corpus vectors once for
+    * the exact cosine re-rank. Full recall needs d07's operating point
+    * (2-bit × 32 bands at cos ≥ 0.35 ⇒ per-pair miss ≈ 3e-7); the driver
+    * oracle — brute force over the query set — doubles as the recall
+    * assertion, exactly like d07's.
+    */
+  def lshRangeSearch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      dim: Int,
+      bandBits: Int = 2,
+      nBands: Int = 32): DataFrame = {
+    val bits = bandBits * nBands
+    require(bits >= 1 && bits <= 64, s"signature must pack into one long, got $bits bits")
+    val mask = (1L << bandBits) - 1
+    def banded(df: DataFrame, id: String, sig: String): DataFrame =
+      df.select(col(idCol).as(id), hyperplaneSig(col(vecCol), bits, dim).as(sig))
+        .select(col(id), col(sig),
+          explode(array((0 until nBands).map(j =>
+            struct(lit(j).as("j"),
+              shiftrightunsigned(col(sig), j * bandBits).bitwiseAND(lit(mask)).as("v"))): _*)).as("band"))
+    // first-matching-band filter (see Dedup.hyperplaneCandidates): marker
+    // bit (bandBits·j) of `zeros` is set iff band j matches; a row survives
+    // iff no band below its own matched
+    val groupBits = (0 until nBands).map(j => 1L << (bandBits * j))
+    val earlierMasks = groupBits.map(_ - 1L)
+    val x = col("qs").bitwiseXOR(col("cs"))
+    val folded = (0 until bandBits).map(s => shiftrightunsigned(x, s)).reduce(_ bitwiseOR _)
+    val zeros = bitwise_not(folded).bitwiseAND(lit(groupBits.sum))
+    val cand = banded(corpus, "neighbor_id", "cs")
+      .join(broadcast(banded(queries, "q_id", "qs")), Seq("band"))
+      .where(col("q_id") =!= col("neighbor_id"))
+      .where(zeros.bitwiseAND(element_at(typedlit(earlierMasks), col("band").getField("j") + 1)) === lit(0L))
+      .select(col("q_id"), col("neighbor_id"))
+    cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))), Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .where(col("cos") >= lit(minCosine))
+      .select(col("q_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
 }

@@ -126,20 +126,31 @@ object RowGroupResume {
   /** Import `file` into `sink` in row-group-aligned batches of
     * `groupsPerBatch`, resuming after the last recorded batch. Returns the
     * number of batches actually imported this invocation.
+    *
+    * `shouldStop` is the reference's graceful-shutdown check
+    * (`SHUTDOWN_EVENT` polled between steps, `db.py:54-56`
+    * sleep_or_raise_shutdown): consulted between batches, so a stop lands
+    * on a batch boundary — progress markers are already on disk and a
+    * later invocation resumes exactly where this one stopped. Mid-batch
+    * retry sleeps can abort the same way by throwing from the sink's
+    * injectable `sleepMs`.
     */
   def importFull(
       spark: SparkSession,
       file: String,
       trackingDir: String,
       groupsPerBatch: Int,
-      sink: DataFrame => Unit): Int = {
+      sink: DataFrame => Unit,
+      shouldStop: () => Boolean = () => false): Int = {
     require(groupsPerBatch > 0)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(trackingDir).getFileSystem(conf)
     val groups = rowGroups(conf, file)
     val start = lastImported(fs, trackingDir, file) + 1
     var imported = 0
-    groups.drop(start).grouped(groupsPerBatch).foreach { batch =>
+    val it = groups.drop(start).grouped(groupsPerBatch)
+    while (it.hasNext && !shouldStop()) {
+      val batch = it.next()
       sink(groupRange(spark, file, groups, batch.head.index, batch.last.index))
       // progress lands only after the sink committed: the crash window
       // replays the in-flight batch (idempotent under the upsert guard)

@@ -117,6 +117,33 @@ class PlanSpec extends SparkSpec {
       "events must be scanned once (conditional sum), not twice:\n" + p)
   }
 
+  test("s05: banded queries broadcast — the corpus is never shuffle-joined") {
+    val p = plan("s05_range_search")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "range search must not shuffle the corpus:\n" + p)
+  }
+
+  test("q39: typed sync is one latest-wins shuffle; JSON parses survivors only") {
+    val p = plan("q39_typed_sync")
+    // struct max is a SortAggregate; what matters is the map-side partial
+    // before the single key shuffle
+    assert(p.contains("partial_max"), "no map-side partial aggregate:\n" + p)
+    assert("Exchange".r.findAllIn(p).length <= 2, "extra shuffles:\n" + p)
+    // the typed parse sits ABOVE the aggregate: one from_json per surviving
+    // row per key, not per raw input row
+    assert(p.indexOf("py_json_normalize") < p.indexOf("SortAggregate"),
+      "JSON parse should apply to merge survivors:\n" + p)
+    assert(!p.contains("BatchEvalPython"), p)
+  }
+
+  test("t10: PII redaction is a zero-shuffle codegen scan pass") {
+    val p = plan("t10_pii_redact")
+    assert(!p.contains("Exchange"), "redaction must not shuffle:\n" + p)
+    assert(p.contains("*("), "no codegen stages:\n" + p)
+    assert(!p.contains("lambdafunction"), "interpreted lambda in hot path:\n" + p)
+  }
+
   test("q24: SCD2 derivation is one shuffle + one sort (window over key)") {
     val p = plan("q24_scd2_intervals")
     assert(p.contains("Window"), p)

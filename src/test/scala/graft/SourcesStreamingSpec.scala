@@ -272,6 +272,20 @@ class SourcesStreamingSpec extends SparkSpec {
     // fully imported → nothing left
     assert(RowGroupResume.importFull(spark, file, s"$root/track", 2,
       _ => fail("no batch expected")) == 0)
+
+    // graceful shutdown: stop lands on a batch boundary, resume completes
+    val stopped = scala.collection.mutable.Set[Long]()
+    var delivered = 0
+    val b3 = RowGroupResume.importFull(spark, file, s"$root/track_stop", 2,
+      df => { stopped ++= ids(df); delivered += 1 },
+      shouldStop = () => delivered >= 2)
+    assert(b3 == 2, "stop must land after the second batch")
+    val rest = scala.collection.mutable.Set[Long]()
+    RowGroupResume.importFull(spark, file, s"$root/track_stop", 2,
+      df => { rest ++= ids(df); () })
+    assert(stopped.intersect(rest).isEmpty, "resume after stop must not replay")
+    assert(stopped.toSet ++ rest.toSet == oneShot.toSet,
+      "stop + resume must equal the one-shot import exactly")
   }
 
   test("end-to-end: chunked full import → flaky upsert sink → crash → resume") {
