@@ -52,6 +52,85 @@ object JdbcUpsertSink {
 
   def quoteIdent(name: String): String = "\"" + name.replace("\"", "\"\"") + "\""
 
+  /** Spark type → Postgres column type, the mapping the reference's schema
+    * files hand-write per table (`schema/NNN_*.sql`: bigint/text/bytea/
+    * timestamp/jsonb/bigint[]...). Nested structs and maps land as jsonb —
+    * the reference stores exactly those columns as jsonb too.
+    */
+  def pgType(dt: DataType): String = dt match {
+    case LongType             => "bigint"
+    case IntegerType          => "integer"
+    case ShortType | ByteType => "smallint"
+    case DoubleType           => "double precision"
+    case FloatType            => "real"
+    case BooleanType          => "boolean"
+    case StringType           => "text"
+    case TimestampType        => "timestamp without time zone"
+    case DateType             => "date"
+    case BinaryType           => "bytea"
+    case d: DecimalType       => s"numeric(${d.precision},${d.scale})"
+    case ArrayType(e, _) => e match {
+      case _: StructType | _: MapType | _: ArrayType => "jsonb" // nested: no clean PG array
+      case _ => s"${pgType(e)}[]"
+    }
+    case _                    => "jsonb"
+  }
+
+  /** Target-table bootstrap DDL from the DataFrame schema — the reference
+    * ships hand-written `CREATE TABLE IF NOT EXISTS` files per table
+    * (`schema/001_*.sql` etc., applied by `init_db`); a Spark-first sink
+    * derives the same thing from the schema it is about to write.
+    * Idempotent (`IF NOT EXISTS`), NOT NULL from field nullability (pk
+    * columns are always NOT NULL), plus an index on the ordering column —
+    * the `WHERE excluded.ord >= t.ord` guard reads it on every conflict.
+    */
+  def createTableSql(
+      table: String,
+      schema: StructType,
+      pkColumns: Seq[String],
+      orderingCol: String): Seq[String] = {
+    require(pkColumns.nonEmpty && pkColumns.forall(schema.fieldNames.contains))
+    val cols = schema.fields.map { f =>
+      val notNull = if (!f.nullable || pkColumns.contains(f.name)) " NOT NULL" else ""
+      s"    ${quoteIdent(f.name)} ${pgType(f.dataType)}$notNull"
+    }
+    val pk = s"    PRIMARY KEY (${pkColumns.map(quoteIdent).mkString(", ")})"
+    val baseName = table.split('.').last
+    Seq(
+      s"CREATE TABLE IF NOT EXISTS ${quoteQualified(table)} (\n" +
+        (cols :+ pk).mkString(",\n") + "\n)",
+      s"CREATE INDEX IF NOT EXISTS ${quoteIdent(s"idx_${baseName}_$orderingCol")} " +
+        s"ON ${quoteQualified(table)} (${quoteIdent(orderingCol)})")
+  }
+
+  /** The reference's `parquet_import_tracking` bookkeeping table
+    * (`schema/000_00_all_parquet_import_tracking.sql`): same columns and
+    * indexes, collapsed to the post-migration shape (the reference's DO $$
+    * blocks only retrofit these onto pre-existing deployments).
+    */
+  def trackingTableSql(schemaName: String): Seq[String] = {
+    val t = s"$schemaName.parquet_import_tracking"
+    Seq(
+      s"CREATE TABLE IF NOT EXISTS ${quoteQualified(t)} (\n" +
+        """    "id" bigint GENERATED BY DEFAULT AS IDENTITY PRIMARY KEY,
+          |    "table_name" text NOT NULL,
+          |    "file_name" text UNIQUE,
+          |    "file_type" text NOT NULL,
+          |    "file_version" text NOT NULL,
+          |    "file_duration_s" integer NOT NULL,
+          |    "is_empty" boolean,
+          |    "end_timestamp" timestamp without time zone,
+          |    "last_row_group_imported" integer,
+          |    "total_row_groups" integer NOT NULL,
+          |    "completed" boolean DEFAULT FALSE,
+          |    "backfill" boolean DEFAULT FALSE
+          |)""".stripMargin,
+      s"""CREATE INDEX IF NOT EXISTS "idx_parquet_import_tracking_table_name" ON ${quoteQualified(t)} ("table_name")""",
+      s"""CREATE INDEX IF NOT EXISTS "idx_parquet_import_tracking_table_name_and_version" ON ${quoteQualified(t)} ("table_name", "file_version", "file_duration_s")""",
+      s"""CREATE INDEX IF NOT EXISTS "idx_parquet_import_tracking_file_type" ON ${quoteQualified(t)} ("file_type")""",
+      s"""CREATE INDEX IF NOT EXISTS "idx_parquet_import_tracking_end_timestamp" ON ${quoteQualified(t)} ("end_timestamp")""")
+  }
+
   /** Quote a possibly schema-qualified name part-by-part (`s.t` → `"s"."t"`). */
   def quoteQualified(name: String): String =
     name.split('.').map(quoteIdent).mkString(".")

@@ -127,6 +127,42 @@ class JdbcUpsertSinkSpec extends SparkSpec {
     }
   }
 
+  test("createTableSql derives the reference's DDL shapes from a Spark schema") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("hash", BinaryType, nullable = false),
+      StructField("text", StringType),
+      StructField("score", DoubleType),
+      StructField("ts", TimestampType, nullable = false),
+      StructField("mentions", ArrayType(LongType)),
+      StructField("embeds", StructType(Seq(StructField("k", LongType)))),
+      StructField("updated_at", LongType, nullable = false)))
+    val ddl = JdbcUpsertSink.createTableSql("public.casts", schema, Seq("id"), "updated_at")
+    assert(ddl.head ==
+      """CREATE TABLE IF NOT EXISTS "public"."casts" (
+        |    "id" bigint NOT NULL,
+        |    "hash" bytea NOT NULL,
+        |    "text" text,
+        |    "score" double precision,
+        |    "ts" timestamp without time zone NOT NULL,
+        |    "mentions" bigint[],
+        |    "embeds" jsonb,
+        |    "updated_at" bigint NOT NULL,
+        |    PRIMARY KEY ("id")
+        |)""".stripMargin)
+    assert(ddl(1) ==
+      """CREATE INDEX IF NOT EXISTS "idx_casts_updated_at" ON "public"."casts" ("updated_at")""")
+    // every statement idempotent; tracking table mirrors the reference's
+    // columns (post-migration shape) and its four indexes
+    val tracking = JdbcUpsertSink.trackingTableSql("public")
+    assert(tracking.forall(_.contains("IF NOT EXISTS")))
+    assert(tracking.size == 5)
+    for (c <- Seq("table_name", "file_name", "file_type", "file_version", "file_duration_s",
+                  "is_empty", "end_timestamp", "last_row_group_imported", "total_row_groups",
+                  "completed", "backfill"))
+      assert(tracking.head.contains("\"" + c + "\""), s"tracking DDL missing $c")
+  }
+
   test("AdaptiveBatchSizer: 20% shrink when slow, bounded growth when fast") {
     val s = new JdbcUpsertSink.AdaptiveBatchSizer(100, 10, 100)
     // five slow observations → one 20% reduction (the reference's factor)
