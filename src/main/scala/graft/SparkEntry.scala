@@ -671,6 +671,28 @@ object SparkEntry {
         .groupBy(col("media_id"))
         .agg(max(col("n_frames")).cast("long").as("n_frames"), count(lit(1)).as("n_sampled"))
     },
+    "t11_curation" -> q { (s, dir) =>
+      // END-TO-END corpus curation — the composed pipeline a training-data
+      // user actually runs, each stage an operator oracle-proven alone:
+      // normalize (t05) → min-token quality gate (t03) → exact dedup
+      // keeping the lowest-id canonical per normalized text (d01) →
+      // deterministic per-language downsample (t06). Plan: one scan pass
+      // for normalize+gate+tokens, ONE shuffle for the dedup argmin, and
+      // the sample filter applies above it — nothing else moves.
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), TextFns.normalize(col("text")).as("norm_text"))
+        .select(col("doc_id"), col("lang"), col("norm_text"),
+          size(TextFns.tokens(col("norm_text"))).cast("long").as("n_tokens"))
+        .where(col("n_tokens") >= 5)
+      val canon = toks
+        .groupBy(col("norm_text"))
+        .agg(min(struct(col("doc_id"), col("lang"), col("n_tokens"))).as("m"))
+        .select(col("m.doc_id").as("doc_id"), col("m.lang").as("lang"),
+          col("m.n_tokens").as("n_tokens"))
+      Sampling.stratifiedSample(canon, col("lang"), col("doc_id"),
+          ratePercent = Map("en" -> 30), defaultPercent = 100)
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+    },
     "t10_pii_redact" -> q { (s, dir) =>
       // PII scrubbing — the redaction pass a training corpus runs before
       // anything downstream sees the text. The synthetic corpus carries no
@@ -778,6 +800,21 @@ object SparkEntry {
     * Ops whose semantics SQL can't express (hash-pipeline internals) are
     * omitted → driver records a rows-only check.
     */
+
+  /** The exact regexp chain of TextFns.normalize, in the Java/RE2-common
+    * subset, with DuckDB's 'g' flag — shared by the t05 and t11 oracles.
+    */
+  private val NormalizeSql: String =
+    """trim(regexp_replace(lower(
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(text, '<[^>]*>', ' ', 'g'),
+      |        'https?://[^ \t\n\r]+', ' ', 'g'),
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+      |    '[\x00-\x1f]', ' ', 'g')),
+      |  '  +', ' ', 'g'))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_latest_wins" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
@@ -1225,24 +1262,25 @@ object SparkEntry {
         |       CAST(list_max(smp) AS INTEGER) AS max_sample
         |FROM s""".stripMargin,
     "t05_normalize" -> {
-      // the exact regexp chain of TextFns.normalize, in the Java/RE2-common
-      // subset, with DuckDB's 'g' flag
-      val norm =
-        """trim(regexp_replace(lower(
-          |  regexp_replace(
-          |    regexp_replace(
-          |      regexp_replace(
-          |        regexp_replace(text, '<[^>]*>', ' ', 'g'),
-          |        'https?://[^ \t\n\r]+', ' ', 'g'),
-          |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
-          |    '[\x00-\x1f]', ' ', 'g')),
-          |  '  +', ' ', 'g'))""".stripMargin
+      val norm = NormalizeSql
       s"""SELECT doc_id, norm_text,
          |  CAST(len(regexp_extract_all(text, '<[^>]*>'))
          |     + len(regexp_extract_all(text, 'https?://[^ \\t\\n\\r]+'))
          |     + len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_noise,
          |  CAST(length(norm_text) AS BIGINT) AS n_chars_norm
          |FROM (SELECT doc_id, text, $norm AS norm_text FROM documents)""".stripMargin
+    },
+    "t11_curation" -> {
+      s"""WITH norm AS (SELECT doc_id, lang, $NormalizeSql AS norm_text FROM documents),
+         |tok AS (
+         |  SELECT doc_id, lang, norm_text,
+         |         CAST(len(list_filter(string_split_regex(norm_text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+         |  FROM norm),
+         |gated AS (SELECT * FROM tok WHERE n_tokens >= 5),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY norm_text)
+         |SELECT g.doc_id, g.lang, g.n_tokens
+         |FROM gated g JOIN canon c ON g.doc_id = c.doc_id
+         |WHERE g.doc_id % 100 < (CASE WHEN g.lang = 'en' THEN 30 ELSE 100 END)""".stripMargin
     },
     "t06_stratified_sample" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
