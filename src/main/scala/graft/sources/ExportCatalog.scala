@@ -112,6 +112,47 @@ object ExportCatalog {
     }
   }
 
+  /** Backfill selection (reference `cli/backfill.py`): the incremental
+    * windows OVERLAPPING `[startTs, endTs]`, each to be re-imported with
+    * the row-level timestamp range applied. Unlike [[plan]], there is no
+    * full export and no contiguity requirement — a history replay
+    * tolerates holes (the reference tracks backfill imports separately via
+    * the tracking table's `backfill` column so they never shadow the live
+    * chain). Duplicate re-uploads collapse to the widest window, `.empty`
+    * windows carry nothing and are dropped.
+    */
+  def backfillPlan(
+      files: Seq[ExportFile],
+      table: String,
+      startTs: Long,
+      endTs: Long): Seq[ExportFile] = {
+    require(startTs <= endTs, s"empty backfill window: $startTs > $endTs")
+    files
+      .filter(f => f.tableName == table && !f.isFull && !f.isEmpty &&
+        f.endTs >= startTs && f.startTs <= endTs)
+      .groupBy(_.startTs)
+      .map { case (_, dupes) => dupes.maxBy(_.endTs) }
+      .toSeq
+      .sortBy(_.startTs)
+  }
+
+  /** Load a backfill window: one scan over the selected files with the
+    * `startTs <= tsCol <= endTs` row filter (the reference's backfill
+    * window guard) pushed into the scan — files bound the read via their
+    * window names, the predicate bounds the rows.
+    */
+  def loadBackfill(
+      spark: SparkSession,
+      files: Seq[ExportFile],
+      tsCol: String,
+      startTs: Long,
+      endTs: Long): DataFrame = {
+    require(files.nonEmpty, "backfill window selected no files")
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(files.map(_.path): _*)
+      .where(col(tsCol) >= startTs && col(tsCol) <= endTs)
+  }
+
   /** Materialize the current state table for a plan: one parquet read over
     * exactly the planned files, then a single latest-wins merge. The union of
     * full + incrementals never round-trips through per-file loops — Spark

@@ -77,6 +77,19 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(ExportCatalog.plan(files, "things", fullNotOlderThan = 150L).get.full.endTs == 200L)
     assert(ExportCatalog.plan(files, "things", fullNotOlderThan = 201L).isEmpty,
       "no usable full → caller must fetch a fresh full export")
+
+    // backfill: overlapping incrementals only (no full, gaps tolerated,
+    // .empty dropped), row-level ts range applied on load
+    val all = ExportCatalog.list(spark, dir) // includes the 600-700 after-gap file
+    val bf = ExportCatalog.backfillPlan(all, "things", startTs = 250L, endTs = 650L)
+    assert(bf.map(f => (f.startTs, f.endTs)) == Seq((200L, 300L), (400L, 500L), (600L, 700L)),
+      "overlap selection must skip the full, drop .empty, and tolerate the 500-600 gap")
+    val rows = ExportCatalog.loadBackfill(spark, bf, "ts", 250L, 650L)
+      .orderBy("k").as[(Long, Long, String)].collect().toSeq
+    // inc1@250 inside; c@450 inside; after-gap@650 inclusive-end inside
+    assert(rows == Seq((1L, 250L, "inc1"), (3L, 450L, "c"), (4L, 650L, "after-gap")))
+    // window boundaries are inclusive, rows outside fall away
+    assert(ExportCatalog.loadBackfill(spark, bf, "ts", 251L, 649L).count() == 1)
   }
 
   test("end-to-end: export discovery → load → JDBC upsert → latest-wins state") {
