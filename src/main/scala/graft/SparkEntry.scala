@@ -388,6 +388,16 @@ object SparkEntry {
     "d05_embed_neardup" -> q { (s, dir) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.35)
     },
+    "d09_embed_delta" -> q { (s, dir) =>
+      // incremental embedding near-dup: pairs touching the 2% newest-vector
+      // delta, via the pre-built band index pattern (corpus never shuffles);
+      // oracle is the delta-restricted all-pairs scan — recall must be 1.0
+      val emb = Tables.embeddings(s, dir)
+      Dedup.embeddingNearDupDelta(
+        emb.where(pmod(col("vec_id"), lit(100)) < 98),
+        emb.where(pmod(col("vec_id"), lit(100)) >= 98),
+        "vec_id", "embedding", minCosine = 0.35, dim = 64)
+    },
     "s05_range_search" -> q { (s, dir) =>
       // range (threshold) similarity search: all corpus vectors within
       // cos >= 0.35 of each query — banded corpus scan + broadcast banded
@@ -1005,6 +1015,16 @@ object SparkEntry {
         |    list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS na,
         |    list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nb
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT a, b, round(dot/(sqrt(na)*sqrt(nb)), 4) AS cos
+        |FROM p WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.35""".stripMargin,
+    "d09_embed_delta" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE))) AS dot,
+        |    list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS na,
+        |    list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id % 100 >= 98 OR b.vec_id % 100 >= 98)
         |SELECT a, b, round(dot/(sqrt(na)*sqrt(nb)), 4) AS cos
         |FROM p WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.35""".stripMargin,
     "s05_range_search" ->

@@ -393,6 +393,65 @@ object Dedup {
       .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Incremental embedding near-dup — [[ngramJaccardDelta]]'s contract for
+    * the vector pipeline: exact-cosine pairs TOUCHING a new embedding
+    * batch (delta×corpus and delta×delta, never corpus×corpus — those are
+    * already in the index). The corpus side is banded WITHOUT any barrier,
+    * standing in for the pre-materialized band index a production
+    * deployment keeps (write it bucketed by band and even this scan
+    * disappears into an exchange-free join); the small delta's bands
+    * broadcast, so the corpus never shuffles. Same signature function,
+    * same first-matching-band XOR dedup, same exact re-rank as
+    * [[embeddingNearDupBucketed]] — the delta path inherits the full
+    * path's recall exactly (spec-asserted equality on delta-touching
+    * pairs).
+    */
+  def embeddingNearDupDelta(
+      existing: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      dim: Int,
+      bandBits: Int = 2,
+      nBands: Int = 32): DataFrame = {
+    val bits = bandBits * nBands
+    require(bits >= 1 && bits <= 64, s"signature must pack into one long, got $bits bits")
+    val mask = (1L << bandBits) - 1
+    def banded(df: DataFrame, id: String, sig: String): DataFrame =
+      df.select(col(idCol).as(id), Similarity.hyperplaneSig(col(vecCol), bits, dim).as(sig))
+        .select(col(id), col(sig),
+          explode(array((0 until nBands).map(j =>
+            struct(lit(j).as("j"),
+              shiftrightunsigned(col(sig), j * bandBits).bitwiseAND(lit(mask)).as("v"))): _*)).as("band"))
+    val deltaB = banded(delta, "x", "sx")
+    // delta bands drive the join: the union (corpus ∪ delta) on the right
+    // keeps delta×delta pairs; the corpus side never shuffles
+    val allB = banded(existing, "y", "sy").unionByName(
+      deltaB.select(col("x").as("y"), col("sx").as("sy"), col("band")))
+    val groupBits = (0 until nBands).map(j => 1L << (bandBits * j))
+    val earlierMasks = groupBits.map(_ - 1L)
+    val x = col("sx").bitwiseXOR(col("sy"))
+    val folded = (0 until bandBits).map(s => shiftrightunsigned(x, s)).reduce(_ bitwiseOR _)
+    val zeros = bitwise_not(folded).bitwiseAND(lit(groupBits.sum))
+    val cand = allB
+      .join(broadcast(deltaB), Seq("band"))
+      .where(col("x") =!= col("y"))
+      .where(zeros.bitwiseAND(element_at(typedlit(earlierMasks), col("band").getField("j") + 1)) === lit(0L))
+      // canonical orientation; delta×delta pairs survive the XOR filter on
+      // the same single band from both sides, so one distinct pass over the
+      // already-pruned candidate set removes the mirror
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val vecs = existing.unionByName(delta).select(col(idCol).as("id"), col(vecCol).as("v"))
+    cand
+      .join(vecs.select(col("id").as("a"), col("v").as("va")), Seq("a"))
+      .join(vecs.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
+      .select(col("a"), col("b"), Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= lit(minCosine))
+      .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `minCosine`.
     * Exact all-pairs baseline — O(N²/2) compare, the correctness reference
     * for the LSH-bucketed scale path ([[embeddingNearDupBucketed]]).

@@ -119,6 +119,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("embedding delta near-dup equals the full run restricted to delta pairs") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val emb = Tables.embeddings(spark, sfDir)
+    val delta = emb.where(pmod(col("vec_id"), lit(100)) >= 98)
+    val existing = emb.where(pmod(col("vec_id"), lit(100)) < 98)
+    val deltaIds = delta.select("vec_id").as[Long].collect().toSet
+    assert(deltaIds.nonEmpty)
+    val full = Dedup.embeddingNearDupBucketed(emb, "vec_id", "embedding", minCosine = 0.35, dim = 64)
+      .as[(Long, Long, Double)].collect().toSet
+      .filter(p => deltaIds(p._1) || deltaIds(p._2))
+    val inc = Dedup.embeddingNearDupDelta(existing, delta, "vec_id", "embedding",
+        minCosine = 0.35, dim = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc == full, s"delta=${inc.size} fullRestricted=${full.size}")
+  }
+
   test("connectedComponents: reliable-checkpoint mode yields identical labels") {
     // the cluster-prod variant (real checkpoint dir, survives executor
     // loss) must be the SAME algorithm — compare label maps exactly on a
