@@ -144,6 +144,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("lambdafunction"), "interpreted lambda in hot path:\n" + p)
   }
 
+  test("d09: delta bands broadcast — the corpus candidate join never shuffles") {
+    val p = plan("d09_embed_delta")
+    assert(p.contains("BroadcastHashJoin"), p)
+    val candidateSection = p.split("== Initial Plan ==").head
+    assert(!candidateSection.contains("SortMergeJoin"),
+      "corpus band join must be broadcast-driven:\n" + p)
+  }
+
+  test("t11: curation is one scan pass + the single dedup-argmin shuffle") {
+    val p = plan("t11_curation")
+    assert(p.contains("partial_min"), "no map-side partial for the dedup argmin:\n" + p)
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("Exchange".r.findAllIn(finalPlan).length <= 1,
+      "curation must shuffle exactly once (dedup argmin):\n" + p)
+    assert("Scan parquet".r.findAllIn(finalPlan).length == 1,
+      "normalize+gate+tokens must fuse into one scan pass:\n" + p)
+  }
+
   test("q24: SCD2 derivation is one shuffle + one sort (window over key)") {
     val p = plan("q24_scd2_intervals")
     assert(p.contains("Window"), p)
