@@ -694,8 +694,11 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("norm_text"),
           size(TextFns.tokens(col("norm_text"))).cast("long").as("n_tokens"))
         .where(col("n_tokens") >= 5)
+      // group on the 256-bit content hash, not the text: the dedup shuffle
+      // moves 32 bytes per doc instead of the document (d01's trick) —
+      // norm_text itself never crosses an exchange
       val canon = toks
-        .groupBy(col("norm_text"))
+        .groupBy(sha2(col("norm_text"), 256).as("_h"))
         .agg(min(struct(col("doc_id"), col("lang"), col("n_tokens"))).as("m"))
         .select(col("m.doc_id").as("doc_id"), col("m.lang").as("lang"),
           col("m.n_tokens").as("n_tokens"))
