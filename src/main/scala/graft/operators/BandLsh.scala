@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared hyperplane-LSH banding machinery for the embedding operators —
+  * [[Dedup.embeddingNearDupBucketed]] (d07), [[Dedup.embeddingNearDupDelta]]
+  * (d09), and [[Similarity.lshRangeSearch]] (s05) all band the same way and
+  * prune band-collision duplicates with the same bit trick. One definition
+  * keeps the three paths' recall contracts from silently diverging (the
+  * same reasoning as the shared ngram candidate constants in [[Dedup]]).
+  */
+private[graft] object BandLsh {
+
+  /** `(id, sig, band)` rows: one packed hyperplane signature per vector
+    * (a single codegen scan pass), exploded to `nBands` band keys as
+    * `struct(j, v)`. `barrier = true` inserts a repartition on the id so
+    * the signature materializes once when the output feeds a self-join;
+    * `false` keeps it scan-fused — the right call for index/broadcast
+    * sides that are read once (the d08/d09 no-barrier pattern).
+    */
+  def banded(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      idAs: String,
+      sigAs: String,
+      dim: Int,
+      bandBits: Int,
+      nBands: Int,
+      barrier: Boolean): DataFrame = {
+    val bits = bandBits * nBands
+    require(bits >= 1 && bits <= 64, s"signature must pack into one long, got $bits bits")
+    val mask = (1L << bandBits) - 1
+    val sigs = df.select(col(idCol).as(idAs), Similarity.hyperplaneSig(col(vecCol), bits, dim).as(sigAs))
+    val base = if (barrier) sigs.repartition(col(idAs)) else sigs
+    base.select(col(idAs), col(sigAs),
+      explode(array((0 until nBands).map(j =>
+        struct(lit(j).as("j"),
+          shiftrightunsigned(col(sigAs), j * bandBits).bitwiseAND(lit(mask)).as("v"))): _*)).as("band"))
+  }
+
+  /** True iff this row's band is the pair's LOWEST matching band — the
+    * stateless dedup of band-collision duplicates (a pair colliding in k
+    * bands comes out of the band join k times; keeping exactly the lowest
+    * matching band avoids a distinct over the full collision volume).
+    * From `x = sigA XOR sigB`, fold each band's bits onto its low bit,
+    * invert, mask to the per-band marker bits: `zeros` has bit
+    * (bandBits·j) set iff band j matches; the row survives iff no marker
+    * below its own band index is set.
+    */
+  def firstMatchingBand(
+      sigA: Column,
+      sigB: Column,
+      band: Column,
+      bandBits: Int,
+      nBands: Int): Column = {
+    val groupBits = (0 until nBands).map(j => 1L << (bandBits * j))
+    val earlierMasks = groupBits.map(_ - 1L)
+    val x = sigA.bitwiseXOR(sigB)
+    val folded = (0 until bandBits).map(s => shiftrightunsigned(x, s)).reduce(_ bitwiseOR _)
+    val zeros = bitwise_not(folded).bitwiseAND(lit(groupBits.sum))
+    zeros.bitwiseAND(element_at(typedlit(earlierMasks), band.getField("j") + 1)) === lit(0L)
+  }
+}

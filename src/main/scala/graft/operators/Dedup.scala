@@ -322,36 +322,14 @@ object Dedup {
       dim: Int,
       bandBits: Int,
       nBands: Int): DataFrame = {
-    val bits = bandBits * nBands
-    require(bits >= 1 && bits <= 64, s"signature must pack into one long, got $bits bits")
-    val mask = (1L << bandBits) - 1
-    val banded = embeddings
-      .select(
-        col(idCol).as("id"),
-        Similarity.hyperplaneSig(col(vecCol), bits, dim).as("_sig"))
-      .repartition(col("id")) // materialize the signature once per vector
-      .select(
-        col("id"), col("_sig"),
-        explode(array((0 until nBands).map(j =>
-          struct(lit(j).as("j"),
-            shiftrightunsigned(col("_sig"), j * bandBits).bitwiseAND(lit(mask)).as("v"))): _*)).as("band"))
-    // First-matching-band filter: a pair colliding in k bands would come out
-    // of the band join k times; instead of a distinct (an exchange + agg over
-    // the full collision volume) keep exactly the row whose band index is the
-    // pair's LOWEST matching band — a stateless bitwise filter inside the
-    // join stage. From x = sigA XOR sigB, fold each band's bits onto its low
-    // bit, invert, mask to the per-band marker bits: `zeros` has bit
-    // (bandBits·j) set iff band j matches; the row survives iff no marker
-    // below its own j is set.
-    val groupBits = (0 until nBands).map(j => 1L << (bandBits * j))
-    val earlierMasks = groupBits.map(_ - 1L)
-    val x = col("sa").bitwiseXOR(col("sb"))
-    val folded = (0 until bandBits).map(k => shiftrightunsigned(x, k)).reduce(_ bitwiseOR _)
-    val zeros = bitwise_not(folded).bitwiseAND(lit(groupBits.sum))
+    // barrier: the banded rows feed a self-join — materialize the
+    // signature once per vector instead of recomputing per side
+    val banded = BandLsh.banded(embeddings, idCol, vecCol, "id", "_sig",
+      dim, bandBits, nBands, barrier = true)
     banded.select(col("id").as("a"), col("_sig").as("sa"), col("band"))
       .join(banded.select(col("id").as("b"), col("_sig").as("sb"), col("band")), Seq("band"))
       .where(col("a") < col("b"))
-      .where(zeros.bitwiseAND(element_at(typedlit(earlierMasks), col("band").getField("j") + 1)) === lit(0L))
+      .where(BandLsh.firstMatchingBand(col("sa"), col("sb"), col("band"), bandBits, nBands))
       .select(col("a"), col("b"))
   }
 
@@ -415,29 +393,17 @@ object Dedup {
       dim: Int,
       bandBits: Int = 2,
       nBands: Int = 32): DataFrame = {
-    val bits = bandBits * nBands
-    require(bits >= 1 && bits <= 64, s"signature must pack into one long, got $bits bits")
-    val mask = (1L << bandBits) - 1
     def banded(df: DataFrame, id: String, sig: String): DataFrame =
-      df.select(col(idCol).as(id), Similarity.hyperplaneSig(col(vecCol), bits, dim).as(sig))
-        .select(col(id), col(sig),
-          explode(array((0 until nBands).map(j =>
-            struct(lit(j).as("j"),
-              shiftrightunsigned(col(sig), j * bandBits).bitwiseAND(lit(mask)).as("v"))): _*)).as("band"))
+      BandLsh.banded(df, idCol, vecCol, id, sig, dim, bandBits, nBands, barrier = false)
     val deltaB = banded(delta, "x", "sx")
     // delta bands drive the join: the union (corpus ∪ delta) on the right
     // keeps delta×delta pairs; the corpus side never shuffles
     val allB = banded(existing, "y", "sy").unionByName(
       deltaB.select(col("x").as("y"), col("sx").as("sy"), col("band")))
-    val groupBits = (0 until nBands).map(j => 1L << (bandBits * j))
-    val earlierMasks = groupBits.map(_ - 1L)
-    val x = col("sx").bitwiseXOR(col("sy"))
-    val folded = (0 until bandBits).map(s => shiftrightunsigned(x, s)).reduce(_ bitwiseOR _)
-    val zeros = bitwise_not(folded).bitwiseAND(lit(groupBits.sum))
     val cand = allB
       .join(broadcast(deltaB), Seq("band"))
       .where(col("x") =!= col("y"))
-      .where(zeros.bitwiseAND(element_at(typedlit(earlierMasks), col("band").getField("j") + 1)) === lit(0L))
+      .where(BandLsh.firstMatchingBand(col("sx"), col("sy"), col("band"), bandBits, nBands))
       // canonical orientation; delta×delta pairs survive the XOR filter on
       // the same single band from both sides, so one distinct pass over the
       // already-pruned candidate set removes the mirror

@@ -169,27 +169,12 @@ object Similarity {
       dim: Int,
       bandBits: Int = 2,
       nBands: Int = 32): DataFrame = {
-    val bits = bandBits * nBands
-    require(bits >= 1 && bits <= 64, s"signature must pack into one long, got $bits bits")
-    val mask = (1L << bandBits) - 1
     def banded(df: DataFrame, id: String, sig: String): DataFrame =
-      df.select(col(idCol).as(id), hyperplaneSig(col(vecCol), bits, dim).as(sig))
-        .select(col(id), col(sig),
-          explode(array((0 until nBands).map(j =>
-            struct(lit(j).as("j"),
-              shiftrightunsigned(col(sig), j * bandBits).bitwiseAND(lit(mask)).as("v"))): _*)).as("band"))
-    // first-matching-band filter (see Dedup.hyperplaneCandidates): marker
-    // bit (bandBits·j) of `zeros` is set iff band j matches; a row survives
-    // iff no band below its own matched
-    val groupBits = (0 until nBands).map(j => 1L << (bandBits * j))
-    val earlierMasks = groupBits.map(_ - 1L)
-    val x = col("qs").bitwiseXOR(col("cs"))
-    val folded = (0 until bandBits).map(s => shiftrightunsigned(x, s)).reduce(_ bitwiseOR _)
-    val zeros = bitwise_not(folded).bitwiseAND(lit(groupBits.sum))
+      BandLsh.banded(df, idCol, vecCol, id, sig, dim, bandBits, nBands, barrier = false)
     val cand = banded(corpus, "neighbor_id", "cs")
       .join(broadcast(banded(queries, "q_id", "qs")), Seq("band"))
       .where(col("q_id") =!= col("neighbor_id"))
-      .where(zeros.bitwiseAND(element_at(typedlit(earlierMasks), col("band").getField("j") + 1)) === lit(0L))
+      .where(BandLsh.firstMatchingBand(col("qs"), col("cs"), col("band"), bandBits, nBands))
       .select(col("q_id"), col("neighbor_id"))
     cand
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), Seq("neighbor_id"))
