@@ -65,6 +65,8 @@ object Bench {
     // variance triage (the driver always runs the full headline list)
     val names0 = headline.filter(qs.contains)
     val names = if (args.nonEmpty) names0.filter(args(0).split(',').toSet) else names0
+    require(names.nonEmpty,
+      s"query filter '${args.mkString(",")}' matches no headline query — check spelling / headline list")
     // untimed warmup at the smallest SF: pays Janino codegen + C2 JIT for
     // every query's generated classes outside the measured window (the
     // plans and generated code are data-size independent)

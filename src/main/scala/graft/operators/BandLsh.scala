@@ -40,6 +40,30 @@ private[graft] object BandLsh {
           shiftrightunsigned(col(sigAs), j * bandBits).bitwiseAND(lit(mask)).as("v"))): _*)).as("band"))
   }
 
+  /** Shared exact-cosine re-rank over candidate pairs — one vector fetch
+    * per surviving pair per side, identical threshold/rounding everywhere
+    * (the d07/d09/s05 equality and recall contracts depend on the re-rank
+    * being byte-identical across paths, like [[Dedup.exactJaccardOnCandidates]]
+    * for the ngram family). `aVecs`/`bVecs` are `(id, v)` frames;
+    * `broadcastB = true` marks a small (query) side.
+    */
+  def exactCosineOnCandidates(
+      cand: DataFrame,
+      aVecs: DataFrame,
+      bVecs: DataFrame,
+      aCol: String,
+      bCol: String,
+      minCosine: Double,
+      broadcastB: Boolean = false): DataFrame = {
+    val left = cand.join(aVecs.select(col("id").as(aCol), col("v").as("_va")), Seq(aCol))
+    val right = bVecs.select(col("id").as(bCol), col("v").as("_vb"))
+    val joined = if (broadcastB) left.join(broadcast(right), Seq(bCol)) else left.join(right, Seq(bCol))
+    joined
+      .select(col(aCol), col(bCol), Similarity.cosine(col("_va"), col("_vb")).as("cos"))
+      .where(col("cos") >= lit(minCosine))
+      .select(col(aCol), col(bCol), round(col("cos"), 4).as("cos"))
+  }
+
   /** True iff this row's band is the pair's LOWEST matching band — the
     * stateless dedup of band-collision duplicates (a pair colliding in k
     * bands comes out of the band join k times; keeping exactly the lowest

@@ -60,10 +60,21 @@ object Dedup {
     val useReliable = checkpointDir.isDefined
     checkpointDir.foreach { d =>
       val sc = pairs.sparkSession.sparkContext
-      if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+      // setCheckpointDir appends a UUID subdir, so the stored value never
+      // equals the argument — only set when the application hasn't set one
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
     }
     def ckpt(df: DataFrame, eager: Boolean): DataFrame =
-      if (useReliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+      if (useReliable) {
+        // Dataset.checkpoint writes the checkpoint files in a SECOND job
+        // that re-runs the full lineage; cache first so that job reads the
+        // cached blocks instead of re-evaluating an expensive upstream
+        // (always eager here — the lazy variant is a local-mode-only saving)
+        val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ck = cached.checkpoint(true)
+        cached.unpersist(false)
+        ck
+      } else df.localCheckpoint(eager)
     // reliable checkpoints hold no block-manager blocks; only local ones
     // need the explicit release
     def release(df: DataFrame): Unit =
@@ -363,12 +374,7 @@ object Dedup {
       nBands: Int = 32): DataFrame = {
     val cand = hyperplaneCandidates(embeddings, idCol, vecCol, dim, bandBits, nBands)
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
-    cand
-      .join(vecs.select(col("id").as("a"), col("v").as("va")), Seq("a"))
-      .join(vecs.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
-      .select(col("a"), col("b"), Similarity.cosine(col("va"), col("vb")).as("cos"))
-      .where(col("cos") >= lit(minCosine))
-      .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+    BandLsh.exactCosineOnCandidates(cand, vecs, vecs, "a", "b", minCosine)
   }
 
   /** Incremental embedding near-dup — [[ngramJaccardDelta]]'s contract for
@@ -393,9 +399,12 @@ object Dedup {
       dim: Int,
       bandBits: Int = 2,
       nBands: Int = 32): DataFrame = {
+    // corpus: barrier-free (never shuffles); delta: barrier=true because
+    // its banded rows feed TWO consumers (the union leg and the broadcast
+    // driver) — same rule as ngramJaccardDelta's delta side
+    val deltaB = BandLsh.banded(delta, idCol, vecCol, "x", "sx", dim, bandBits, nBands, barrier = true)
     def banded(df: DataFrame, id: String, sig: String): DataFrame =
       BandLsh.banded(df, idCol, vecCol, id, sig, dim, bandBits, nBands, barrier = false)
-    val deltaB = banded(delta, "x", "sx")
     // delta bands drive the join: the union (corpus ∪ delta) on the right
     // keeps delta×delta pairs; the corpus side never shuffles
     val allB = banded(existing, "y", "sy").unionByName(
@@ -410,12 +419,7 @@ object Dedup {
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
       .distinct()
     val vecs = existing.unionByName(delta).select(col(idCol).as("id"), col(vecCol).as("v"))
-    cand
-      .join(vecs.select(col("id").as("a"), col("v").as("va")), Seq("a"))
-      .join(vecs.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
-      .select(col("a"), col("b"), Similarity.cosine(col("va"), col("vb")).as("cos"))
-      .where(col("cos") >= lit(minCosine))
-      .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+    BandLsh.exactCosineOnCandidates(cand, vecs, vecs, "a", "b", minCosine)
   }
 
   /** Embedding-cosine near-duplicate pairs above `minCosine`.

@@ -176,11 +176,10 @@ object Similarity {
       .where(col("q_id") =!= col("neighbor_id"))
       .where(BandLsh.firstMatchingBand(col("qs"), col("cs"), col("band"), bandBits, nBands))
       .select(col("q_id"), col("neighbor_id"))
-    cand
-      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), Seq("neighbor_id"))
-      .join(broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))), Seq("q_id"))
-      .select(col("q_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
-      .where(col("cos") >= lit(minCosine))
-      .select(col("q_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+    BandLsh.exactCosineOnCandidates(cand,
+        corpus.select(col(idCol).as("id"), col(vecCol).as("v")),
+        queries.select(col(idCol).as("id"), col(vecCol).as("v")),
+        "neighbor_id", "q_id", minCosine, broadcastB = true)
+      .select(col("q_id"), col("neighbor_id"), col("cos"))
   }
 }

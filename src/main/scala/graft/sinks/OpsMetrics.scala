@@ -74,9 +74,13 @@ object OpsMetrics {
     * an alert watches while the incremental loop runs.
     */
   def planGauges(plan: LoadPlan, nowS: Double): Seq[String] = {
+    // the window tag makes each file its own series — without it every
+    // per-file gauge shares one series and a dogstatsd flush keeps only
+    // the last value, hiding the oldest (alert-relevant) file
     val perFile = (plan.full +: plan.incrementals).map { f =>
       gauge("parquet_file_age_s", nowS - f.endTs,
-        Map("parquet_table" -> f.tableName, "schema" -> f.schemaName))
+        Map("parquet_table" -> f.tableName, "schema" -> f.schemaName,
+          "window" -> s"${f.startTs}-${f.endTs}"))
     }
     perFile :+ gauge("parquet_table_staleness_s", nowS - plan.asOf,
       Map("parquet_table" -> plan.full.tableName, "schema" -> plan.full.schemaName))
