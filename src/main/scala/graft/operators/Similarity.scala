@@ -116,26 +116,22 @@ object Similarity {
       bits: Int = 16,
       bandBits: Int = 4): DataFrame = {
     val nBands = bits / bandBits
-    val mask = (1L << bandBits) - 1
-    def banded(df: DataFrame, id: String, v: String): DataFrame =
-      df.select(
-          col(idCol).as(id),
-          col(vecCol).as(v),
-          hyperplaneSig(col(vecCol), bits, dim).as("_sig"))
-        .withColumn(
-          "band",
-          explode(array((0 until nBands).map(j =>
-            struct(lit(j).as("j"),
-              shiftrightunsigned(col("_sig"), j * bandBits).bitwiseAND(lit(mask)).as("v"))): _*)))
-        .drop("_sig")
-    val c = banded(corpus, "neighbor_id", "cv")
-    val q = banded(queries, "q_id", "qv")
-    val scored = c
+    // shared banding: vectors stay OUT of the band explode — only
+    // (band, id, sig) meets the broadcast join, and band-collision
+    // duplicates are dropped by the stateless first-matching-band filter
+    // instead of a groupBy-max exchange over the collision volume. Each
+    // candidate pair is scored exactly once by the one vector re-join.
+    val c = BandLsh.banded(corpus, idCol, vecCol, "neighbor_id", "cs", dim, bandBits, nBands, barrier = false)
+    val q = BandLsh.banded(queries, idCol, vecCol, "q_id", "qs", dim, bandBits, nBands, barrier = false)
+    val cand = c
       .join(broadcast(q), Seq("band"))
       .where(col("q_id") =!= col("neighbor_id"))
+      .where(BandLsh.firstMatchingBand(col("qs"), col("cs"), col("band"), bandBits, nBands))
+      .select(col("q_id"), col("neighbor_id"))
+    val scored = cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))), Seq("q_id"))
       .select(col("q_id"), col("neighbor_id"), VectorExprs.cosineFF(col("qv"), col("cv")).as("cos"))
-      .groupBy(col("q_id"), col("neighbor_id"))
-      .agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
