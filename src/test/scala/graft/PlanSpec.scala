@@ -117,6 +117,16 @@ class PlanSpec extends SparkSpec {
       "events must be scanned once (conditional sum), not twice:\n" + p)
   }
 
+  test("s02: band join broadcast, no collision-dedup aggregate, bounded top-k") {
+    val p = plan("s02_ann_lsh")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle-join:\n" + p)
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("HashAggregate"),
+      "collision dedup must be the stateless band filter, not a groupBy:\n" + p)
+    assert(p.contains("WindowGroupLimit"), "rank<=k must bound the window input:\n" + p)
+  }
+
   test("s05: banded queries broadcast — the corpus is never shuffle-joined") {
     val p = plan("s05_range_search")
     assert(p.contains("BroadcastHashJoin"), p)
