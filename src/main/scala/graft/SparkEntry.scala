@@ -681,6 +681,19 @@ object SparkEntry {
         .groupBy(col("media_id"))
         .agg(max(col("n_frames")).cast("long").as("n_frames"), count(lit(1)).as("n_sampled"))
     },
+    "t12_sequence_pack" -> q { (s, dir) =>
+      // pretraining sequence packing: per-source greedy fill into
+      // 512-token packs (whitespace tokens as the stand-in tokenizer),
+      // summarized per pack — doc membership is pure integer window
+      // arithmetic, so the oracle reproduces it exactly
+      val toks = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      Sampling.packSequences(toks, col("source"), col("doc_id"), col("n_tokens"), budget = 512L)
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    },
     "t11_curation" -> q { (s, dir) =>
       // END-TO-END corpus curation — the composed pipeline a training-data
       // user actually runs, each stage an operator oracle-proven alone:
@@ -1293,6 +1306,18 @@ object SparkEntry {
          |  CAST(length(norm_text) AS BIGINT) AS n_chars_norm
          |FROM (SELECT doc_id, text, $norm AS norm_text FROM documents)""".stripMargin
     },
+    "t12_sequence_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         CAST(floor(CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS DOUBLE) / 512) AS BIGINT) AS pack_id
+        |  FROM toks)
+        |SELECT source, pack_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM packed GROUP BY source, pack_id""".stripMargin,
     "t11_curation" -> {
       s"""WITH norm AS (SELECT doc_id, lang, $NormalizeSql AS norm_text FROM documents),
          |tok AS (

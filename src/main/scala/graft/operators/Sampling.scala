@@ -48,4 +48,30 @@ object Sampling {
       .where(col("_rn") <= k)
       .drop("_rn")
   }
+
+  /** Sequence packing — assign documents to fixed-token-budget training
+    * packs (the pretraining batcher's unit of work): a running token count
+    * in `ord` order, chunked every `budget` tokens. The boundary rule is
+    * the standard greedy fill: a document belongs to the pack its FIRST
+    * token lands in (packs may overflow by at most one document's tail,
+    * which the trainer truncates or wraps).
+    *
+    * Scale shape: the window partitions by `groupCol` (source/shard), so
+    * no global total order exists anywhere — each shard packs
+    * independently, exactly how a 1000-executor packing job must run (a
+    * global order would serialize the corpus through one task). One
+    * shuffle+sort per shard, arithmetic all integer → oracle-exact.
+    */
+  def packSequences(
+      df: DataFrame,
+      groupCol: Column,
+      ord: Column,
+      tokensCol: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0)
+    val w = Window.partitionBy(groupCol).orderBy(ord)
+    df.withColumn("_cum", sum(tokensCol).over(w))
+      .withColumn("pack_id", floor((col("_cum") - tokensCol) / lit(budget)).cast("long"))
+      .drop("_cum")
+  }
 }

@@ -43,4 +43,28 @@ class SamplingSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       "row_number<=k must hit the WindowGroupLimit rewrite:\n" + p)
   }
+
+  test("packSequences: greedy fill by first-token position, per group") {
+    import org.apache.spark.sql.functions.col
+    // budget 10; source a docs of 4,4,4,4 tokens → prefix starts 0,4,8,12
+    // → packs 0,0,0,1; source b: 12,5 → starts 0,12 → packs 0,1 (oversize
+    // doc overflows its own pack — the trainer's truncate/wrap case)
+    val docs = Seq(
+      (1L, "a", 4L), (2L, "a", 4L), (3L, "a", 4L), (4L, "a", 4L),
+      (10L, "b", 12L), (11L, "b", 5L))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = Sampling.packSequences(docs, col("source"), col("doc_id"), col("n_tokens"), budget = 10L)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 10L -> 0L, 11L -> 1L))
+    // packs are contiguous doc ranges and pack overflow is bounded by one
+    // document: pack_tokens < budget + that pack's largest doc
+    val packs = Sampling.packSequences(docs, col("source"), col("doc_id"), col("n_tokens"), budget = 10L)
+      .groupBy(col("source"), col("pack_id"))
+      .agg(org.apache.spark.sql.functions.sum(col("n_tokens")).as("t"),
+        org.apache.spark.sql.functions.max(col("n_tokens")).as("m"))
+      .as[(String, Long, Long, Long)].collect()
+    packs.foreach { case (src, pid, t, m) =>
+      assert(t < 10L + m, s"pack $src/$pid overflows by more than one doc: $t tokens")
+    }
+  }
 }
