@@ -25,7 +25,7 @@ object Bench {
     // cartesian would grade the one plan shape the engine never ships
     "d01_dedup_exact", "d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
     "d06_dedup_clusters", "d07_embed_neardup_lsh", "d08_dedup_incremental", "d09_embed_delta",
-    "s01_ann_brute", "s02_ann_lsh", "s03_ann_ivf", "s05_range_search",
+    "s01_ann_brute", "s02_ann_lsh", "s03_ann_ivf", "s05_range_search", "s06_quantize",
     "t01_langid", "t02_quality", "t03_tokens", "t04_fingerprint", "t05_normalize",
     "t06_stratified_sample", "t07_cap_per_source", "t08_contamination", "t09_repetition",
     "t10_pii_redact", "t11_curation", "t12_sequence_pack")

@@ -388,6 +388,28 @@ object SparkEntry {
     "d05_embed_neardup" -> q { (s, dir) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", minCosine = 0.35)
     },
+    "s06_quantize" -> q { (s, dir) =>
+      // int8-style scale quantization for embedding STORAGE at 100 TB
+      // (4 bytes → 1 byte per dim): per-dimension global min/max, code =
+      // floor((v-mn)·255/(mx-mn)). The s04 cell pattern — posexplode to
+      // (vec, dim) cells with map-side partial aggs, 64-row dim stats
+      // broadcast back, everything codegen (no interpreted array lambdas);
+      // output summarizes each vector's code block so the oracle can
+      // hash-check the exact quantization
+      val cells = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos"), col("v").cast("double").as("v"))
+      val stats = cells.groupBy(col("pos"))
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      cells.join(broadcast(stats), Seq("pos"))
+        .select(col("vec_id"),
+          when(col("mx") > col("mn"),
+            floor((col("v") - col("mn")) * lit(255.0) / (col("mx") - col("mn"))))
+            .otherwise(lit(0.0)).cast("long").as("code"))
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_dims"), sum(col("code")).as("code_sum"),
+          min(col("code")).as("code_min"), max(col("code")).as("code_max"))
+    },
     "d09_embed_delta" -> q { (s, dir) =>
       // incremental embedding near-dup: pairs touching the 2% newest-vector
       // delta, via the pre-built band index pattern (corpus never shuffles);
@@ -1033,6 +1055,21 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT a, b, round(dot/(sqrt(na)*sqrt(nb)), 4) AS cos
         |FROM p WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.35""".stripMargin,
+    // pos is 1-based here vs Spark's 0-based posexplode — it is only a
+    // join key within each engine, never an output column
+    "s06_quantize" ->
+      """WITH c0 AS (
+        |  SELECT vec_id, list_transform(range(1, len(embedding)+1), i -> {'pos': i, 'v': CAST(embedding[i] AS DOUBLE)}) AS cells
+        |  FROM embeddings),
+        |cells AS (SELECT vec_id, unnest(cells, recursive := true) FROM c0),
+        |stats AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM cells GROUP BY pos),
+        |codes AS (
+        |  SELECT vec_id,
+        |         CASE WHEN mx > mn THEN CAST(floor((v - mn) * 255.0 / (mx - mn)) AS BIGINT) ELSE 0 END AS code
+        |  FROM cells JOIN stats USING (pos))
+        |SELECT vec_id, count(*) AS n_dims, CAST(sum(code) AS BIGINT) AS code_sum,
+        |       min(code) AS code_min, max(code) AS code_max
+        |FROM codes GROUP BY vec_id""".stripMargin,
     "d09_embed_delta" ->
       """WITH p AS (
         |  SELECT a.vec_id AS a, b.vec_id AS b,
