@@ -420,6 +420,30 @@ object SparkEntry {
         emb.where(pmod(col("vec_id"), lit(100)) >= 98),
         "vec_id", "embedding", minCosine = 0.35, dim = 64)
     },
+    "d10_passage_dedup" -> q { (s, dir) =>
+      // exact-substring passage dedup signals (Lee et al. 2022, the
+      // "Deduplicating Training Data" pass): a token 8-gram occurring in
+      // more than one DOCUMENT marks its occurrences as duplicated text;
+      // per doc we report the fraction of gram positions so marked. The
+      // gram pass is the d02/t08 fused codegen kernel (one scan, no
+      // interpreted lambdas); per-(gram, doc) counts reduce with map-side
+      // partials FIRST, so the cross-doc count-over-window runs on the
+      // collapsed set — the shuffle carries distinct (gram, doc) pairs,
+      // never raw gram positions.
+      import graft.expressions.HashExprs
+      val k = 8
+      val grams = Tables.documents(s, dir).select(col("doc_id"),
+        explode(HashExprs.tokenShingleHashes(col("text"), k)).as("g"))
+      val perDocGram = grams.groupBy(col("g"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+      val nDocs = perDocGram
+        .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("g"))))
+      nDocs.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_passages"),
+          sum(when(col("n_docs") >= 2, col("c")).otherwise(0L)).as("n_dup_passages"))
+        .select(col("doc_id"), col("n_passages"), col("n_dup_passages"),
+          round(col("n_dup_passages").cast("double") / col("n_passages"), 4).as("dup_frac"))
+    },
     "s05_range_search" -> q { (s, dir) =>
       // range (threshold) similarity search: all corpus vectors within
       // cos >= 0.35 of each query — banded corpus scan + broadcast banded
@@ -669,6 +693,113 @@ object SparkEntry {
           col("best_suppkey") === col("s_suppkey"))
         .select(col("l_partkey").as("partkey"), col("p_brand"), col("s_name"),
           col("best_price"), col("n_quotes"))
+    },
+    "q40_market_share" -> q { (s, dir) =>
+      // TPC-H Q8 shape: the target nation's share of ECONOMY-part revenue
+      // inside the ASIA market, by order year. Every dim prunes BEFORE it
+      // touches a fact and broadcasts (part filter, supplier→nation,
+      // region→nation→customer), so the only genuinely big join is
+      // lineitem⋈orders on orderkey. The share is a ratio of two exact
+      // 1e-4-scaled integer sums — the one FP op is the final division,
+      // identical across engines/partitionings (the q35 determinism rule).
+      val target = "NATION_2"
+      val n = Tables.nation(s, dir)
+      val asiaNations = n
+        .join(broadcast(Tables.region(s, dir).where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nk"))
+      val custIn = Tables.customer(s, dir)
+        .join(broadcast(asiaNations), col("c_nationkey") === col("c_nk"))
+        .select(col("c_custkey"))
+      val partF = Tables.part(s, dir).where(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))
+      val supp = Tables.supplier(s, dir)
+        .join(broadcast(n.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000).cast("long").as("vol4"))
+        .join(broadcast(partF), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .join(broadcast(custIn), col("o_custkey") === col("c_custkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === target, col("vol4")).otherwise(0L)).as("t4"),
+          sum(col("vol4")).as("a4"))
+        .select(col("o_year"),
+          round(col("t4").cast("double") / col("a4").cast("double"), 6).as("mkt_share"),
+          (col("a4").cast("double") / 10000.0).as("total_revenue"))
+    },
+    "q41_product_profit" -> q { (s, dir) =>
+      // TPC-H Q9 shape: profit by supplier nation × order year for a part
+      // family (p_name LIKE '%bolt%'). The testdata has no partsupp table,
+      // so supply cost is modeled as 10% of p_retailprice — the join/agg
+      // shape Q9 exercises is unchanged. The selective part filter prunes
+      // lineitem via a broadcast semi-shaped join BEFORE the fact-fact
+      // orders join; profit sums are exact 1e-4-scaled integers.
+      val partF = Tables.part(s, dir).where(col("p_name").like("%bolt%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val supp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))),
+          col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("nation"))
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(partF), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("nation"),
+          round((col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+            lit(0.1) * col("p_retailprice") * col("l_quantity")) * 10000)
+            .cast("long").as("profit4"))
+      li.join(Tables.orders(s, dir)
+            .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg((sum(col("profit4")).cast("double") / 10000.0).as("profit"),
+          count(lit(1)).as("n_items"))
+    },
+    "q42_cust_order_dist" -> q { (s, dir) =>
+      // TPC-H Q13 shape: distribution of customers by order count, zero
+      // bucket included. Orders pre-aggregate to one row per custkey BELOW
+      // the customer join (the q35 rule — the join carries |custkeys| rows,
+      // not |orders|); the left join keeps order-less customers and the
+      // final histogram groupBy is tiny.
+      val perCust = Tables.orders(s, dir)
+        .where(col("o_orderstatus") =!= "F")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("n"), lit(0L)).as("c_orders"))
+        .groupBy(col("c_orders")).agg(count(lit(1)).as("custdist"))
+    },
+    "q43_idle_customers" -> q { (s, dir) =>
+      // TPC-H Q22 shape: above-average-balance customers with no RECENT
+      // order (lapsed since 1999 — plain "never ordered" is the empty set
+      // in this data), rolled up by market segment. The global mean is ONE
+      // scalar broadcast (not the textbook correlated re-scan); the
+      // recency test is a left-anti join against distinct recent custkeys
+      // with the date predicate pushed to the orders scan. The
+      // above-average cut compares scaled-integer balances cross-multiplied
+      // against (sum, count) — zero FP in the filter, so the kept set is
+      // bit-identical across engines (a double avg is order-dependent).
+      val cust = Tables.customer(s, dir)
+      val bal2 = round(col("c_acctbal") * 100).cast("long")
+      val stats = cust.where(col("c_acctbal") > 0.0)
+        .agg(sum(bal2).as("sum2"), count(lit(1)).as("n_pos"))
+      val recent = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey")).distinct()
+      cust.join(broadcast(stats))
+        .where(bal2 * col("n_pos") > col("sum2"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          (sum(bal2).cast("double") / 100.0).as("total_bal"))
     },
     "t06_stratified_sample" -> q { (s, dir) =>
       // corpus rebalancing: downsample the dominant language, keep the rest
@@ -1080,6 +1211,26 @@ object SparkEntry {
         |  WHERE a.vec_id % 100 >= 98 OR b.vec_id % 100 >= 98)
         |SELECT a, b, round(dot/(sqrt(na)*sqrt(nb)), 4) AS cos
         |FROM p WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.35""".stripMargin,
+    // same set-identity trick as t08/d04: the kernel's 8-gram hashing is a
+    // collision-free identity on this corpus, so the oracle works on the
+    // gram STRINGS directly (with the kernel's whole-doc rule for short docs)
+    "d10_passage_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |         unnest(CASE WHEN len(tk) <= 8 THEN [array_to_string(tk, ' ')]
+        |                ELSE list_transform(range(1, len(tk) - 6), i -> array_to_string(tk[i:i+7], ' ')) END) AS g
+        |  FROM toks),
+        |pdg AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+        |nd AS (SELECT doc_id, c, count(*) OVER (PARTITION BY g) AS n_docs FROM pdg)
+        |SELECT doc_id,
+        |       CAST(sum(c) AS BIGINT) AS n_passages,
+        |       CAST(sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_passages,
+        |       round(CAST(sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 4) AS dup_frac
+        |FROM nd GROUP BY doc_id""".stripMargin,
     "s05_range_search" ->
       """WITH p AS (
         |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
@@ -1388,6 +1539,58 @@ object SparkEntry {
         |SELECT l_partkey AS partkey, p_brand, s_name, best_price, n_quotes
         |FROM r JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey
         |WHERE rn = 1""".stripMargin,
+    "q40_market_share" ->
+      """SELECT o_year,
+        |       round(CAST(t4 AS DOUBLE) / CAST(a4 AS DOUBLE), 6) AS mkt_share,
+        |       CAST(a4 AS DOUBLE) / 10000.0 AS total_revenue
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |         CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+        |                       THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)
+        |                       ELSE 0 END) AS BIGINT) AS t4,
+        |         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS a4
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  GROUP BY 1)""".stripMargin,
+    "q41_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)
+        |                 - 0.1 * p_retailprice * l_quantity) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS profit,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q42_cust_order_dist" ->
+      """SELECT CAST(coalesce(n, 0) AS BIGINT) AS c_orders, count(*) AS custdist
+        |FROM customer
+        |LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders
+        |           WHERE o_orderstatus <> 'F' GROUP BY 1) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
+    "q43_idle_customers" ->
+      """WITH s AS (
+        |  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum2,
+        |         count(*) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0.0),
+        |rich AS (
+        |  SELECT c.c_mktsegment, CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal2
+        |  FROM customer c, s
+        |  WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * s.n_pos > s.sum2
+        |    AND NOT EXISTS (SELECT 1 FROM orders
+        |                    WHERE o_custkey = c.c_custkey
+        |                      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'))
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |       CAST(sum(bal2) AS DOUBLE) / 100.0 AS total_bal
+        |FROM rich GROUP BY 1""".stripMargin,
     "q21_asof_join" ->
       """WITH p AS (SELECT o_orderkey, o_custkey % 100 AS uid,
         |                  1704067200000000 + (epoch_ms(o_orderdate) % 2592000000) * 1000 AS t_us

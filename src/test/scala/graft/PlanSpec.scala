@@ -250,6 +250,38 @@ class PlanSpec extends SparkSpec {
     ()
   }
 
+  test("q40: every dim broadcasts; at most one fact-fact shuffle join") {
+    val p = plan("q40_market_share")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("SortMergeJoin".r.findAllIn(p).length <= 1,
+      "more than the one lineitem⋈orders shuffle join:\n" + p)
+    // the ECONOMY filter prunes part before the join
+    assert(p.contains("PushedFilters"), "part filter not pushed to scan:\n" + p)
+  }
+
+  test("q42: orders pre-aggregate below the customer join") {
+    val p = plan("q42_cust_order_dist")
+    // partial + final aggregate on o_custkey below the join, plus the
+    // final histogram agg
+    assert("HashAggregate".r.findAllIn(p).length >= 3, p)
+    // the orders scan reads only o_custkey and o_orderstatus
+    assert(!p.contains("o_totalprice"), "orders scan reads unused columns:\n" + p)
+  }
+
+  test("q43: anti join keeps the filter pushed and the scalar broadcast") {
+    val p = plan("q43_idle_customers")
+    assert(p.contains("LeftAnti"), "no anti join in the plan:\n" + p)
+    assert(p.contains("PushedFilters"), "orderdate cut not pushed to scan:\n" + p)
+  }
+
+  test("d10: gram counts reduce with map-side partials before the window") {
+    val p = plan("d10_passage_dedup")
+    assert(p.contains("token_shingle_hashes"), "gram kernel missing from scan:\n" + p)
+    assert(p.contains("partial_count") || "HashAggregate".r.findAllIn(p).length >= 2,
+      "no map-side combine on (gram, doc):\n" + p)
+    assert(p.contains("Window"), p)
+  }
+
   test("d02: signature computed before the exchange, bands join on hash") {
     val df = SparkEntry.queries("d02_dedup_minhash")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

