@@ -17,7 +17,7 @@ object Bench {
     "q28_asof_native", "q29_salted_join", "q30_incremental_agg", "q32_ship_priority",
     "q34_nation_trade", "q35_returned_items", "q36_cheapest_supplier", "q37_follow_suggest",
     "q38_cu_accounting", "q40_market_share", "q41_product_profit", "q42_cust_order_dist",
-    "q43_idle_customers",
+    "q43_idle_customers", "q44_rolling_metrics", "q45_funnel",
     // s04 re-runs d06's whole candidate+closure pipeline (already benched
     // via d06); m04/m05 are constant-size generators, not SF-scaled —
     // benching them would measure nothing about the data path
@@ -26,7 +26,7 @@ object Bench {
     // cartesian would grade the one plan shape the engine never ships
     "d01_dedup_exact", "d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
     "d06_dedup_clusters", "d07_embed_neardup_lsh", "d08_dedup_incremental", "d09_embed_delta",
-    "d10_passage_dedup",
+    "d10_passage_dedup", "d11_semantic_dedup",
     "s01_ann_brute", "s02_ann_lsh", "s03_ann_ivf", "s05_range_search", "s06_quantize",
     "t01_langid", "t02_quality", "t03_tokens", "t04_fingerprint", "t05_normalize",
     "t06_stratified_sample", "t07_cap_per_source", "t08_contamination", "t09_repetition",

@@ -444,6 +444,15 @@ object SparkEntry {
         .select(col("doc_id"), col("n_passages"), col("n_dup_passages"),
           round(col("n_dup_passages").cast("double") / col("n_passages"), 4).as("dup_frac"))
     },
+    "d11_semantic_dedup" -> q { (s, dir) =>
+      // SemDeDup (Abbas et al. 2023): coarse-quantize the embedding space,
+      // then keep-min-id within each cell at cos >= 0.35 — the semantic
+      // near-dup prune a corpus runs alongside the text-level passes
+      // (d01/d02); the cell-local pairwise scan bounds the quadratic cost
+      // to the largest cell (see Dedup.semanticDedup scaladoc)
+      Dedup.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        eps = 0.35, nCentroids = 32)
+    },
     "s05_range_search" -> q { (s, dir) =>
       // range (threshold) similarity search: all corpus vectors within
       // cos >= 0.35 of each query — banded corpus scan + broadcast banded
@@ -800,6 +809,41 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_cust"),
           (sum(bal2).cast("double") / 100.0).as("total_bal"))
+    },
+    "q44_rolling_metrics" -> q { (s, dir) =>
+      // trailing-24h per-user metrics over the event stream: a RANGE window
+      // frame in event-time micros — the freshness/rate surface an
+      // incremental importer exposes per entity (reference's row-age
+      // metrics, generalized to a sliding horizon). One shuffle + one sort
+      // (the window); the frame sum is an exact 1e-2-scaled integer, so
+      // sliding-window accumulation order can't skew it. RANGE (not ROWS)
+      // makes ts ties frame-identical across engines.
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        col("ts_us"), round(col("value") * 100).cast("long").as("v2"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-86400000000L, 0L)
+      ev.select(col("user_id"), col("event_id"), col("ts_us"),
+        count(lit(1)).over(w).as("n_24h"),
+        (sum(col("v2")).over(w).cast("double") / 100.0).as("sum_value_24h"))
+    },
+    "q45_funnel" -> q { (s, dir) =>
+      // signup → click → purchase conversion funnel: per user, the stage
+      // reached under min-event-time ordering, then one tiny histogram.
+      // ONE shuffle total — the three per-stage first-times are conditional
+      // min aggregates in a single groupBy pass (no per-stage self-joins,
+      // no window sort), and stage logic is pure column arithmetic on the
+      // aggregated row.
+      val ev = Tables.events(s, dir)
+      val perUser = ev.groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "signup", col("ts_us"))).as("t_signup"),
+        min(when(col("event_type") === "click", col("ts_us"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("t_purchase"))
+      perUser.select(
+        when(col("t_signup").isNull, 0L)
+          .when(col("t_click").isNull || col("t_click") <= col("t_signup"), 1L)
+          .when(col("t_purchase").isNull || col("t_purchase") <= col("t_click"), 2L)
+          .otherwise(3L).as("stage"))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
     },
     "t06_stratified_sample" -> q { (s, dir) =>
       // corpus rebalancing: downsample the dominant language, keep the rest
@@ -1231,6 +1275,34 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_passages,
         |       round(CAST(sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 4) AS dup_frac
         |FROM nd GROUP BY doc_id""".stripMargin,
+    // the oracle re-derives the deterministic lowest-id quantizer, mirrors
+    // the (cos, cid)-struct argmax tie-break (cos DESC, ci DESC), and
+    // recomputes every within-cell pair in double — cosine arithmetic is
+    // IEEE-identical to the fused kernel (the d05 contract)
+    "d11_semantic_dedup" ->
+      """WITH cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ci, embedding AS cv
+        |  FROM embeddings ORDER BY vec_id LIMIT 32),
+        |score AS (
+        |  SELECT e.vec_id, e.embedding, c.ci,
+        |         list_sum(list_transform(list_zip(e.embedding, c.cv), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |              * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings e CROSS JOIN cent c),
+        |assign AS (
+        |  SELECT vec_id, embedding, ci AS cell
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ci DESC) AS rn
+        |        FROM score)
+        |  WHERE rn = 1),
+        |rm AS (
+        |  SELECT DISTINCT a.vec_id
+        |  FROM assign a JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |          / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) >= 0.35)
+        |SELECT a.vec_id, a.cell,
+        |       CAST(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM assign a LEFT JOIN rm r ON a.vec_id = r.vec_id""".stripMargin,
     "s05_range_search" ->
       """WITH p AS (
         |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
@@ -1591,6 +1663,26 @@ object SparkEntry {
         |SELECT c_mktsegment, count(*) AS n_cust,
         |       CAST(sum(bal2) AS DOUBLE) / 100.0 AS total_bal
         |FROM rich GROUP BY 1""".stripMargin,
+    "q44_rolling_metrics" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |       count(*) OVER w AS n_24h,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0 AS sum_value_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q45_funnel" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,
+        |         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+        |         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(CASE WHEN t_signup IS NULL THEN 0
+        |            WHEN t_click IS NULL OR t_click <= t_signup THEN 1
+        |            WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 2
+        |            ELSE 3 END AS BIGINT) AS stage,
+        |       count(*) AS n_users
+        |FROM u GROUP BY 1""".stripMargin,
     "q21_asof_join" ->
       """WITH p AS (SELECT o_orderkey, o_custkey % 100 AS uid,
         |                  1704067200000000 + (epoch_ms(o_orderdate) % 2592000000) * 1000 AS t_us

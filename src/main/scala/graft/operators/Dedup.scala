@@ -468,4 +468,53 @@ object Dedup {
         sum(round(col("v").cast("double") * lit(1000000L)).cast("long")).as("sum6"))
       .select(col("cluster_id"), col("dim").cast("long").as("dim"), col("n_members"),
         (col("sum6").cast("double") / (col("n_members") * lit(1000000L))).as("centroid"))
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with a coarse
+    * quantizer, then mark as duplicate any vector whose cosine to a
+    * LOWER-id vector in the SAME cluster reaches `eps` (keep-min-id, the
+    * d01 rule — the paper keeps one member per within-cluster duplicate
+    * set). Output: one row per vector with its cell and keep flag.
+    *
+    * Scale shape: the cluster assignment is a pure scan (fused cosine
+    * kernels against broadcast centroid literals — the s03 coarse
+    * quantizer), and the pairwise pass is cell-LOCAL: the self-join
+    * shuffles on the cell key only, so the quadratic cost is bounded by
+    * the largest cell, never N². That containment is SemDeDup's entire
+    * reason to exist — at production scale the quantizer has ~10⁵ cells
+    * (k-means over a sample), keeping cells ~1e4 vectors; here the
+    * deterministic lowest-id quantizer stands in for the trained one (the
+    * s03 convention, which keeps the operator oracle-checkable).
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      eps: Double,
+      nCentroids: Int = 16): DataFrame = {
+    import graft.expressions.VectorExprs
+    val centroids: Array[(Long, Seq[Float])] = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol).cast("long").asc)
+      .limit(nCentroids)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq)
+    // argmax by (cos, cid) struct ordering — no window, no shuffle (s03)
+    def cellScores(v: org.apache.spark.sql.Column) = array(centroids.zipWithIndex.map {
+      case ((_, cv), ci) =>
+        struct(VectorExprs.cosineFF(v, typedlit(cv)).as("cos"), lit(ci.toLong).as("cid"))
+    }: _*)
+    val assign = corpus.select(
+      col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"),
+      array_max(cellScores(col(vecCol))).getField("cid").as("cell"))
+    val peers = assign.select(col("cell"), col("vec_id").as("peer_id"), col("v").as("pv"))
+    val removed = assign.join(peers, Seq("cell"))
+      .where(col("peer_id") < col("vec_id") &&
+        VectorExprs.cosineFF(col("v"), col("pv")) >= eps)
+      .select(col("vec_id")).distinct()
+    assign
+      .join(removed.withColumn("rm", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("rm").isNull, 1L).otherwise(0L).as("keep"))
+  }
 }

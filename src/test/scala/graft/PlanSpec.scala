@@ -282,6 +282,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("q44: rolling frame is one window (single sort), no self-join") {
+    val p = plan("q44_rolling_metrics")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), "rolling metrics must not self-join:\n" + p)
+  }
+
+  test("d11: quantizer is a scan-side kernel; pairwise join is cell-keyed, never cartesian") {
+    val p = plan("d11_semantic_dedup")
+    assert(p.contains("cosine_similarity_ff"), "fused cosine kernel missing:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pairwise pass must stay cell-local (equi-join on cell):\n" + p)
+  }
+
   test("d02: signature computed before the exchange, bands join on hash") {
     val df = SparkEntry.queries("d02_dedup_minhash")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

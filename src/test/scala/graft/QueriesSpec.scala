@@ -109,6 +109,31 @@ class QueriesSpec extends SparkSpec {
       col("dup_frac") < 0.0 || col("dup_frac") > 1.0).count() == 0)
   }
 
+  test("q44 rolling metrics: one row per event, frame always includes self") {
+    val out = SparkEntry.queries("q44_rolling_metrics")(spark, sfDir)
+    assert(out.count() == Tables.events(spark, sfDir).count())
+    assert(out.where(col("n_24h") < 1).count() == 0)
+  }
+
+  test("q45 funnel: user counts partition the user set, stages monotone") {
+    val out = SparkEntry.queries("q45_funnel")(spark, sfDir).collect()
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n_users")).sum == users)
+    assert(out.forall(r => r.getAs[Long]("stage") >= 0 && r.getAs[Long]("stage") <= 3))
+  }
+
+  test("d11 semantic dedup: one row per vector; removed vectors have a lower-id cell peer") {
+    val out = SparkEntry.queries("d11_semantic_dedup")(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    assert(out.count() == emb.count())
+    // within every cell the lowest-id member is always kept
+    val firstPerCell = out.groupBy("cell").agg(min("vec_id").as("first_id"))
+    val dropped = out.where(col("keep") === 0)
+      .join(firstPerCell, Seq("cell"))
+      .where(col("vec_id") === col("first_id"))
+    assert(dropped.count() == 0, "a cell's lowest-id vector was removed")
+  }
+
   test("m01 multimodal stats cover all three kinds") {
     val out = SparkEntry.queries("m01_multimodal")(spark, sfDir).collect()
     assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))
