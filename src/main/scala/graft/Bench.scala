@@ -30,7 +30,7 @@ object Bench {
     "s01_ann_brute", "s02_ann_lsh", "s03_ann_ivf", "s05_range_search", "s06_quantize",
     "t01_langid", "t02_quality", "t03_tokens", "t04_fingerprint", "t05_normalize",
     "t06_stratified_sample", "t07_cap_per_source", "t08_contamination", "t09_repetition",
-    "t10_pii_redact", "t11_curation", "t12_sequence_pack")
+    "t10_pii_redact", "t11_curation", "t12_sequence_pack", "t13_url_domains")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -845,6 +845,34 @@ object SparkEntry {
           .otherwise(3L).as("stage"))
         .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
     },
+    "t13_url_domains" -> q { (s, dir) =>
+      // domain-level corpus statistics — the per-domain doc/url counts a
+      // web corpus runs blocklist filtering and per-domain caps on
+      // (C4/RefinedWeb-style curation). The synthetic corpus carries no
+      // URLs, so deterministic URLs are injected from doc_id arithmetic
+      // (the t10 trick) and the oracle re-derives the same injection;
+      // extraction is the codegen regexp path (Java/RE2 common subset) —
+      // one scan + one bounded groupBy (domains ≪ docs).
+      val injected = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(4)) < 3,
+            concat(lit(" via https://site"), pmod(col("doc_id"), lit(7)).cast("string"),
+              lit(".example"), pmod(col("doc_id"), lit(3)).cast("string"),
+              lit(".com/p/"), pmod(col("doc_id"), lit(11)).cast("string")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(8)) === 0,
+            concat(lit(" and http://mirror"), pmod(col("doc_id"), lit(5)).cast("string"),
+              lit(".example.org/q")))
+            .otherwise(lit(""))).as("text"))
+      injected
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("text"),
+            lit("https?://([a-zA-Z0-9.-]+)"), lit(1))).as("domain"))
+        .groupBy(col("domain"))
+        .agg(count_distinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_urls"),
+          min(col("doc_id")).as("first_doc"))
+    },
     "t06_stratified_sample" -> q { (s, dir) =>
       // corpus rebalancing: downsample the dominant language, keep the rest
       // — deterministic scan filter, no shuffle (see Sampling.scaladoc for
@@ -1663,6 +1691,24 @@ object SparkEntry {
         |SELECT c_mktsegment, count(*) AS n_cust,
         |       CAST(sum(bal2) AS DOUBLE) / 100.0 AS total_bal
         |FROM rich GROUP BY 1""".stripMargin,
+    "t13_url_domains" ->
+      """WITH injected AS (
+        |  SELECT doc_id,
+        |         text
+        |         || CASE WHEN doc_id % 4 < 3
+        |                 THEN ' via https://site' || (doc_id % 7) || '.example' || (doc_id % 3)
+        |                      || '.com/p/' || (doc_id % 11)
+        |                 ELSE '' END
+        |         || CASE WHEN doc_id % 8 = 0
+        |                 THEN ' and http://mirror' || (doc_id % 5) || '.example.org/q'
+        |                 ELSE '' END AS text
+        |  FROM documents),
+        |urls AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, 'https?://([a-zA-Z0-9.-]+)', 1)) AS domain
+        |  FROM injected)
+        |SELECT domain, count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls,
+        |       min(doc_id) AS first_doc
+        |FROM urls GROUP BY 1""".stripMargin,
     "q44_rolling_metrics" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |       count(*) OVER w AS n_24h,

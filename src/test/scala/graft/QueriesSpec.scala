@@ -134,6 +134,14 @@ class QueriesSpec extends SparkSpec {
     assert(dropped.count() == 0, "a cell's lowest-id vector was removed")
   }
 
+  test("t13 url domains: url total matches the injection arithmetic") {
+    val out = SparkEntry.queries("t13_url_domains")(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+    val expectedUrls = docs.where(pmod(col("doc_id"), lit(4)) < 3).count() +
+      docs.where(pmod(col("doc_id"), lit(8)) === 0).count()
+    assert(out.map(_.getAs[Long]("n_urls")).sum == expectedUrls && expectedUrls > 0)
+  }
+
   test("m01 multimodal stats cover all three kinds") {
     val out = SparkEntry.queries("m01_multimodal")(spark, sfDir).collect()
     assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))
