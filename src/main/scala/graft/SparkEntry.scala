@@ -873,6 +873,26 @@ object SparkEntry {
           count(lit(1)).as("n_urls"),
           min(col("doc_id")).as("first_doc"))
     },
+    "q46_retention_cohorts" -> q { (s, dir) =>
+      // signup-cohort retention matrix: users bucketed by signup week,
+      // activity counted per (cohort_week, week_offset) — the event-stream
+      // analytics surface over a synced entity store. Cohort = ONE
+      // conditional-min groupBy (no "first event" self-join); activity
+      // distinct-reduces (user, week) with map-side partials BEFORE the
+      // user-keyed join, so the join carries user-weeks, not raw events.
+      // Week bucketing is integer division of epoch micros — exact in both
+      // engines (positive timestamps, truncating division).
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts_us"), col("event_type"))
+      val cohort = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t0"))
+        .select(col("user_id"), expr("t0 div 604800000000").as("w0"))
+      val activity = ev
+        .select(col("user_id"), expr("ts_us div 604800000000").as("w")).distinct()
+      cohort.join(activity, "user_id")
+        .where(col("w") >= col("w0"))
+        .groupBy(col("w0").as("cohort_week"), (col("w") - col("w0")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+    },
     "t06_stratified_sample" -> q { (s, dir) =>
       // corpus rebalancing: downsample the dominant language, keep the rest
       // — deterministic scan filter, no shuffle (see Sampling.scaladoc for
@@ -1691,6 +1711,15 @@ object SparkEntry {
         |SELECT c_mktsegment, count(*) AS n_cust,
         |       CAST(sum(bal2) AS DOUBLE) / 100.0 AS total_bal
         |FROM rich GROUP BY 1""".stripMargin,
+    "q46_retention_cohorts" ->
+      """WITH cohort AS (
+        |  SELECT user_id, min(epoch_us(ts)) // 604800000000 AS w0
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w FROM events)
+        |SELECT w0 AS cohort_week, w - w0 AS week_offset, count(*) AS n_active
+        |FROM cohort JOIN act USING (user_id)
+        |WHERE w >= w0
+        |GROUP BY 1, 2""".stripMargin,
     "t13_url_domains" ->
       """WITH injected AS (
         |  SELECT doc_id,

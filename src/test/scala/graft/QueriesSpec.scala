@@ -142,6 +142,17 @@ class QueriesSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_urls")).sum == expectedUrls && expectedUrls > 0)
   }
 
+  test("q46 retention: offset-0 cell count equals signup users of that week") {
+    val out = SparkEntry.queries("q46_retention_cohorts")(spark, sfDir)
+    // every signup user is active in their own cohort week (the signup
+    // event itself), so offset 0 sums to the number of signup users
+    val signupUsers = Tables.events(spark, sfDir)
+      .where(col("event_type") === "signup").select("user_id").distinct().count()
+    val offset0 = out.where(col("week_offset") === 0)
+      .agg(sum("n_active")).collect()(0).getLong(0)
+    assert(offset0 == signupUsers && signupUsers > 0)
+  }
+
   test("m01 multimodal stats cover all three kinds") {
     val out = SparkEntry.queries("m01_multimodal")(spark, sfDir).collect()
     assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))
