@@ -873,6 +873,65 @@ object SparkEntry {
           count(lit(1)).as("n_urls"),
           min(col("doc_id")).as("first_doc"))
     },
+    "q47_gap_fill" -> q { (s, dir) =>
+      // per-user daily series with gap days materialized and values
+      // forward-filled — the gap-fill/LOCF operator an incremental metrics
+      // store needs when quiet windows produce no rows (the reference's
+      // `.empty` marker files, seen from the analytics side). Day spans
+      // come from the SAME one-shuffle daily aggregate (no second scan);
+      // `sequence`+explode generates each user's calendar distributed-side
+      // (rows ∝ output, no driver loop), and the fill is one
+      // last(ignoreNulls) running window — shuffle keyed by user
+      // throughout, so at scale this is two co-keyed shuffles + a sort.
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("v2"))
+      val spans = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val allDays = spans.select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      allDays.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day").as("day_idx"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          (last(col("v2"), ignoreNulls = true).over(w).cast("double") / 100.0)
+            .as("filled_value"))
+    },
+    "q48_revenue_forecast" -> q { (s, dir) =>
+      // TPC-H Q6 shape: the what-if revenue scan — every predicate
+      // (shipdate range, discount band, quantity cap) pushes to the
+      // parquet scan, the aggregate is a single exact scaled-integer sum;
+      // zero shuffles beyond the final scalar reduce.
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
+        .agg(
+          (sum(round(col("l_extendedprice") * col("l_discount") * 10000).cast("long"))
+            .cast("double") / 10000.0).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    "q49_promo_share" -> q { (s, dir) =>
+      // TPC-H Q14 shape: promo revenue share by ship year — the part dim
+      // broadcasts into the fact scan and the share is a ratio of two
+      // exact scaled-integer conditional sums (the q40 rule), so the one
+      // FP op is the final division.
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), year(col("l_shipdate")).cast("long").as("l_year"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+            .cast("long").as("vol4"))
+      li.join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_year"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("vol4")).otherwise(0L)).as("p4"),
+          sum(col("vol4")).as("a4"))
+        .select(col("l_year"),
+          round(col("p4").cast("double") / col("a4").cast("double"), 6).as("promo_share"),
+          (col("p4").cast("double") / 10000.0).as("promo_revenue"))
+    },
     "q46_retention_cohorts" -> q { (s, dir) =>
       // signup-cohort retention matrix: users bucketed by signup week,
       // activity counted per (cohort_week, week_offset) — the event-stream
@@ -1711,6 +1770,41 @@ object SparkEntry {
         |SELECT c_mktsegment, count(*) AS n_cust,
         |       CAST(sum(bal2) AS DOUBLE) / 100.0 AS total_bal
         |FROM rich GROUP BY 1""".stripMargin,
+    "q47_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, count(*) AS n_events,
+        |         sum(CAST(round(value * 100) AS BIGINT)) AS v2
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        |alldays AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM spans),
+        |j AS (SELECT a.user_id, a.day, d.n_events, d.v2
+        |      FROM alldays a LEFT JOIN daily d USING (user_id, day))
+        |SELECT user_id, day AS day_idx,
+        |       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+        |       CAST(last_value(v2 IGNORE NULLS) OVER (
+        |              PARTITION BY user_id ORDER BY day
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+        |         AS filled_value
+        |FROM j""".stripMargin,
+    "q48_revenue_forecast" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin,
+    "q49_promo_share" ->
+      """SELECT l_year,
+        |       round(CAST(p4 AS DOUBLE) / CAST(a4 AS DOUBLE), 6) AS promo_share,
+        |       CAST(p4 AS DOUBLE) / 10000.0 AS promo_revenue
+        |FROM (
+        |  SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |         CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                       THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)
+        |                       ELSE 0 END) AS BIGINT) AS p4,
+        |         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS a4
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1)""".stripMargin,
     "q46_retention_cohorts" ->
       """WITH cohort AS (
         |  SELECT user_id, min(epoch_us(ts)) // 604800000000 AS w0

@@ -153,6 +153,34 @@ class QueriesSpec extends SparkSpec {
     assert(offset0 == signupUsers && signupUsers > 0)
   }
 
+  test("q47 gap fill: contiguous days per user, gaps carry the last value") {
+    val out = SparkEntry.queries("q47_gap_fill")(spark, sfDir)
+    // every user's series is contiguous: row count = d1 - d0 + 1
+    val spanRows = out.groupBy("user_id")
+      .agg((max("day_idx") - min("day_idx") + 1).as("span"), count(lit(1)).as("n"))
+      .where(col("span") =!= col("n"))
+    assert(spanRows.count() == 0, "holes remain after gap fill")
+    assert(out.where(col("filled_value").isNull).count() == 0, "unfilled values")
+  }
+
+  test("q48 revenue forecast: matches a direct filtered aggregate") {
+    val out = SparkEntry.queries("q48_revenue_forecast")(spark, sfDir).collect()(0)
+    val n = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24).count()
+    assert(out.getAs[Long]("n_items") == n && n > 0)
+  }
+
+  test("q49 promo share: shares in [0,1], one row per ship year") {
+    val out = SparkEntry.queries("q49_promo_share")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("l_year")).distinct.length == out.length)
+    assert(out.forall { r =>
+      val s = r.getAs[Double]("promo_share"); s >= 0.0 && s <= 1.0
+    })
+  }
+
   test("m01 multimodal stats cover all three kinds") {
     val out = SparkEntry.queries("m01_multimodal")(spark, sfDir).collect()
     assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))
