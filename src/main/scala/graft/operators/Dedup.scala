@@ -504,15 +504,24 @@ object Dedup {
       case ((_, cv), ci) =>
         struct(VectorExprs.cosineFF(v, typedlit(cv)).as("cos"), lit(ci.toLong).as("cid"))
     }: _*)
+    // repartition(cell) is the self-join's exchange — pinning it here lets
+    // ReuseExchange evaluate the quantizer scan ONCE for both join sides
+    // (without it the 32-cosine argmax runs once per side)
     val assign = corpus.select(
       col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"),
       array_max(cellScores(col(vecCol))).getField("cid").as("cell"))
+      .repartition(col("cell"))
     val peers = assign.select(col("cell"), col("vec_id").as("peer_id"), col("v").as("pv"))
     val removed = assign.join(peers, Seq("cell"))
       .where(col("peer_id") < col("vec_id") &&
         VectorExprs.cosineFF(col("v"), col("pv")) >= eps)
       .select(col("vec_id")).distinct()
-    assign
+    // the roster re-derives (vec_id, cell) WITHOUT the vector column, so
+    // the third quantizer evaluation ships ids+cells through its shuffle,
+    // never the embeddings
+    corpus.select(
+      col(idCol).cast("long").as("vec_id"),
+      array_max(cellScores(col(vecCol))).getField("cid").as("cell"))
       .join(removed.withColumn("rm", lit(1L)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         when(col("rm").isNull, 1L).otherwise(0L).as("keep"))
