@@ -878,11 +878,11 @@ object SparkEntry {
       // forward-filled — the gap-fill/LOCF operator an incremental metrics
       // store needs when quiet windows produce no rows (the reference's
       // `.empty` marker files, seen from the analytics side). Day spans
-      // come from the SAME one-shuffle daily aggregate (no second scan);
-      // `sequence`+explode generates each user's calendar distributed-side
-      // (rows ∝ output, no driver loop), and the fill is one
-      // last(ignoreNulls) running window — shuffle keyed by user
-      // throughout, so at scale this is two co-keyed shuffles + a sort.
+      // re-aggregate the daily frame (Catalyst prunes that branch's scan
+      // to just (user, ts)); `sequence`+explode generates each user's
+      // calendar distributed-side (rows ∝ output, no driver loop), and the
+      // fill is one last(ignoreNulls) running window — every stage keyed
+      // by user, so at scale this is co-keyed shuffles + one sort.
       val daily = Tables.events(s, dir)
         .groupBy(col("user_id"), expr("ts_us div 86400000000").as("day"))
         .agg(count(lit(1)).as("n_events"),
@@ -931,6 +931,26 @@ object SparkEntry {
         .select(col("l_year"),
           round(col("p4").cast("double") / col("a4").cast("double"), 6).as("promo_share"),
           (col("p4").cast("double") / 10000.0).as("promo_revenue"))
+    },
+    "q50_rolling_active" -> q { (s, dir) =>
+      // DAU / rolling-7-day WAU: count-DISTINCT over a sliding window has
+      // no incremental form, so each distinct user-day is exploded onto the
+      // 7 window-end days it contributes to (a constant-factor fan-out) and
+      // every window becomes an ordinary distinct+count — the standard
+      // rebase of rolling distinct onto set-free aggregation. Shuffles
+      // carry ≤7× distinct user-days (bounded by users × days), never raw
+      // events; only observed days are reported.
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day")).distinct()
+      val cover = ud
+        .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("wday"))
+        .distinct()
+      val days = ud.select(col("day")).distinct()
+      val wau = days.join(cover, col("day") === col("wday"))
+        .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+      val dau = ud.groupBy(col("day").as("d2")).agg(count(lit(1)).as("dau"))
+      wau.join(dau, col("day") === col("d2"))
+        .select(col("day").as("day_idx"), col("dau"), col("wau"))
     },
     "q46_retention_cohorts" -> q { (s, dir) =>
       // signup-cohort retention matrix: users bucketed by signup week,
@@ -1770,6 +1790,14 @@ object SparkEntry {
         |SELECT c_mktsegment, count(*) AS n_cust,
         |       CAST(sum(bal2) AS DOUBLE) / 100.0 AS total_bal
         |FROM rich GROUP BY 1""".stripMargin,
+    "q50_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |cover AS (SELECT DISTINCT user_id, day + i AS wday
+        |          FROM ud, unnest(generate_series(0, 6)) t(i)),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |wau AS (SELECT d.day, count(*) AS wau FROM days d JOIN cover c ON c.wday = d.day GROUP BY 1),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1)
+        |SELECT w.day AS day_idx, dau, wau FROM wau w JOIN dau USING (day)""".stripMargin,
     "q47_gap_fill" ->
       """WITH daily AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, count(*) AS n_events,

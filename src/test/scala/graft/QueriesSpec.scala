@@ -181,6 +181,13 @@ class QueriesSpec extends SparkSpec {
     })
   }
 
+  test("q50 rolling actives: wau >= dau, both bounded by the user count") {
+    val out = SparkEntry.queries("q50_rolling_active")(spark, sfDir)
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(out.count() > 0)
+    assert(out.where(col("wau") < col("dau") || col("wau") > users).count() == 0)
+  }
+
   test("m01 multimodal stats cover all three kinds") {
     val out = SparkEntry.queries("m01_multimodal")(spark, sfDir).collect()
     assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))
