@@ -444,6 +444,15 @@ object SparkEntry {
         .select(col("doc_id"), col("n_passages"), col("n_dup_passages"),
           round(col("n_dup_passages").cast("double") / col("n_passages"), 4).as("dup_frac"))
     },
+    "s07_mmr_diversify" -> q { (s, dir) =>
+      // MMR diversified retrieval: top-20 relevance pool per query, greedy
+      // k=3 selection at 0.7·rel − 0.3·max-sim-to-selected — the diverse
+      // sample selection pass over the embedding corpus; oracle unrolls the
+      // same three greedy steps in SQL
+      val emb = Tables.embeddings(s, dir)
+      Similarity.mmrSelect(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
+        kCand = 20, k = 3, lamRel = 0.7, lamDiv = 0.3)
+    },
     "d11_semantic_dedup" -> q { (s, dir) =>
       // SemDeDup (Abbas et al. 2023): coarse-quantize the embedding space,
       // then keep-min-id within each cell at cos >= 0.35 — the semantic
@@ -1402,6 +1411,57 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_passages,
         |       round(CAST(sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 4) AS dup_frac
         |FROM nd GROUP BY doc_id""".stripMargin,
+    // the three greedy MMR steps unrolled: pick1 = argmax rel; each later
+    // pick re-scores the remainder against the selected set with the same
+    // 0.7/0.3 literals the Spark loop uses (NOT 1−λ — IEEE 1.0−0.7 is
+    // 0.30000000000000004); ties break to the lower cid everywhere
+    "s07_mmr_diversify" ->
+      """WITH cos AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS cid, c.embedding AS cv,
+        |    list_sum(list_transform(list_zip(c.embedding, q.embedding), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS rel
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 8),
+        |pool AS (
+        |  SELECT q_id, cid, cv, rel
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, cid ASC) AS rn FROM cos)
+        |  WHERE rn <= 20),
+        |s1 AS (
+        |  SELECT q_id, cid, cv, rel, CAST(1 AS BIGINT) AS pick
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, cid ASC) AS r FROM pool)
+        |  WHERE r = 1),
+        |r2 AS (SELECT p.* FROM pool p LEFT JOIN s1 ON p.q_id = s1.q_id AND p.cid = s1.cid
+        |       WHERE s1.cid IS NULL),
+        |p2 AS (
+        |  SELECT r.q_id, r.cid, any_value(r.cv) AS cv, any_value(r.rel) AS rel,
+        |         max(list_sum(list_transform(list_zip(r.cv, s.cv), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)))
+        |             / (sqrt(list_sum(list_transform(r.cv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |                * sqrt(list_sum(list_transform(s.cv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))) AS pen
+        |  FROM r2 r JOIN s1 s ON r.q_id = s.q_id
+        |  GROUP BY r.q_id, r.cid),
+        |s2 AS (
+        |  SELECT q_id, cid, cv, rel, CAST(2 AS BIGINT) AS pick
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY 0.7*rel - 0.3*pen DESC, cid ASC) AS r FROM p2)
+        |  WHERE r = 1),
+        |sel12 AS (SELECT q_id, cid, cv FROM s1 UNION ALL SELECT q_id, cid, cv FROM s2),
+        |r3 AS (SELECT p.* FROM pool p LEFT JOIN sel12 s ON p.q_id = s.q_id AND p.cid = s.cid
+        |       WHERE s.cid IS NULL),
+        |p3 AS (
+        |  SELECT r.q_id, r.cid, any_value(r.rel) AS rel,
+        |         max(list_sum(list_transform(list_zip(r.cv, s.cv), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)))
+        |             / (sqrt(list_sum(list_transform(r.cv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |                * sqrt(list_sum(list_transform(s.cv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))) AS pen
+        |  FROM r3 r JOIN sel12 s ON r.q_id = s.q_id
+        |  GROUP BY r.q_id, r.cid),
+        |s3 AS (
+        |  SELECT q_id, cid, rel, CAST(3 AS BIGINT) AS pick
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY 0.7*rel - 0.3*pen DESC, cid ASC) AS r FROM p3)
+        |  WHERE r = 1)
+        |SELECT q_id, pick, cid AS neighbor_id, round(rel, 4) AS rel
+        |FROM (SELECT q_id, cid, rel, pick FROM s1
+        |      UNION ALL SELECT q_id, cid, rel, pick FROM s2
+        |      UNION ALL SELECT q_id, cid, rel, pick FROM s3)""".stripMargin,
     // the oracle re-derives the deterministic lowest-id quantizer, mirrors
     // the (cos, cid)-struct argmax tie-break (cos DESC, ci DESC), and
     // recomputes every within-cell pair in double — cosine arithmetic is

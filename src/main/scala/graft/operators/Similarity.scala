@@ -55,6 +55,66 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("rank"))
   }
 
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    * 1998): from each query's `kCand` most-relevant candidates, greedily
+    * pick `k` items maximizing `lamRel·rel − lamDiv·max_cos_to_selected` —
+    * the diverse-sample selection a training-data pipeline runs so one
+    * dense region can't monopolize a retrieval budget.
+    *
+    * The greedy loop is INHERENTLY sequential in k, so k lives on the
+    * driver as loop control (k is a small constant; every step is a fully
+    * distributed join + grouped argmax keyed by q_id — millions of queries
+    * advance one pick per step in parallel). The candidate pool
+    * materializes once (`localCheckpoint`) and each step touches
+    * pool-sized data only, never the corpus.
+    *
+    * `lamRel`/`lamDiv` are taken as separate literals rather than
+    * (λ, 1−λ): 1.0−0.7 is 0.30000000000000004 in IEEE — an oracle writing
+    * the decimal 0.3 would diverge on ties.
+    *
+    * Ties break to the lower candidate id at every argmax (struct-ordered
+    * `max_by`), so the selection is engine- and partitioning-independent.
+    */
+  def mmrSelect(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kCand: Int,
+      k: Int,
+      lamRel: Double,
+      lamDiv: Double): DataFrame = {
+    val qv = broadcast(queries.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("qv")))
+    val scored = corpus.select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+      .join(qv, col("q_id") =!= col("cid"))
+      .select(col("q_id"), col("cid"), col("cv"),
+        VectorExprs.cosineFF(col("cv"), col("qv")).as("rel"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("cid").asc)
+    val pool = scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= kCand).drop("rn")
+      .localCheckpoint(true)
+    def argmax(df: DataFrame, score: org.apache.spark.sql.Column, pick: Int): DataFrame =
+      df.groupBy(col("q_id"))
+        .agg(max_by(struct(col("cid"), col("cv"), col("rel")),
+          struct(score.as("s"), (-col("cid")).as("tie"))).as("best"))
+        .select(col("q_id"), col("best.cid").as("cid"), col("best.cv").as("cv"),
+          col("best.rel").as("rel"), lit(pick.toLong).as("pick"))
+    var out = argmax(pool, col("rel"), 1)
+    for (step <- 2 to k) {
+      val sel = out.select(col("q_id"), col("cid").as("sid"), col("cv").as("sv"))
+      val remaining = pool
+        .join(out.select(col("q_id"), col("cid")), Seq("q_id", "cid"), "left_anti")
+      val withPen = remaining.join(sel, Seq("q_id"))
+        .groupBy(col("q_id"), col("cid"))
+        .agg(first(col("cv")).as("cv"), first(col("rel")).as("rel"),
+          max(VectorExprs.cosineFF(col("cv"), col("sv"))).as("pen"))
+      out = out.union(
+        argmax(withPen, lit(lamRel) * col("rel") - lit(lamDiv) * col("pen"), step))
+    }
+    out.select(col("q_id"), col("pick"), col("cid").as("neighbor_id"),
+      round(col("rel"), 4).as("rel"))
+  }
+
   /** IVF-style ANN: a coarse quantizer of `nCentroids` centroid vectors
     * partitions the corpus into cells; each query exactly scores only the
     * `nProbe` cells nearest to it. Centroids are picked deterministically

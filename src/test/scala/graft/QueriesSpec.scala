@@ -188,6 +188,20 @@ class QueriesSpec extends SparkSpec {
     assert(out.where(col("wau") < col("dau") || col("wau") > users).count() == 0)
   }
 
+  test("s07 mmr: 3 distinct picks per query; pick 1 is the relevance argmax") {
+    val out = SparkEntry.queries("s07_mmr_diversify")(spark, sfDir)
+    val perQ = out.groupBy("q_id")
+      .agg(count(lit(1)).as("n"), count_distinct(col("neighbor_id")).as("nd"))
+      .where(col("n") =!= 3 || col("nd") =!= 3)
+    assert(perQ.count() == 0, "each query must select 3 distinct items")
+    // pick 1 carries the maximum relevance of the query's selections
+    val bad = out.groupBy("q_id")
+      .agg(max(col("rel")).as("mx"),
+        max(when(col("pick") === 1, col("rel"))).as("p1"))
+      .where(col("p1") < col("mx"))
+    assert(bad.count() == 0, "pick 1 must be the most relevant selection")
+  }
+
   test("m01 multimodal stats cover all three kinds") {
     val out = SparkEntry.queries("m01_multimodal")(spark, sfDir).collect()
     assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))
