@@ -453,6 +453,12 @@ object SparkEntry {
       Similarity.mmrSelect(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
         kCand = 20, k = 3, lamRel = 0.7, lamDiv = 0.3)
     },
+    "s08_pq_encode" -> q { (s, dir) =>
+      // product quantization: 64 dims -> 8 nibble codes against the
+      // deterministic per-segment codebook; per-(vector, segment) rows so
+      // nothing cross-engine depends on aggregation order
+      Similarity.pqEncode(Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64)
+    },
     "d11_semantic_dedup" -> q { (s, dir) =>
       // SemDeDup (Abbas et al. 2023): coarse-quantize the embedding space,
       // then keep-min-id within each cell at cos >= 0.35 — the semantic
@@ -1411,6 +1417,31 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_passages,
         |       round(CAST(sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 4) AS dup_frac
         |FROM nd GROUP BY doc_id""".stripMargin,
+    // PQ oracle: codebook re-derived from the 16 lowest-id vectors; the
+    // argmin key m and err are written with EXACTLY the kernel's FP
+    // shape — (0.0 - 2.0*dot) + c2, then xs2 + m — so codes and errors
+    // are bit-identical; ties break to the lower codeword index
+    "s08_pq_encode" ->
+      """WITH cw AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j, embedding AS cv
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |segs AS (SELECT CAST(i AS BIGINT) AS s FROM range(0, 8) t(i)),
+        |cseg AS (SELECT j, s, cv[CAST(s*8+1 AS INT):CAST(s*8+8 AS INT)] AS cs FROM cw, segs),
+        |vseg AS (
+        |  SELECT vec_id, s, embedding[CAST(s*8+1 AS INT):CAST(s*8+8 AS INT)] AS xs
+        |  FROM embeddings, segs),
+        |scored AS (
+        |  SELECT v.vec_id, v.s, c.j,
+        |    list_sum(list_transform(v.xs, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS xs2,
+        |    (0.0 - 2.0 * list_sum(list_transform(list_zip(v.xs, c.cs), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))))
+        |      + list_sum(list_transform(c.cs, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS m
+        |  FROM vseg v JOIN cseg c ON v.s = c.s),
+        |best AS (
+        |  SELECT vec_id, s AS seg, j AS code, xs2 + m AS err
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY m ASC, j ASC) AS rn
+        |        FROM scored)
+        |  WHERE rn = 1)
+        |SELECT vec_id, seg, code, round(err, 4) AS err FROM best""".stripMargin,
     // the three greedy MMR steps unrolled: pick1 = argmax rel; each later
     // pick re-scores the remainder against the selected set with the same
     // 0.7/0.3 literals the Spark loop uses (NOT 1−λ — IEEE 1.0−0.7 is

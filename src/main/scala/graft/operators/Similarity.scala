@@ -115,6 +115,62 @@ object Similarity {
       round(col("rel"), 4).as("rel"))
   }
 
+  /** Product-quantization encoding (Jégou et al. 2011): the vector splits
+    * into `nSeg` subspaces, each encoded as the index of its nearest
+    * codeword — 64 float dims become 8 nibbles, the compression that makes
+    * billion-scale ANN indexes fit in memory. Codebooks are deterministic
+    * (each segment's codewords are the `nCodes` lowest-id vectors' segments
+    * — the s03/d11 stand-in for a trained k-means codebook).
+    *
+    * The encode pass is a pure scan: codeword segments and their norms are
+    * driver-side literals (nCodes rows, not data), and per segment the
+    * argmin is `array_min` over `struct(m, j)` with
+    * m = (0 − 2·x·c) + ‖c‖² (the ‖x‖²-free argmin key — ‖x‖² is constant
+    * within a segment). Reconstruction error per segment is ‖x‖² + m.
+    * Every FP expression is shaped EXACTLY as the oracle writes it, so
+    * codes and errors are engine-identical; ties break to the lower
+    * codeword index.
+    *
+    * Output: one row per (vector, segment) — per-segment rows avoid any
+    * cross-engine aggregation-order dependence; a packed code is an exact
+    * integer rollup (`sum(code << 4·seg)`) the caller can apply.
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nSeg: Int = 8,
+      nCodes: Int = 16): DataFrame = {
+    require(dim % nSeg == 0, s"dim $dim must split into $nSeg segments")
+    val segDim = dim / nSeg
+    val codewords: Array[Seq[Float]] = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol).cast("long").asc)
+      .limit(nCodes)
+      .collect()
+      .map(_.getSeq[Float](1).toSeq)
+    val perSeg = (0 until nSeg).map { s =>
+      val xs = slice(col(vecCol), s * segDim + 1, segDim)
+      val xs2 = VectorExprs.dotFF(xs, xs)
+      val scores = array((0 until nCodes).map { j =>
+        val cs = codewords(j).slice(s * segDim, (s + 1) * segDim)
+        // codeword norm as a driver-side double: sequential left-to-right
+        // accumulation, the same order DuckDB's list_sum uses
+        val c2 = cs.foldLeft(0.0)((a, f) => a + f.toDouble * f.toDouble)
+        val m = (lit(0.0) - lit(2.0) * VectorExprs.dotFF(xs, typedlit(cs))) + lit(c2)
+        struct(m.as("m"), lit(j.toLong).as("j"))
+      }: _*)
+      val best = array_min(scores)
+      struct(best.getField("j").as("code"), (xs2 + best.getField("m")).as("err"))
+    }
+    corpus
+      .select(col(idCol).cast("long").as("vec_id"),
+        posexplode(array(perSeg: _*)).as(Seq("seg", "b")))
+      .select(col("vec_id"), col("seg").cast("long").as("seg"),
+        col("b.code").as("code"), round(col("b.err"), 4).as("err"))
+  }
+
   /** IVF-style ANN: a coarse quantizer of `nCentroids` centroid vectors
     * partitions the corpus into cells; each query exactly scores only the
     * `nProbe` cells nearest to it. Centroids are picked deterministically

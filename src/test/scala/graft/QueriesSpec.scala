@@ -202,6 +202,18 @@ class QueriesSpec extends SparkSpec {
     assert(bad.count() == 0, "pick 1 must be the most relevant selection")
   }
 
+  test("s08 pq: 8 segments per vector, codes in [0,16), codebook vectors are exact") {
+    val out = SparkEntry.queries("s08_pq_encode")(spark, sfDir)
+    val nVec = Tables.embeddings(spark, sfDir).count()
+    assert(out.count() == nVec * 8)
+    assert(out.where(col("code") < 0 || col("code") > 15).count() == 0)
+    // a codebook vector reconstructs itself: zero error on every segment
+    val ids = Tables.embeddings(spark, sfDir)
+      .orderBy("vec_id").limit(16).select("vec_id")
+    assert(out.join(ids, "vec_id").where(abs(col("err")) > 1e-9).count() == 0,
+      "codebook member has nonzero reconstruction error")
+  }
+
   test("m01 multimodal stats cover all three kinds") {
     val out = SparkEntry.queries("m01_multimodal")(spark, sfDir).collect()
     assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))
