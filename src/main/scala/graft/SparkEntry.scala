@@ -297,6 +297,16 @@ object SparkEntry {
         .where(col("dst").isNotNull)
       GraphOps.mutualEdges(edges, "src", "dst")
     },
+    "q51_triangles" -> q { (s, dir) =>
+      // triangle census over the FOLLOWS graph — the clustering/community
+      // signal layer above q09's degrees; degree-ordered orientation bounds
+      // the wedge fan-out by graph arboricity (see GraphOps.triangleCount)
+      val edges = Tables.events(s, dir).select(
+        col("user_id").as("src"),
+        pmod(graft.expressions.JsonKernels.jsonLongField(col("props"), "k"), lit(150)).as("dst"))
+        .where(col("dst").isNotNull)
+      GraphOps.triangleCount(edges, "src", "dst")
+    },
     "q38_cu_accounting" -> q { (s, dir) =>
       // reference CU cost accounting (db.py:440-480, neynar_api.py:39): each
       // table has a per-row CU price; when row filters are active the
@@ -2009,6 +2019,26 @@ object SparkEntry {
         |SELECT f.a, f.b
         |FROM (SELECT s AS a, d AS b FROM e WHERE s < d) f
         |JOIN (SELECT d AS a, s AS b FROM e WHERE s > d) r USING (a, b)""".stripMargin,
+    // same canonical-undirected edge set as q25; the oracle mirrors the
+    // (degree, id) orientation with row-value comparison, so the wedge
+    // count (not just the triangle count) is engine-identical
+    "q51_triangles" ->
+      """WITH ed AS (
+        |  SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+        |  FROM (SELECT user_id AS s, CAST(json_extract_string(props, '$.k') AS BIGINT) % 150 AS d
+        |        FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL)
+        |  WHERE s <> d),
+        |deg AS (SELECT n, count(*) AS dg
+        |        FROM (SELECT u AS n FROM ed UNION ALL SELECT v FROM ed) GROUP BY 1),
+        |ori AS (
+        |  SELECT CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN e.u ELSE e.v END AS x,
+        |         CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN e.v ELSE e.u END AS y
+        |  FROM ed e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n),
+        |w AS (SELECT a.x, a.y, b.y AS z FROM ori a JOIN ori b ON a.x = b.x WHERE a.y < b.y),
+        |tri AS (SELECT * FROM w JOIN ed ON w.y = ed.u AND w.z = ed.v)
+        |SELECT (SELECT count(*) FROM ed) AS n_edges,
+        |       (SELECT count(*) FROM w) AS n_wedges,
+        |       (SELECT count(*) FROM tri) AS n_triangles""".stripMargin,
     "q38_cu_accounting" ->
       """SELECT 'orders' AS table_name, count(*) AS n_scanned, count(*) AS n_imported, count(*) * 3 AS cu_cost FROM orders
         |UNION ALL

@@ -214,6 +214,13 @@ class QueriesSpec extends SparkSpec {
       "codebook member has nonzero reconstruction error")
   }
 
+  test("q51 triangles: census row is consistent (wedges >= triangles >= 0)") {
+    val r = SparkEntry.queries("q51_triangles")(spark, sfDir).collect()(0)
+    val (e, w, t) = (r.getAs[Long]("n_edges"), r.getAs[Long]("n_wedges"),
+      r.getAs[Long]("n_triangles"))
+    assert(e > 0 && w >= t && t >= 0)
+  }
+
   test("m01 multimodal stats cover all three kinds") {
     val out = SparkEntry.queries("m01_multimodal")(spark, sfDir).collect()
     assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))
