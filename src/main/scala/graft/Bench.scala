@@ -30,7 +30,7 @@ object Bench {
     "d06_dedup_clusters", "d07_embed_neardup_lsh", "d08_dedup_incremental", "d09_embed_delta",
     "d10_passage_dedup", "d11_semantic_dedup",
     "s01_ann_brute", "s02_ann_lsh", "s03_ann_ivf", "s05_range_search", "s06_quantize",
-    "s07_mmr_diversify", "s08_pq_encode",
+    "s07_mmr_diversify", "s08_pq_encode", "s09_adc_search",
     "t01_langid", "t02_quality", "t03_tokens", "t04_fingerprint", "t05_normalize",
     "t06_stratified_sample", "t07_cap_per_source", "t08_contamination", "t09_repetition",
     "t10_pii_redact", "t11_curation", "t12_sequence_pack", "t13_url_domains")

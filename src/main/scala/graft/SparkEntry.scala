@@ -469,6 +469,14 @@ object SparkEntry {
       // nothing cross-engine depends on aggregation order
       Similarity.pqEncode(Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64)
     },
+    "s09_adc_search" -> q { (s, dir) =>
+      // PQ asymmetric-distance search: corpus as nibble codes, queries as
+      // raw vectors + precomputed (seg, codeword) LUTs — scoring is 8
+      // table lookups per vector; top-5 per query by ADC distance
+      val emb = Tables.embeddings(s, dir)
+      Similarity.adcSearch(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
+        dim = 64, k = 5)
+    },
     "d11_semantic_dedup" -> q { (s, dir) =>
       // SemDeDup (Abbas et al. 2023): coarse-quantize the embedding space,
       // then keep-min-id within each cell at cos >= 0.35 — the semantic
@@ -1452,6 +1460,43 @@ object SparkEntry {
         |        FROM scored)
         |  WHERE rn = 1)
         |SELECT vec_id, seg, code, round(err, 4) AS err FROM best""".stripMargin,
+    // ADC oracle: same codebook + code assignment CTEs as s08; per-segment
+    // L2 between the raw query slice and the ASSIGNED codeword, then the
+    // 8-term sum reassembled in pinned order via list_sum(list(ORDER BY s))
+    // — matching the kernel's left-to-right s=0..7 addition chain
+    "s09_adc_search" ->
+      """WITH cw AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j, embedding AS cv
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |segs AS (SELECT CAST(i AS BIGINT) AS s FROM range(0, 8) t(i)),
+        |cseg AS (SELECT j, s, cv[CAST(s*8+1 AS INT):CAST(s*8+8 AS INT)] AS cs FROM cw, segs),
+        |vseg AS (
+        |  SELECT vec_id, s, embedding[CAST(s*8+1 AS INT):CAST(s*8+8 AS INT)] AS xs
+        |  FROM embeddings, segs),
+        |scored AS (
+        |  SELECT v.vec_id, v.s, c.j,
+        |    (0.0 - 2.0 * list_sum(list_transform(list_zip(v.xs, c.cs), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))))
+        |      + list_sum(list_transform(c.cs, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS m
+        |  FROM vseg v JOIN cseg c ON v.s = c.s),
+        |codes AS (
+        |  SELECT vec_id, s, j AS code
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY m ASC, j ASC) AS rn
+        |        FROM scored)
+        |  WHERE rn = 1),
+        |qseg AS (SELECT vec_id AS q_id, s, xs AS qs FROM vseg WHERE vec_id < 8),
+        |l2 AS (
+        |  SELECT q.q_id, c.vec_id AS cid, q.s,
+        |    list_sum(list_transform(list_zip(q.qs, g.cs),
+        |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))) AS d2
+        |  FROM qseg q
+        |  JOIN codes c ON q.s = c.s AND c.vec_id <> q.q_id
+        |  JOIN cseg g ON g.s = c.s AND g.j = c.code),
+        |adc AS (SELECT q_id, cid, list_sum(list(d2 ORDER BY s)) AS adc FROM l2 GROUP BY 1, 2),
+        |top AS (SELECT q_id, cid, adc,
+        |               CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, cid ASC) AS BIGINT) AS rank
+        |        FROM adc)
+        |SELECT q_id, cid AS neighbor_id, round(adc, 4) AS adc, rank
+        |FROM top WHERE rank <= 5""".stripMargin,
     // the three greedy MMR steps unrolled: pick1 = argmax rel; each later
     // pick re-scores the remainder against the selected set with the same
     // 0.7/0.3 literals the Spark loop uses (NOT 1−λ — IEEE 1.0−0.7 is

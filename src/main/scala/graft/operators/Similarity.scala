@@ -153,15 +153,7 @@ object Similarity {
     val perSeg = (0 until nSeg).map { s =>
       val xs = slice(col(vecCol), s * segDim + 1, segDim)
       val xs2 = VectorExprs.dotFF(xs, xs)
-      val scores = array((0 until nCodes).map { j =>
-        val cs = codewords(j).slice(s * segDim, (s + 1) * segDim)
-        // codeword norm as a driver-side double: sequential left-to-right
-        // accumulation, the same order DuckDB's list_sum uses
-        val c2 = cs.foldLeft(0.0)((a, f) => a + f.toDouble * f.toDouble)
-        val m = (lit(0.0) - lit(2.0) * VectorExprs.dotFF(xs, typedlit(cs))) + lit(c2)
-        struct(m.as("m"), lit(j.toLong).as("j"))
-      }: _*)
-      val best = array_min(scores)
+      val best = segArgmin(col(vecCol), codewords, s, segDim, nCodes)
       struct(best.getField("j").as("code"), (xs2 + best.getField("m")).as("err"))
     }
     corpus
@@ -169,6 +161,90 @@ object Similarity {
         posexplode(array(perSeg: _*)).as(Seq("seg", "b")))
       .select(col("vec_id"), col("seg").cast("long").as("seg"),
         col("b.code").as("code"), round(col("b.err"), 4).as("err"))
+  }
+
+  /** Per-segment nearest-codeword argmin as struct(m, j) — shared by
+    * [[pqEncode]] and [[adcSearch]] so both assign identical codes.
+    */
+  private def segArgmin(
+      vecCol: Column, codewords: Array[Seq[Float]],
+      s: Int, segDim: Int, nCodes: Int): Column = {
+    val xs = slice(vecCol, s * segDim + 1, segDim)
+    array_min(array((0 until nCodes).map { j =>
+      val cs = codewords(j).slice(s * segDim, (s + 1) * segDim)
+      // codeword norm as a driver-side double: sequential left-to-right
+      // accumulation, the same order DuckDB's list_sum uses
+      val c2 = cs.foldLeft(0.0)((a, f) => a + f.toDouble * f.toDouble)
+      val m = (lit(0.0) - lit(2.0) * VectorExprs.dotFF(xs, typedlit(cs))) + lit(c2)
+      struct(m.as("m"), lit(j.toLong).as("j"))
+    }: _*))
+  }
+
+  /** Asymmetric-distance PQ search (the search half of [[pqEncode]]):
+    * corpus vectors are reduced to their nibble codes, queries stay raw,
+    * and each (query, segment, codeword) distance is precomputed into a
+    * lookup table — scoring a coded vector is `nSeg` table lookups instead
+    * of a `dim`-wide float scan, which is why PQ indexes serve
+    * billion-vector corpora from RAM.
+    *
+    * Scale shape: codes are a pure scan (the [[segArgmin]] kernel,
+    * codebook as literals); the LUTs are (queries × nSeg × nCodes)
+    * doubles — driver-computed from the broadcast-small query set and
+    * broadcast-joined, so the corpus never shuffles; top-k per query is
+    * the WindowGroupLimit path. The ADC sum runs s=0..7 left-to-right and
+    * the oracle reassembles it with `list_sum(list(d2 ORDER BY s))` — the
+    * one aggregation in the operator whose FP order is pinned on BOTH
+    * engines.
+    */
+  def adcSearch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      nSeg: Int = 8,
+      nCodes: Int = 16): DataFrame = {
+    require(dim % nSeg == 0, s"dim $dim must split into $nSeg segments")
+    val segDim = dim / nSeg
+    val codewords: Array[Seq[Float]] = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol).cast("long").asc)
+      .limit(nCodes)
+      .collect()
+      .map(_.getSeq[Float](1).toSeq)
+    val codes = array((0 until nSeg).map(s =>
+      segArgmin(col(vecCol), codewords, s, segDim, nCodes).getField("j")): _*)
+    val coded = corpus.select(col(idCol).cast("long").as("cid"), codes.as("codes"))
+    val luts: Seq[(Long, Seq[Seq[Double]])] = queries
+      .select(col(idCol).cast("long"), col(vecCol)).collect().toSeq
+      .map { r =>
+        val qv = r.getSeq[Float](1)
+        r.getLong(0) -> (0 until nSeg).map { s =>
+          val qs = qv.slice(s * segDim, (s + 1) * segDim)
+          (0 until nCodes).map { j =>
+            val cs = codewords(j).slice(s * segDim, (s + 1) * segDim)
+            qs.zip(cs).foldLeft(0.0) { case (a, (qd, cd)) =>
+              val d = qd.toDouble - cd.toDouble; a + d * d
+            }
+          }.toSeq
+        }.toSeq
+      }
+    val session = corpus.sparkSession
+    import session.implicits._
+    val qdf = broadcast(luts.toDF("q_id", "lut"))
+    val adc = (0 until nSeg).map { s =>
+      element_at(element_at(col("lut"), s + 1),
+        element_at(col("codes"), s + 1).cast("int") + 1)
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("cid").asc)
+    coded.crossJoin(qdf)
+      .where(col("q_id") =!= col("cid"))
+      .select(col("q_id"), col("cid"), adc.as("adc"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("cid").as("neighbor_id"),
+        round(col("adc"), 4).as("adc"), col("rank"))
   }
 
   /** IVF-style ANN: a coarse quantizer of `nCentroids` centroid vectors

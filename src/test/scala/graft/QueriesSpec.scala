@@ -221,6 +221,18 @@ class QueriesSpec extends SparkSpec {
     assert(e > 0 && w >= t && t >= 0)
   }
 
+  test("s09 adc: 5 ranked picks per query, distances non-negative and sorted") {
+    val out = SparkEntry.queries("s09_adc_search")(spark, sfDir).collect()
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty && byQ.values.forall(_.length == 5))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      val ds = sorted.map(_.getAs[Double]("adc"))
+      assert(ds.forall(_ >= 0.0) && (ds, ds.tail).zipped.forall(_ <= _),
+        "adc distances must be non-negative and ascending in rank")
+    }
+  }
+
   test("m01 multimodal stats cover all three kinds") {
     val out = SparkEntry.queries("m01_multimodal")(spark, sfDir).collect()
     assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))
