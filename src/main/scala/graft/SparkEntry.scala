@@ -307,6 +307,17 @@ object SparkEntry {
         .where(col("dst").isNotNull)
       GraphOps.triangleCount(edges, "src", "dst")
     },
+    "q52_pagerank" -> q { (s, dir) =>
+      // 5-iteration PageRank over FOLLOWS in exact scaled-integer
+      // arithmetic — an ITERATIVE graph algorithm with a bit-exact
+      // cross-engine oracle (the oracle unrolls the same five integer
+      // iterations; a double-weighted rank could never hash-match)
+      val edges = Tables.events(s, dir).select(
+        col("user_id").as("src"),
+        pmod(graft.expressions.JsonKernels.jsonLongField(col("props"), "k"), lit(150)).as("dst"))
+        .where(col("dst").isNotNull)
+      GraphOps.pageRank(edges, "src", "dst", iters = 5)
+    },
     "q38_cu_accounting" -> q { (s, dir) =>
       // reference CU cost accounting (db.py:440-480, neynar_api.py:39): each
       // table has a per-row CU price; when row filters are active the
@@ -2084,6 +2095,50 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM ed) AS n_edges,
         |       (SELECT count(*) FROM w) AS n_wedges,
         |       (SELECT count(*) FROM tri) AS n_triangles""".stripMargin,
+    // the five integer PageRank iterations unrolled; every op is integer
+    // multiply / floor-divide / sum, so the oracle is EXACT (hash-equal),
+    // which no double-weighted PageRank formulation could be
+    "q52_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id AS es, CAST(json_extract_string(props, '$.k') AS BIGINT) % 150 AS ed
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |    AND user_id <> CAST(json_extract_string(props, '$.k') AS BIGINT) % 150),
+        |nodes AS (SELECT DISTINCT node FROM (SELECT es AS node FROM e UNION ALL SELECT ed FROM e)),
+        |par AS (SELECT count(*) AS n, ((1000000000000 * 15) // 100) // count(*) AS base FROM nodes),
+        |od AS (SELECT es AS node, count(*) AS outdeg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, 1000000000000 // p.n AS rank FROM nodes, par p),
+        |r1 AS (
+        |  SELECT nd.node, p.base + (85 * coalesce(s.cs, 0)) // 100 AS rank
+        |  FROM nodes nd CROSS JOIN par p
+        |  LEFT JOIN (SELECT e.ed AS node, CAST(sum(r.rank // o.outdeg) AS BIGINT) AS cs
+        |             FROM r0 r JOIN od o ON r.node = o.node JOIN e ON r.node = e.es
+        |             GROUP BY 1) s ON nd.node = s.node),
+        |r2 AS (
+        |  SELECT nd.node, p.base + (85 * coalesce(s.cs, 0)) // 100 AS rank
+        |  FROM nodes nd CROSS JOIN par p
+        |  LEFT JOIN (SELECT e.ed AS node, CAST(sum(r.rank // o.outdeg) AS BIGINT) AS cs
+        |             FROM r1 r JOIN od o ON r.node = o.node JOIN e ON r.node = e.es
+        |             GROUP BY 1) s ON nd.node = s.node),
+        |r3 AS (
+        |  SELECT nd.node, p.base + (85 * coalesce(s.cs, 0)) // 100 AS rank
+        |  FROM nodes nd CROSS JOIN par p
+        |  LEFT JOIN (SELECT e.ed AS node, CAST(sum(r.rank // o.outdeg) AS BIGINT) AS cs
+        |             FROM r2 r JOIN od o ON r.node = o.node JOIN e ON r.node = e.es
+        |             GROUP BY 1) s ON nd.node = s.node),
+        |r4 AS (
+        |  SELECT nd.node, p.base + (85 * coalesce(s.cs, 0)) // 100 AS rank
+        |  FROM nodes nd CROSS JOIN par p
+        |  LEFT JOIN (SELECT e.ed AS node, CAST(sum(r.rank // o.outdeg) AS BIGINT) AS cs
+        |             FROM r3 r JOIN od o ON r.node = o.node JOIN e ON r.node = e.es
+        |             GROUP BY 1) s ON nd.node = s.node),
+        |r5 AS (
+        |  SELECT nd.node, p.base + (85 * coalesce(s.cs, 0)) // 100 AS rank
+        |  FROM nodes nd CROSS JOIN par p
+        |  LEFT JOIN (SELECT e.ed AS node, CAST(sum(r.rank // o.outdeg) AS BIGINT) AS cs
+        |             FROM r4 r JOIN od o ON r.node = o.node JOIN e ON r.node = e.es
+        |             GROUP BY 1) s ON nd.node = s.node)
+        |SELECT node AS node_id, CAST(rank AS BIGINT) AS rank_scaled FROM r5""".stripMargin,
     "q38_cu_accounting" ->
       """SELECT 'orders' AS table_name, count(*) AS n_scanned, count(*) AS n_imported, count(*) * 3 AS cu_cost FROM orders
         |UNION ALL

@@ -122,6 +122,48 @@ object GraphOps {
       .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
   }
 
+  /** Fixed-iteration PageRank in EXACT scaled-integer arithmetic:
+    * rank'(v) = base + ⌊85·Σ_{u→v} ⌊rank(u)/outdeg(u)⌋ / 100⌋ with
+    * base = ⌊⌊scale·15/100⌋/N⌋ — every operation is integer multiply /
+    * floor-divide / sum, so the result is bit-identical across engines,
+    * partitionings and retries (a double-weighted PageRank is none of
+    * those: its per-node sums depend on reduction order). Dangling mass
+    * is dropped (ranks need not sum to `scale`), the standard simplest
+    * variant.
+    *
+    * Each iteration is one join + one grouped integer sum (map-side
+    * partials), all keyed on node ids; `localCheckpoint` cuts lineage per
+    * iteration (the d06 rule). Driver sees one scalar (N) up front and
+    * loop control — never data.
+    */
+  def pageRank(
+      edges: DataFrame,
+      src: String,
+      dst: String,
+      iters: Int = 5,
+      scale: Long = 1000000000000L): DataFrame = {
+    val e = edges
+      .select(col(src).cast("long").as("es"), col(dst).cast("long").as("ed"))
+      .where(col("es") =!= col("ed")).distinct().localCheckpoint(true)
+    val nodes = e.select(col("es").as("node"))
+      .union(e.select(col("ed"))).distinct().localCheckpoint(true)
+    val n = nodes.count()
+    val base = (scale * 15L / 100L) / n
+    val outdeg = e.groupBy(col("es").as("node")).agg(count(lit(1)).as("outdeg"))
+    var ranks = nodes.withColumn("rank", lit(scale / n))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(outdeg, "node")
+        .select(col("node"), expr("rank div outdeg").as("c"))
+      val sums = contrib.join(e, col("node") === col("es"))
+        .groupBy(col("ed").as("node")).agg(sum(col("c")).as("cs"))
+      ranks = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) div 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node").as("node_id"), col("rank").as("rank_scaled"))
+  }
+
   def mutualEdges(edges: DataFrame, src: String, dst: String): DataFrame = {
     val e = edges
       .select(col(src).cast("long").as("s"), col(dst).cast("long").as("d"))

@@ -233,6 +233,15 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q52 pagerank: one rank per node, all at least the teleport base") {
+    val out = SparkEntry.queries("q52_pagerank")(spark, sfDir)
+    val n = out.count()
+    assert(n > 0 && out.select("node_id").distinct().count() == n)
+    val base = (1000000000000L * 15L / 100L) / n
+    assert(out.where(col("rank_scaled") < base).count() == 0,
+      "every node keeps at least the teleport mass")
+  }
+
   test("m01 multimodal stats cover all three kinds") {
     val out = SparkEntry.queries("m01_multimodal")(spark, sfDir).collect()
     assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))
