@@ -33,7 +33,8 @@ object Bench {
     "s07_mmr_diversify", "s08_pq_encode", "s09_adc_search",
     "t01_langid", "t02_quality", "t03_tokens", "t04_fingerprint", "t05_normalize",
     "t06_stratified_sample", "t07_cap_per_source", "t08_contamination", "t09_repetition",
-    "t10_pii_redact", "t11_curation", "t12_sequence_pack", "t13_url_domains")
+    "t10_pii_redact", "t11_curation", "t12_sequence_pack", "t13_url_domains",
+    "t14_mixture_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1016,6 +1016,16 @@ object SparkEntry {
         .groupBy(col("w0").as("cohort_week"), (col("w") - col("w0")).as("week_offset"))
         .agg(count(lit(1)).as("n_active"))
     },
+    "t14_mixture_sample" -> q { (s, dir) =>
+      // training-mixture rebalancing: per-source quotas proportional to
+      // target weights (derived here from the source index: 10/20/30/40),
+      // bounded by the scarcest source — the data-mixing pass between
+      // curation (t11) and packing (t12); all-integer quota arithmetic
+      val wt = (substring(col("source"), 4, 10).cast("long") % 4) * 10 + 10
+      Sampling.mixtureSample(Tables.documents(s, dir), "source", wt, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars_kept"))
+    },
     "t06_stratified_sample" -> q { (s, dir) =>
       // corpus rebalancing: downsample the dominant language, keep the rest
       // — deterministic scan filter, no shuffle (see Sampling.scaladoc for
@@ -1999,6 +2009,21 @@ object SparkEntry {
         |FROM cohort JOIN act USING (user_id)
         |WHERE w >= w0
         |GROUP BY 1, 2""".stripMargin,
+    "t14_mixture_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |         (CAST(substring(source, 4) AS BIGINT) % 4) * 10 + 10 AS wt
+        |  FROM documents),
+        |stats AS (SELECT source, any_value(wt) AS wt, count(*) AS cnt FROM d GROUP BY 1),
+        |lam AS (SELECT min((cnt * 10000) // wt) AS lam FROM stats),
+        |keeps AS (SELECT source, (l.lam * wt) // 10000 AS keep FROM stats, lam l),
+        |r AS (SELECT doc_id, source, n_chars,
+        |             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |      FROM d)
+        |SELECT r.source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars_kept
+        |FROM r JOIN keeps k ON r.source = k.source
+        |WHERE rn <= k.keep
+        |GROUP BY 1""".stripMargin,
     "t13_url_domains" ->
       """WITH injected AS (
         |  SELECT doc_id,

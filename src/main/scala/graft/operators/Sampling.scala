@@ -74,4 +74,39 @@ object Sampling {
       .withColumn("pack_id", floor((col("_cum") - tokensCol) / lit(budget)).cast("long"))
       .drop("_cum")
   }
+
+  /** Mixture rebalancing: select per-source quotas PROPORTIONAL to target
+    * weights, bounded by availability — the data-mixing step that turns a
+    * raw crawl into a weighted training mixture. λ = min_s ⌊cnt_s·10⁴/w_s⌋
+    * is the largest feasible mixture size (the scarcest source relative to
+    * its weight binds); source s keeps its first ⌊λ·w_s/10⁴⌋ docs by id.
+    * All-integer arithmetic → quota decisions are engine-exact.
+    *
+    * This is the QUOTA-EXACT variant (a mixture must hit its proportions,
+    * so ranks are materialized: one per-source window sort). When expected
+    * rates suffice, [[stratifiedSample]]'s hash-filter form is the pure
+    * scan alternative. Per-source stats and quotas are broadcast
+    * (|sources| rows); the corpus shuffles once, keyed by source — at
+    * scale the window benefits from the same per-shard independence as
+    * [[packSequences]] (no global order anywhere).
+    */
+  def mixtureSample(
+      docs: DataFrame,
+      sourceCol: String,
+      weightExpr: Column,
+      idCol: String): DataFrame = {
+    val d = docs.withColumn("_wt", weightExpr.cast("long"))
+    val stats = d.groupBy(col(sourceCol), col("_wt"))
+      .agg(count(lit(1)).as("_cnt"))
+      .select(col(sourceCol).as("_src"), col("_wt").as("_w2"),
+        expr("(_cnt * 10000) div _wt").as("_ratio"))
+    val lam = stats.agg(min(col("_ratio")).as("_lam"))
+    val keeps = stats.crossJoin(broadcast(lam))
+      .select(col("_src"), expr("(_lam * _w2) div 10000").as("_keep"))
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol).asc)
+    d.withColumn("_rn", row_number().over(w))
+      .join(broadcast(keeps), col(sourceCol) === col("_src"))
+      .where(col("_rn") <= col("_keep"))
+      .drop("_src", "_keep", "_rn", "_wt")
+  }
 }

@@ -242,6 +242,17 @@ class QueriesSpec extends SparkSpec {
       "every node keeps at least the teleport mass")
   }
 
+  test("t14 mixture: kept counts are proportional to weights where unbound") {
+    val out = SparkEntry.queries("t14_mixture_sample")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // quotas never exceed availability
+    val counts = Tables.documents(spark, sfDir).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= counts(r.getAs[String]("source")))
+    }
+  }
+
   test("m01 multimodal stats cover all three kinds") {
     val out = SparkEntry.queries("m01_multimodal")(spark, sfDir).collect()
     assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))
