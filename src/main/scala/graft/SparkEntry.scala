@@ -1026,6 +1026,27 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars_kept"))
     },
+    "t15_chunk_plan" -> q { (s, dir) =>
+      // sliding-window chunk planning (size 128, stride 96 → 32-token
+      // overlap): the long-document split every pretraining/RAG pipeline
+      // runs before embedding or packing. Token counts come from the t03
+      // kernel; chunk spans are pure integer arithmetic exploded
+      // distributed-side (rows ∝ chunks, no driver loop), zero shuffles —
+      // a scan in, a scan out.
+      val size = 128L
+      val stride = 96L
+      val toks = Tables.documents(s, dir).select(col("doc_id"),
+        org.apache.spark.sql.functions.size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+      toks.select(col("doc_id"), col("n_tok"),
+          when(col("n_tok") <= size, lit(1L))
+            .otherwise(lit(1L) + expr(s"(n_tok - $size + ${stride - 1}) div $stride"))
+            .as("n_chunks"))
+        .select(col("doc_id"), col("n_tok"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * stride).as("start_tok"),
+          least(lit(size), col("n_tok") - col("chunk_idx") * stride).as("n_tok_chunk"))
+    },
     "t06_stratified_sample" -> q { (s, dir) =>
       // corpus rebalancing: downsample the dominant language, keep the rest
       // — deterministic scan filter, no shuffle (see Sampling.scaladoc for
@@ -2009,6 +2030,19 @@ object SparkEntry {
         |FROM cohort JOIN act USING (user_id)
         |WHERE w >= w0
         |GROUP BY 1, 2""".stripMargin,
+    "t15_chunk_plan" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS n_tok
+        |  FROM documents),
+        |n AS (SELECT doc_id, n_tok,
+        |             CASE WHEN n_tok <= 128 THEN 1 ELSE 1 + (n_tok - 128 + 95) // 96 END AS n_chunks
+        |      FROM t),
+        |c AS (SELECT doc_id, n_tok, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM n)
+        |SELECT doc_id, chunk_idx,
+        |       CAST(chunk_idx * 96 AS BIGINT) AS start_tok,
+        |       CAST(least(128, n_tok - chunk_idx * 96) AS BIGINT) AS n_tok_chunk
+        |FROM c""".stripMargin,
     "t14_mixture_sample" ->
       """WITH d AS (
         |  SELECT doc_id, source, n_chars,

@@ -215,7 +215,11 @@ object Similarity {
       .map(_.getSeq[Float](1).toSeq)
     val codes = array((0 until nSeg).map(s =>
       segArgmin(col(vecCol), codewords, s, segDim, nCodes).getField("j")): _*)
+    // materialize the code assignment BEFORE the query fan-out: the
+    // broadcast join would otherwise re-evaluate the 8×16-codeword argmin
+    // scan once per query row it pairs with
     val coded = corpus.select(col(idCol).cast("long").as("cid"), codes.as("codes"))
+      .localCheckpoint(true)
     val luts: Seq[(Long, Seq[Seq[Double]])] = queries
       .select(col(idCol).cast("long"), col(vecCol)).collect().toSeq
       .map { r =>

@@ -253,6 +253,16 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("t15 chunk plan: spans tile each doc with the configured overlap") {
+    val out = SparkEntry.queries("t15_chunk_plan")(spark, sfDir)
+    assert(out.count() > 0)
+    // every chunk is non-empty and starts on the stride grid
+    assert(out.where(col("n_tok_chunk") <= 0 ||
+      col("start_tok") =!= col("chunk_idx") * 96).count() == 0)
+    // consecutive chunks overlap by exactly size - stride except the tail
+    assert(out.where(col("n_tok_chunk") > 128).count() == 0)
+  }
+
   test("m01 multimodal stats cover all three kinds") {
     val out = SparkEntry.queries("m01_multimodal")(spark, sfDir).collect()
     assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))
