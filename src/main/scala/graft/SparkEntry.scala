@@ -996,6 +996,44 @@ object SparkEntry {
       wau.join(dau, col("day") === col("d2"))
         .select(col("day").as("day_idx"), col("dau"), col("wau"))
     },
+    "q53_small_order_revenue" -> q { (s, dir) =>
+      // TPC-H Q17 shape: revenue locked in below-average-quantity orders of
+      // a brand's parts. The textbook correlated per-part avg subquery
+      // becomes ONE grouped (sum, count) pass joined back by partkey; the
+      // below-avg cut is integer cross-multiplication on 1e2-scaled
+      // quantities (q < avg/5 ⟺ 5·q·cnt < sum) — zero FP in the filter.
+      val li = Tables.lineitem(s, dir).select(col("l_partkey"),
+        round(col("l_quantity") * 100).cast("long").as("q2"),
+        round(col("l_extendedprice") * 100).cast("long").as("p2"))
+      val brandParts = Tables.part(s, dir)
+        .where(col("p_brand") === "Brand#1").select(col("p_partkey"))
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg(sum(col("q2")).as("sumq2"), count(lit(1)).as("cnt"))
+      li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        .join(perPart, Seq("l_partkey"))
+        .where(lit(5L) * col("q2") * col("cnt") < col("sumq2"))
+        .agg((sum(col("p2")).cast("double") / 100.0).as("below_avg_revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    "q54_large_orders" -> q { (s, dir) =>
+      // TPC-H Q18 shape: customers behind the largest orders. Order totals
+      // pre-aggregate on orderkey BELOW every join (the q35 rule); the
+      // quantity gate is an exact scaled-integer HAVING; top-20 is a
+      // bounded TakeOrdered, never a global sort.
+      val big = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), round(col("l_quantity") * 100).cast("long").as("q2"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("q2")).as("sumq2"), count(lit(1)).as("n_items"))
+        .where(col("sumq2") > 20000L)
+      big.join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_custkey").as("custkey"), col("l_orderkey").as("orderkey"),
+          (col("sumq2").cast("double") / 100.0).as("total_qty"), col("n_items"))
+        .orderBy(col("total_qty").desc, col("orderkey").asc)
+        .limit(20)
+    },
     "q46_retention_cohorts" -> q { (s, dir) =>
       // signup-cohort retention matrix: users bucketed by signup week,
       // activity counted per (cohort_week, week_offset) — the event-stream
@@ -2021,6 +2059,33 @@ object SparkEntry {
         |         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS a4
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  GROUP BY 1)""".stripMargin,
+    "q53_small_order_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |         CAST(round(l_quantity * 100) AS BIGINT) AS q2,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS p2
+        |  FROM lineitem),
+        |pp AS (SELECT l_partkey, CAST(sum(q2) AS BIGINT) AS sumq2, count(*) AS cnt
+        |       FROM li GROUP BY 1)
+        |SELECT CAST(sum(li.p2) AS DOUBLE) / 100.0 AS below_avg_revenue,
+        |       count(*) AS n_items
+        |FROM li
+        |JOIN part ON li.l_partkey = p_partkey AND p_brand = 'Brand#1'
+        |JOIN pp ON li.l_partkey = pp.l_partkey
+        |WHERE 5 * li.q2 * pp.cnt < pp.sumq2""".stripMargin,
+    "q54_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sumq2,
+        |         count(*) AS n_items
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 20000)
+        |SELECT c_name, o_custkey AS custkey, l_orderkey AS orderkey,
+        |       CAST(sumq2 AS DOUBLE) / 100.0 AS total_qty, n_items
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, orderkey ASC
+        |LIMIT 20""".stripMargin,
     "q46_retention_cohorts" ->
       """WITH cohort AS (
         |  SELECT user_id, min(epoch_us(ts)) // 604800000000 AS w0

@@ -263,6 +263,14 @@ class QueriesSpec extends SparkSpec {
     assert(out.where(col("n_tok_chunk") > 128).count() == 0)
   }
 
+  test("q54 large orders: 20 rows, quantity gate respected, sorted desc") {
+    val out = SparkEntry.queries("q54_large_orders")(spark, sfDir).collect()
+    assert(out.length == 20)
+    assert(out.forall(_.getAs[Double]("total_qty") > 200.0))
+    val qs = out.map(_.getAs[Double]("total_qty"))
+    assert((qs, qs.tail).zipped.forall(_ >= _), "not sorted by total_qty desc")
+  }
+
   test("m01 multimodal stats cover all three kinds") {
     val out = SparkEntry.queries("m01_multimodal")(spark, sfDir).collect()
     assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))
