@@ -1105,6 +1105,13 @@ object SparkEntry {
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_kept"), max(col("doc_id")).as("max_kept_id"))
     },
+    "m06_frame_phash" -> q { (s, dir) =>
+      // per-frame average-hash fingerprints from the REAL RAWM decode —
+      // the multimodal near-dup fingerprint (exact integer aHash:
+      // pix*n > sum, bit per sample); oracle recomputes every bit from the
+      // generator's closed-form pixel model
+      Multimodal.frameFingerprints(s, Multimodal.syntheticRawMedia(s, 600))
+    },
     "m01_multimodal" -> q { (s, dir) =>
       val media = Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
       Multimodal.featureStats(Multimodal.decodeFeatures(s, media))
@@ -1885,6 +1892,28 @@ object SparkEntry {
         |  WHERE s.doc_id >= 20 AND t.g IN (SELECT g FROM ev))
         |SELECT doc_id, count(DISTINCT g) AS n_shared_shingles
         |FROM hits GROUP BY doc_id""".stripMargin,
+    // every fingerprint bit re-derived from the generator model:
+    // pix(i) = (id*31 + i*17) % 251, the byte round-trip is exact for
+    // 0..250 via & 0xFF, and the aHash test pix*n > sum is all-integer
+    "m06_frame_phash" ->
+      """WITH m AS (
+        |  SELECT i AS media_id,
+        |         (i % 7 + 2) * (i % 5 + 2) *
+        |           (CASE WHEN i % 3 = 1 THEN 1 ELSE 3 END) AS n,
+        |         CASE WHEN i % 3 = 2 THEN i % 4 + 1 ELSE 1 END AS frames
+        |  FROM range(0, 600) t(i)),
+        |fr AS (SELECT media_id, n, unnest(generate_series(0, frames - 1)) AS f FROM m),
+        |px AS (SELECT media_id, n, f, unnest(generate_series(0, n - 1)) AS k FROM fr),
+        |v AS (SELECT media_id, f, n, k,
+        |             (media_id * 31 + (f * n + k) * 17) % 251 AS pix
+        |      FROM px),
+        |s AS (SELECT media_id, f, CAST(sum(pix) AS BIGINT) AS psum FROM v GROUP BY 1, 2)
+        |SELECT v.media_id, CAST(v.f AS BIGINT) AS frame_idx,
+        |       CAST(sum(CASE WHEN v.k >= 64 OR v.pix * v.n <= s.psum THEN 0
+        |                     WHEN v.k = 63 THEN CAST(-9223372036854775807 AS BIGINT) - 1
+        |                     ELSE CAST(1 AS BIGINT) << CAST(v.k AS INT) END) AS BIGINT) AS fingerprint
+        |FROM v JOIN s ON v.media_id = s.media_id AND v.f = s.f
+        |GROUP BY 1, 2""".stripMargin,
     "m05_audio_windows" ->
       """SELECT i AS media_id,
         |       CAST(len AS BIGINT) AS n_samples,

@@ -179,6 +179,55 @@ object Multimodal {
     }(enc)
   }
 
+  /** Per-frame perceptual fingerprint from the REAL decoded bytes: bit k
+    * is set when sample k of the frame is strictly brighter than the frame
+    * mean — an average-hash (aHash) in exact integer form (`pix·n > Σpix`,
+    * no division, no FP), the fingerprint a multimodal corpus near-dups
+    * frames on. One partition pass, one output row per frame (rows ∝
+    * frames); undecodable payloads contribute nothing (the quarantine
+    * rule). The oracle recomputes every bit from the generator's
+    * closed-form pixel model — bytes → decode → hash must equal the model
+    * (the m04 contract, extended to per-sample access).
+    */
+  def frameFingerprints(spark: SparkSession, media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("fingerprint", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val schema = media.schema
+    require(schema.fieldNames.sameElements(mediaSchema.fieldNames),
+      s"frameFingerprints expects the mediaSchema layout ${mediaSchema.fieldNames.mkString(",")}, " +
+        s"got ${schema.fieldNames.mkString(",")}")
+    val iId = schema.fieldIndex("media_id")
+    val iPayload = schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(iId)
+        val payload = r.getAs[Array[Byte]](iPayload)
+        decodeRaw(payload) match {
+          case None => Iterator.empty
+          case Some(d) =>
+            val n = d.width * d.height * d.channels
+            (0 until d.nFrames).iterator.map { f =>
+              val base = HeaderLen + f * n
+              var sum = 0L
+              var k = 0
+              while (k < n) { sum += (payload(base + k) & 0xFF); k += 1 }
+              var fp = 0L
+              k = 0
+              val bits = math.min(64, n)
+              while (k < bits) {
+                if ((payload(base + k) & 0xFF).toLong * n > sum) fp |= (1L << k)
+                k += 1
+              }
+              Row(id, f.toLong, fp)
+            }
+        }
+      }
+    }(enc)
+  }
+
   /** STUB decode: in production this would call an image/audio codec on each
     * payload batch. Here it derives deterministic pseudo-features so the
     * pipeline shape (batched per-partition decode → feature columns) is

@@ -97,4 +97,12 @@ class MultimodalSpec extends SparkSpec {
     assert(JdbcUpsertSink.maxRowsPerStatement(1) == 65535)
     assert(JdbcUpsertSink.maxRowsPerStatement(100000) == 1)
   }
+
+  test("m06 fingerprints: one row per decoded frame") {
+    val media = Multimodal.syntheticRawMedia(spark, 60)
+    val fp = Multimodal.frameFingerprints(spark, media).collect()
+    val frames = Multimodal.decodeRawFeatures(spark, media)
+      .agg(sum(col("n_frames").cast("long"))).collect()(0).getLong(0)
+    assert(fp.length.toLong == frames && frames > 0)
+  }
 }
