@@ -295,6 +295,35 @@ class PlanSpec extends SparkSpec {
       "pairwise pass must stay cell-local (equi-join on cell):\n" + p)
   }
 
+  test("q54: order totals aggregate below the joins, top-20 is TakeOrdered") {
+    val p = plan("q54_large_orders")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must be bounded, not a global sort:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "no partial+final aggregate on orderkey below the joins:\n" + p)
+  }
+
+  test("s08: PQ encode is a pure scan — no shuffle exchange anywhere") {
+    val p = plan("s08_pq_encode")
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("SortMergeJoin"),
+      "PQ encode must not shuffle:\n" + p)
+  }
+
+  test("t15: chunk planning is a zero-shuffle scan") {
+    val p = plan("t15_chunk_plan")
+    assert(!p.contains("Exchange"), "chunk planning must not shuffle:\n" + p)
+    assert(p.contains("Generate"), "chunk explode missing:\n" + p)
+  }
+
+  test("q52: pagerank iterations reuse checkpointed lineage (no deep plans)") {
+    val df = SparkEntry.queries("q52_pagerank")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the returned plan hangs off the LAST iteration's checkpoint: joins
+    // from earlier iterations must not accumulate in the final plan tree
+    assert("SortMergeJoin|BroadcastHashJoin".r.findAllIn(p).length <= 2,
+      "iteration lineage not cut:\n" + p)
+  }
+
   test("d02: signature computed before the exchange, bands join on hash") {
     val df = SparkEntry.queries("d02_dedup_minhash")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
