@@ -1034,6 +1034,48 @@ object SparkEntry {
         .orderBy(col("total_qty").desc, col("orderkey").asc)
         .limit(20)
     },
+    "q55_disjunctive_revenue" -> q { (s, dir) =>
+      // TPC-H Q19 shape: an OR-of-ANDs predicate spanning both join sides
+      // (brand/size from part × quantity band from lineitem) — the case
+      // where no single conjunct pushes to either scan alone; the part dim
+      // still broadcasts and the disjunction evaluates post-join in one
+      // codegen stage. Quantities compare as exact scaled integers.
+      val li = Tables.lineitem(s, dir).select(col("l_partkey"),
+        round(col("l_quantity") * 100).cast("long").as("q2"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+          .cast("long").as("vol4"))
+      li.join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("q2").between(500L, 2000L)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(5, 20) &&
+            col("q2").between(1000L, 3000L)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(10, 40) &&
+            col("q2").between(2000L, 5000L)))
+        .agg((sum(col("vol4")).cast("double") / 10000.0).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    "q56_top_supplier" -> q { (s, dir) =>
+      // TPC-H Q15 shape: the quarter's top-revenue supplier(s). The
+      // textbook view-with-correlated-max becomes one grouped sum + ONE
+      // scalar max broadcast back; the equality filter compares exact
+      // scaled integers, so ties are found exactly — no window sort, no
+      // re-aggregation.
+      val rev = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("l_suppkey"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+            .cast("long").as("vol4"))
+        .groupBy(col("l_suppkey")).agg(sum(col("vol4")).as("rev4"))
+      rev.join(broadcast(rev.agg(max(col("rev4")).as("mx4"))))
+        .where(col("rev4") === col("mx4"))
+        .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("l_suppkey").as("suppkey"),
+          (col("rev4").cast("double") / 10000.0).as("total_revenue"))
+    },
     "q46_retention_cohorts" -> q { (s, dir) =>
       // signup-cohort retention matrix: users bucketed by signup week,
       // activity counted per (cohort_week, week_offset) — the event-stream
@@ -2088,6 +2130,28 @@ object SparkEntry {
         |         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS a4
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  GROUP BY 1)""".stripMargin,
+    "q55_disjunctive_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |         CAST(round(l_quantity * 100) AS BIGINT) AS q2,
+        |         CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT) AS vol4
+        |  FROM lineitem)
+        |SELECT CAST(sum(vol4) AS DOUBLE) / 10000.0 AS revenue, count(*) AS n_items
+        |FROM li JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND q2 BETWEEN 500 AND 2000)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND q2 BETWEEN 1000 AND 3000)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40 AND q2 BETWEEN 2000 AND 5000)""".stripMargin,
+    "q56_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS rev4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_name, l_suppkey AS suppkey, CAST(rev4 AS DOUBLE) / 10000.0 AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev4 = (SELECT max(rev4) FROM rev)""".stripMargin,
     "q53_small_order_revenue" ->
       """WITH li AS (
         |  SELECT l_partkey,
