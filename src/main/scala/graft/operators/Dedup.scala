@@ -88,8 +88,12 @@ object Dedup {
       .union(p.select(col("v").as("u"), col("u").as("v")))
       .distinct(), true)
     release(p)
-    var labels = ckpt(sym.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node")), true)
+    // initial labels FUSE the first propagation step: label₀(u) =
+    // min(u, min neighbor) comes out of the same one-shuffle aggregate
+    // that would otherwise just enumerate nodes — one full loop iteration
+    // (join + agg + checkpoint + convergence action) saved for free
+    var labels = ckpt(sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u").as("node"), least(col("u"), col("mn")).as("label")), true)
     var iter = 0
     var converged = false
     // previous iteration's checkpoint blocks, released once the next
