@@ -16,7 +16,8 @@ object Bench {
     "q24_scd2_intervals", "q25_mutual_edges", "q26_price_percentiles", "q27_age_metrics",
     "q28_asof_native", "q29_salted_join", "q30_incremental_agg", "q32_ship_priority",
     "q34_nation_trade", "q35_returned_items", "q36_cheapest_supplier", "q37_follow_suggest",
-    "q38_cu_accounting", "q40_market_share", "q41_product_profit", "q42_cust_order_dist",
+    "q38_cu_accounting", "q57_sync_checksum",
+    "q40_market_share", "q41_product_profit", "q42_cust_order_dist",
     "q43_idle_customers", "q44_rolling_metrics", "q45_funnel", "q46_retention_cohorts",
     "q47_gap_fill", "q48_revenue_forecast", "q49_promo_share", "q50_rolling_active",
     "q51_triangles", "q52_pagerank", "q53_small_order_revenue", "q54_large_orders",

@@ -217,6 +217,25 @@ object SparkEntry {
           coalesce(col("n_name"), lit("(all)")).as("n_name"),
           col("n_customers"), col("sum_acctbal"))
     },
+    "q57_sync_checksum" -> q { (s, dir) =>
+      // order-independent content checksum of the merged current state —
+      // the cheap source↔sink agreement check a sync service runs after an
+      // import (row count + XOR of 60-bit md5 row digests; any
+      // changed/missing/extra row flips the checksum). Canonical row text
+      // scales the double to an integer (double→string repr differs across
+      // engines); md5 and XOR are identical everywhere, XOR is closed on
+      // 64 bits (an integer SUM overflows differently per engine: Spark
+      // wraps, DuckDB widens to HUGEINT) and needs no ordering — one agg
+      // scan over the merged state.
+      val st = MergeOps
+        .latestByKey(Tables.events(s, dir), Seq("user_id"), Seq("ts_us", "event_id"))
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"),
+          round(col("value") * 100).cast("long").as("v2"))
+      st.select(conv(substring(md5(concat_ws("|",
+          col("user_id"), col("event_id"), col("ts_us"), col("event_type"), col("v2"))),
+          1, 15), 16, 10).cast("long").as("digest"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(digest)").as("checksum"))
+    },
     "q19_registry_sync" -> q { (s, dir) => Registry.syncAll(s, dir) },
     "q39_typed_sync" -> q { (s, dir) =>
       // registry sync with per-table JSONB cleaning (db.py:45 JSON_COLUMNS +
@@ -1332,6 +1351,19 @@ object SparkEntry {
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1""".stripMargin,
+    "q57_sync_checksum" ->
+      """WITH st AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS v2
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events)
+        |  WHERE rn = 1),
+        |dg AS (
+        |  SELECT CAST(concat('0x', substring(md5(
+        |           user_id || '|' || event_id || '|' || ts_us || '|' || event_type || '|' || v2
+        |         ), 1, 15)) AS BIGINT) AS digest
+        |  FROM st)
+        |SELECT count(*) AS n_rows, CAST(bit_xor(digest) AS BIGINT) AS checksum FROM dg""".stripMargin,
     "q02_snapshot_merge" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
          |f AS (SELECT user_id, event_id, ts_us, value, 'full' AS src

@@ -271,6 +271,21 @@ class QueriesSpec extends SparkSpec {
     assert((qs, qs.tail).zipped.forall(_ >= _), "not sorted by total_qty desc")
   }
 
+  test("q57 checksum: detects a single-row perturbation") {
+    val base = SparkEntry.queries("q57_sync_checksum")(spark, sfDir).collect()(0)
+    // recompute over a state with one value changed: checksum must differ
+    val st = graft.operators.MergeOps
+      .latestByKey(Tables.events(spark, sfDir), Seq("user_id"), Seq("ts_us", "event_id"))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"),
+        (round(col("value") * 100).cast("long") +
+          when(col("user_id") === 0, 1L).otherwise(0L)).as("v2"))
+    val tampered = st.select(conv(substring(md5(concat_ws("|",
+        col("user_id"), col("event_id"), col("ts_us"), col("event_type"), col("v2"))),
+        1, 15), 16, 10).cast("long").as("digest"))
+      .agg(expr("bit_xor(digest)").as("checksum")).collect()(0)
+    assert(base.getAs[Long]("checksum") != tampered.getAs[Long]("checksum"))
+  }
+
   test("m01 multimodal stats cover all three kinds") {
     val out = SparkEntry.queries("m01_multimodal")(spark, sfDir).collect()
     assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))
