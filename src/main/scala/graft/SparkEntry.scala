@@ -1125,6 +1125,18 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars_kept"))
     },
+    "t16_vocab_top" -> q { (s, dir) =>
+      // corpus vocabulary head: top-20 tokens by frequency — the first
+      // statistic a tokenizer-training run materializes. Explode + ONE
+      // count shuffle with map-side partials + bounded TakeOrdered (never
+      // a global sort); ties break lexicographically so the cut is
+      // deterministic.
+      Tables.documents(s, dir)
+        .select(explode(TextFns.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc)
+        .limit(20)
+    },
     "t15_chunk_plan" -> q { (s, dir) =>
       // sliding-window chunk planning (size 128, stride 96 → 32-token
       // overlap): the long-document split every pretraining/RAG pipeline
@@ -2220,6 +2232,11 @@ object SparkEntry {
         |FROM cohort JOIN act USING (user_id)
         |WHERE w >= w0
         |GROUP BY 1, 2""".stripMargin,
+    "t16_vocab_top" ->
+      """SELECT tok, count(*) AS cnt
+        |FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS tok
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY cnt DESC, tok ASC LIMIT 20""".stripMargin,
     "t15_chunk_plan" ->
       """WITH t AS (
         |  SELECT doc_id,
