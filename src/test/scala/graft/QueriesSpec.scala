@@ -286,6 +286,49 @@ class QueriesSpec extends SparkSpec {
     assert(base.getAs[Long]("checksum") != tampered.getAs[Long]("checksum"))
   }
 
+  test("mmr with zero diversity weight degenerates to relevance top-k") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val qset = emb.where(col("vec_id") < 4)
+    val mmr = Similarity
+      .mmrSelect(emb, qset, "vec_id", "embedding", kCand = 10, k = 3, lamRel = 1.0, lamDiv = 0.0)
+      .select("q_id", "pick", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val topk = Similarity.bruteForceTopK(emb, qset, "vec_id", "embedding", k = 3)
+      .select("q_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mmr == topk, "lamDiv=0 MMR must equal the relevance ranking")
+  }
+
+  test("triangle census equals a brute-force triple count") {
+    import graft.operators.GraphOps
+    val edges = Tables.events(spark, sfDir).select(
+      col("user_id").as("src"),
+      pmod(graft.expressions.JsonKernels.jsonLongField(col("props"), "k"), lit(150)).as("dst"))
+      .where(col("dst").isNotNull)
+    val out = GraphOps.triangleCount(edges, "src", "dst").collect()(0)
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = und.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted.toIndexedSeq
+    var tri = 0L
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      if und((nodes(i), nodes(j)))
+      k <- (j + 1) until nodes.length
+      if und((nodes(j), nodes(k))) && und((nodes(i), nodes(k)))
+    } tri += 1
+    assert(out.getAs[Long]("n_triangles") == tri)
+    assert(out.getAs[Long]("n_edges") == und.size.toLong)
+  }
+
+  test("pagerank mass never exceeds the scale (floors and dangling only leak)") {
+    val out = SparkEntry.queries("q52_pagerank")(spark, sfDir)
+    val total = out.agg(sum("rank_scaled")).collect()(0).getLong(0)
+    assert(total > 0L && total <= 1000000000000L)
+  }
+
   test("m01 multimodal stats cover all three kinds") {
     val out = SparkEntry.queries("m01_multimodal")(spark, sfDir).collect()
     assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))
