@@ -1095,6 +1095,36 @@ object SparkEntry {
         .select(col("s_name"), col("l_suppkey").as("suppkey"),
           (col("rev4").cast("double") / 10000.0).as("total_revenue"))
     },
+    "q58_event_pivot" -> q { (s, dir) =>
+      // per-user event-type activity matrix — the pivot surface. EXPLICIT
+      // pivot values keep the output schema static (value discovery at
+      // 100 TB would be its own distinct scan + two-pass plan); with them,
+      // pivot compiles to the same single-shuffle conditional aggregation
+      // the oracle writes longhand.
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    },
+    "q59_cube_volume" -> q { (s, dir) =>
+      // the full grouping-sets lattice over (brand, ship year) — q18's
+      // rollup generalized to all 2^k subtotal combinations, still ONE
+      // aggregation pass with map-side partials (Spark expands grouping
+      // sets without rescanning); subtotal rows surface as explicit 'ALL'
+      // labels, quantities as exact scaled integers.
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), year(col("l_shipdate")).cast("long").as("l_year"),
+          round(col("l_quantity") * 100).cast("long").as("q2"))
+      li.cube(col("p_brand"), col("l_year"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(col("q2")).cast("double") / 100.0).as("total_qty"))
+        .select(coalesce(col("p_brand"), lit("ALL")).as("brand"),
+          coalesce(col("l_year").cast("string"), lit("ALL")).as("year"),
+          col("n_items"), col("total_qty"))
+    },
     "q46_retention_cohorts" -> q { (s, dir) =>
       // signup-cohort retention matrix: users bucketed by signup week,
       // activity counted per (cohort_week, week_offset) — the event-stream
@@ -2196,6 +2226,23 @@ object SparkEntry {
         |SELECT s_name, l_suppkey AS suppkey, CAST(rev4 AS DOUBLE) / 10000.0 AS total_revenue
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE rev4 = (SELECT max(rev4) FROM rev)""".stripMargin,
+    "q58_event_pivot" ->
+      """SELECT user_id,
+        |       count(*) FILTER (WHERE event_type = 'click') AS click,
+        |       count(*) FILTER (WHERE event_type = 'error') AS error,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |       count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1""".stripMargin,
+    "q59_cube_volume" ->
+      """SELECT coalesce(p_brand, 'ALL') AS brand,
+        |       coalesce(CAST(l_year AS VARCHAR), 'ALL') AS year,
+        |       count(*) AS n_items,
+        |       CAST(sum(q2) AS DOUBLE) / 100.0 AS total_qty
+        |FROM (SELECT p_brand, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |             CAST(round(l_quantity * 100) AS BIGINT) AS q2
+        |      FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |GROUP BY CUBE(p_brand, l_year)""".stripMargin,
     "q53_small_order_revenue" ->
       """WITH li AS (
         |  SELECT l_partkey,
