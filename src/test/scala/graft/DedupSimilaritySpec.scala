@@ -200,4 +200,31 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(out == Set((1L, 2L), (5L, 6L)))
   }
+
+  test("connectedComponents equals a union-find reference on random graphs") {
+    // seeded random graphs, cross-checked against a min-root union-find:
+    // min-root union preserves "root = component minimum" by induction,
+    // which is exactly the operator's label contract
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 40 + rnd.nextInt(40)
+      val edges = Seq.fill(30 + rnd.nextInt(60))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val cc = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val present = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      assert(cc.keySet == present.toSet, s"trial $trial node set")
+      present.groupBy(v => find(v.toInt)).values.foreach { comp =>
+        val mn = comp.min
+        comp.foreach(v => assert(cc(v) == mn, s"trial $trial: node $v got ${cc(v)}, want $mn"))
+      }
+    }
+  }
 }
