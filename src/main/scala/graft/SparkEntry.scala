@@ -1025,11 +1025,17 @@ object SparkEntry {
         round(col("l_quantity") * 100).cast("long").as("q2"),
         round(col("l_extendedprice") * 100).cast("long").as("p2"))
       val brandParts = Tables.part(s, dir)
-        .where(col("p_brand") === "Brand#1").select(col("p_partkey"))
-      val perPart = li.groupBy(col("l_partkey"))
+        .where(col("p_brand") === "Brand#1")
+        .select(col("p_partkey").as("l_partkey"))
+      // the per-part (sum, count) is scoped to the brand's partkeys BEFORE
+      // aggregating (broadcast semi-join on the scan side): only ~1/|brands|
+      // of lineitem enters the groupBy, and the brand-restricted per-part
+      // stats are small enough to broadcast back — the correlated-subquery
+      // scope of TPC-H Q17, not a lineitem-wide aggregate
+      val liBrand = li.join(broadcast(brandParts), Seq("l_partkey"), "left_semi")
+      val perPart = liBrand.groupBy(col("l_partkey"))
         .agg(sum(col("q2")).as("sumq2"), count(lit(1)).as("cnt"))
-      li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
-        .join(perPart, Seq("l_partkey"))
+      liBrand.join(broadcast(perPart), Seq("l_partkey"))
         .where(lit(5L) * col("q2") * col("cnt") < col("sumq2"))
         .agg((sum(col("p2")).cast("double") / 100.0).as("below_avg_revenue"),
           count(lit(1)).as("n_items"))
@@ -1081,6 +1087,10 @@ object SparkEntry {
       // scalar max broadcast back; the equality filter compares exact
       // scaled integers, so ties are found exactly — no window sort, no
       // re-aggregation.
+      // the per-supplier aggregate is materialized ONCE (localCheckpoint —
+      // the d11/s09 materialize-before-fan-out rule) because it feeds both
+      // the scalar max and the equality filter; without the pin, nothing
+      // guarantees ReuseExchange and the lineitem scan+agg can run twice
       val rev = Tables.lineitem(s, dir)
         .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
@@ -1088,6 +1098,7 @@ object SparkEntry {
           round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
             .cast("long").as("vol4"))
         .groupBy(col("l_suppkey")).agg(sum(col("vol4")).as("rev4"))
+        .localCheckpoint(true)
       rev.join(broadcast(rev.agg(max(col("rev4")).as("mx4"))))
         .where(col("rev4") === col("mx4"))
         .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
@@ -1150,7 +1161,9 @@ object SparkEntry {
       // target weights (derived here from the source index: 10/20/30/40),
       // bounded by the scarcest source — the data-mixing pass between
       // curation (t11) and packing (t12); all-integer quota arithmetic
-      val wt = (substring(col("source"), 4, 10).cast("long") % 4) * 10 + 10
+      // 2-arg substring (position → end of string) on BOTH engines — a
+      // length bound on only one side would diverge on long source names
+      val wt = (expr("substring(source, 4)").cast("long") % 4) * 10 + 10
       Sampling.mixtureSample(Tables.documents(s, dir), "source", wt, "doc_id")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars_kept"))
@@ -2071,7 +2084,7 @@ object SparkEntry {
         |  FROM documents),
         |packed AS (
         |  SELECT doc_id, source, n_tokens,
-        |         CAST(floor(CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS DOUBLE) / 512) AS BIGINT) AS pack_id
+        |         CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens) // 512 AS BIGINT) AS pack_id
         |  FROM toks)
         |SELECT source, pack_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc

@@ -60,7 +60,9 @@ object Sampling {
     * no global total order exists anywhere — each shard packs
     * independently, exactly how a 1000-executor packing job must run (a
     * global order would serialize the corpus through one task). One
-    * shuffle+sort per shard, arithmetic all integer → oracle-exact.
+    * shuffle+sort per shard, arithmetic all integer → oracle-exact: the
+    * pack index is long `div` long (never a double round-trip, which
+    * loses exactness past 2^53 of cumulative tokens).
     */
   def packSequences(
       df: DataFrame,
@@ -70,9 +72,10 @@ object Sampling {
       budget: Long): DataFrame = {
     require(budget > 0)
     val w = Window.partitionBy(groupCol).orderBy(ord)
-    df.withColumn("_cum", sum(tokensCol).over(w))
-      .withColumn("pack_id", floor((col("_cum") - tokensCol) / lit(budget)).cast("long"))
-      .drop("_cum")
+    df.withColumn("_tok", tokensCol.cast("long"))
+      .withColumn("_cum", sum(col("_tok")).over(w))
+      .withColumn("pack_id", expr(s"(_cum - _tok) div ${budget}L"))
+      .drop("_cum", "_tok")
   }
 
   /** Mixture rebalancing: select per-source quotas PROPORTIONAL to target

@@ -30,14 +30,19 @@ object GraphSchema {
     */
   final case class EdgeSpec(relType: String, indexProps: Seq[String] = Nil)
 
+  // valid UNQUOTED Cypher identifier: ASCII letter/underscore head, then
+  // ASCII alphanumerics — `isLetterOrDigit` alone admits digit-leading and
+  // non-ASCII names that fail at the database instead of at generation time
+  private val IdentRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
   private def ident(s: String): String = {
-    require(s.nonEmpty && s.forall(c => c.isLetterOrDigit || c == '_'),
-      s"unsafe graph identifier: $s")
+    require(IdentRe.matches(s), s"unsafe graph identifier: $s")
     s
   }
 
+  // constraint/index names go through the same gate as labels/properties
   private def nameOf(parts: Seq[String]): String =
-    parts.map(_.toLowerCase).mkString("_")
+    ident(parts.map(_.toLowerCase).mkString("_"))
 
   /** Uniqueness constraint + secondary indexes for one node label. */
   def nodeDdl(n: NodeSpec): Seq[String] = {

@@ -324,6 +324,29 @@ class PlanSpec extends SparkSpec {
       "iteration lineage not cut:\n" + p)
   }
 
+  test("q53: per-part aggregate is scoped by the brand semi-join") {
+    val p = plan("q53_small_order_revenue")
+    // the (sum, count) groupBy must consume the brand-filtered lineitem —
+    // a LeftSemi broadcast join sits below the aggregate, so the per-part
+    // stats shuffle only the brand's partkeys, not all of lineitem
+    assert(p.contains("LeftSemi"),
+      "brand semi-join missing below the per-part aggregate:\n" + p)
+    // the brand-restricted per-part stats broadcast back (no fact shuffle)
+    assert(!p.contains("SortMergeJoin"),
+      "per-part stats should broadcast, not shuffle-join:\n" + p)
+  }
+
+  test("q56: revenue aggregate evaluates once (checkpoint pins the reuse)") {
+    val p = plan("q56_top_supplier")
+    // rev is localCheckpoint'd before feeding both the scalar max and the
+    // equality filter: the final plan reads the materialized RDD and must
+    // not re-scan lineitem for either branch
+    assert(!p.contains("lineitem"),
+      "lineitem scan leaked past the checkpoint (double evaluation):\n" + p)
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      "checkpointed rev not read as materialized RDD:\n" + p)
+  }
+
   test("d02: signature computed before the exchange, bands join on hash") {
     val df = SparkEntry.queries("d02_dedup_minhash")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
