@@ -507,6 +507,16 @@ object SparkEntry {
       Similarity.adcSearch(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
         dim = 64, k = 5)
     },
+    "s10_ivfpq" -> q { (s, dir) =>
+      // IVF-PQ: s03's coarse quantizer composed in front of s09's ADC
+      // scoring — queries probe their 4 nearest of 16 cells and ADC-score
+      // only those cells' coded vectors (s09 alone is PQ-flat: every code
+      // scored per query); oracle restricts the same LUT arithmetic to the
+      // probed cells
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqSearch(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
+        dim = 64, k = 5)
+    },
     "d11_semantic_dedup" -> q { (s, dir) =>
       // SemDeDup (Abbas et al. 2023): coarse-quantize the embedding space,
       // then keep-min-id within each cell at cos >= 0.35 — the semantic
@@ -1706,6 +1716,65 @@ object SparkEntry {
         |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))) AS d2
         |  FROM qseg q
         |  JOIN codes c ON q.s = c.s AND c.vec_id <> q.q_id
+        |  JOIN cseg g ON g.s = c.s AND g.j = c.code),
+        |adc AS (SELECT q_id, cid, list_sum(list(d2 ORDER BY s)) AS adc FROM l2 GROUP BY 1, 2),
+        |top AS (SELECT q_id, cid, adc,
+        |               CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, cid ASC) AS BIGINT) AS rank
+        |        FROM adc)
+        |SELECT q_id, cid AS neighbor_id, round(adc, 4) AS adc, rank
+        |FROM top WHERE rank <= 5""".stripMargin,
+    // IVF-PQ oracle: s09's codebook/code/LUT CTEs plus the coarse
+    // quantizer — cells = argmax cosine vs the 16 lowest-id centroids
+    // (cosine in DOUBLE with pinned list_sum order, ties to the HIGHER
+    // centroid id matching Spark's struct array_max), probes = each
+    // query's top-4 cells by the same ordering; the l2/adc join is
+    // restricted to candidates whose cell is probed by that query
+    "s10_ivfpq" ->
+      """WITH cw AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j, embedding AS cv
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |segs AS (SELECT CAST(i AS BIGINT) AS s FROM range(0, 8) t(i)),
+        |cseg AS (SELECT j, s, cv[CAST(s*8+1 AS INT):CAST(s*8+8 AS INT)] AS cs FROM cw, segs),
+        |vseg AS (
+        |  SELECT vec_id, s, embedding[CAST(s*8+1 AS INT):CAST(s*8+8 AS INT)] AS xs
+        |  FROM embeddings, segs),
+        |scored AS (
+        |  SELECT v.vec_id, v.s, c.j,
+        |    (0.0 - 2.0 * list_sum(list_transform(list_zip(v.xs, c.cs), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))))
+        |      + list_sum(list_transform(c.cs, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS m
+        |  FROM vseg v JOIN cseg c ON v.s = c.s),
+        |codes AS (
+        |  SELECT vec_id, s, j AS code
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY m ASC, j ASC) AS rn
+        |        FROM scored)
+        |  WHERE rn = 1),
+        |cents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ci, embedding AS ev
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |cscore AS (
+        |  SELECT e.vec_id, c.ci,
+        |    list_sum(list_transform(list_zip(e.embedding, c.ev), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(c.ev, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings e, cents c),
+        |cells AS (
+        |  SELECT vec_id, ci AS cell
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ci DESC) AS rn FROM cscore)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, ci AS cell
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ci DESC) AS rn
+        |        FROM cscore WHERE vec_id < 8)
+        |  WHERE rn <= 4),
+        |qseg AS (SELECT vec_id AS q_id, s, xs AS qs FROM vseg WHERE vec_id < 8),
+        |l2 AS (
+        |  SELECT q.q_id, c.vec_id AS cid, q.s,
+        |    list_sum(list_transform(list_zip(q.qs, g.cs),
+        |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))) AS d2
+        |  FROM qseg q
+        |  JOIN codes c ON q.s = c.s AND c.vec_id <> q.q_id
+        |  JOIN cells ce ON ce.vec_id = c.vec_id
+        |  JOIN probes p ON p.q_id = q.q_id AND p.cell = ce.cell
         |  JOIN cseg g ON g.s = c.s AND g.j = c.code),
         |adc AS (SELECT q_id, cid, list_sum(list(d2 ORDER BY s)) AS adc FROM l2 GROUP BY 1, 2),
         |top AS (SELECT q_id, cid, adc,

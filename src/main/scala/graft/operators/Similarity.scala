@@ -251,6 +251,94 @@ object Similarity {
         round(col("adc"), 4).as("adc"), col("rank"))
   }
 
+  /** IVF-PQ search (Jégou et al. 2011, the composed index): [[ivfTopK]]'s
+    * coarse quantizer in front of [[adcSearch]]'s table-lookup scoring —
+    * the billion-scale layout, where PQ-flat ([[adcSearch]] alone) still
+    * touches every coded vector per query. Each corpus vector carries a
+    * cell id (argmax cosine against `nCells` coarse centroids) AND its
+    * `nSeg` nibble codes; a query probes only its `nProbe` nearest cells
+    * and ADC-scores just those cells' codes — per-query work drops by
+    * ~nCells/nProbe, on top of PQ's dim→nSeg lookup compression.
+    *
+    * Scale shape: cell assignment + PQ encode fuse into ONE corpus scan
+    * (both argmax kernels in the same projection), materialized once
+    * (`localCheckpoint` — the s09 rule, or the probe fan-out would
+    * re-run the encode per matched query). Probes + LUTs ride a broadcast
+    * keyed by cell, so the corpus never shuffles; top-k per query is the
+    * WindowGroupLimit path. The ADC sum runs s=0..nSeg-1 left-to-right
+    * (the oracle pins the same order). Centroids and codebooks are the
+    * deterministic lowest-id stand-ins shared with s03/s08/s09 (see
+    * [[kmeansTrain]] for the trained alternative).
+    */
+  def ivfPqSearch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      nSeg: Int = 8,
+      nCodes: Int = 16,
+      nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    require(dim % nSeg == 0, s"dim $dim must split into $nSeg segments")
+    val segDim = dim / nSeg
+    val model: Array[Seq[Float]] = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol).cast("long").asc)
+      .limit(math.max(nCodes, nCells))
+      .collect()
+      .map(_.getSeq[Float](1).toSeq)
+    val codewords = model.take(nCodes)
+    val centroids = model.take(nCells)
+    def cellScores(v: Column): Column = array(centroids.zipWithIndex.map {
+      case (cv, ci) =>
+        struct(VectorExprs.cosineFF(v, typedlit(cv)).as("cos"), lit(ci.toLong).as("cid"))
+    }: _*)
+    val codes = array((0 until nSeg).map(s =>
+      segArgmin(col(vecCol), codewords, s, segDim, nCodes).getField("j")): _*)
+    // ONE fused scan assigns cell + codes; materialize before the fan-out
+    val coded = corpus.select(col(idCol).cast("long").as("cid"),
+        array_max(cellScores(col(vecCol))).getField("cid").as("cell"),
+        codes.as("codes"))
+      .localCheckpoint(true)
+    val luts: Seq[(Long, Seq[Seq[Double]])] = queries
+      .select(col(idCol).cast("long"), col(vecCol)).collect().toSeq
+      .map { r =>
+        val qv = r.getSeq[Float](1)
+        r.getLong(0) -> (0 until nSeg).map { s =>
+          val qs = qv.slice(s * segDim, (s + 1) * segDim)
+          (0 until nCodes).map { j =>
+            val cs = codewords(j).slice(s * segDim, (s + 1) * segDim)
+            qs.zip(cs).foldLeft(0.0) { case (a, (qd, cd)) =>
+              val d = qd.toDouble - cd.toDouble; a + d * d
+            }
+          }.toSeq
+        }.toSeq
+      }
+    // probed cells come from the same cosine kernel as the corpus cells
+    // (descending (cos, cid) — ties resolve identically on both sides)
+    val probes = queries
+      .select(col(idCol).cast("long").as("q_id"),
+        slice(reverse(array_sort(cellScores(col(vecCol)))), 1, nProbe).as("_top"))
+      .select(col("q_id"), explode(col("_top").getField("cid")).as("cell"))
+    val session = corpus.sparkSession
+    import session.implicits._
+    val qdf = broadcast(luts.toDF("q_id", "lut").join(probes, Seq("q_id")))
+    val adc = (0 until nSeg).map { s =>
+      element_at(element_at(col("lut"), s + 1),
+        element_at(col("codes"), s + 1).cast("int") + 1)
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("cid").asc)
+    coded.join(qdf, Seq("cell"))
+      .where(col("q_id") =!= col("cid"))
+      .select(col("q_id"), col("cid"), adc.as("adc"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("cid").as("neighbor_id"),
+        round(col("adc"), 4).as("adc"), col("rank"))
+  }
+
   /** IVF-style ANN: a coarse quantizer of `nCentroids` centroid vectors
     * partitions the corpus into cells; each query exactly scores only the
     * `nProbe` cells nearest to it. Centroids are picked deterministically

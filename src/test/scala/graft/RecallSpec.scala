@@ -122,6 +122,39 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.9, f"IVF recall@5 $r%.4f")
   }
 
+  test("s10 IVF-PQ recall@5: probe loss vs PQ-flat (s09) and vs exact L2 (sf0.01)") {
+    import graft.expressions.VectorExprs
+    val emb = Tables.embeddings(spark, dir01)
+    val queries = emb.where(col("vec_id") < 8)
+    def pairs(df: DataFrame) =
+      df.select(col("q_id").cast("long"), col("neighbor_id").cast("long"))
+        .as[(Long, Long)].collect().toSet
+    // exact (uncompressed) L2 top-5 — the true answer set for the ADC family
+    val c = emb.select(col("vec_id").cast("long").as("neighbor_id"), col("embedding").as("cv"))
+    val qv = queries.select(col("vec_id").cast("long").as("q_id"), col("embedding").as("qv"))
+    val l2 = VectorExprs.dotFF(col("qv"), col("qv")) -
+      lit(2.0) * VectorExprs.dotFF(col("qv"), col("cv")) +
+      VectorExprs.dotFF(col("cv"), col("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2").asc, col("neighbor_id").asc)
+    val truth = pairs(c.crossJoin(broadcast(qv)).where(col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"), l2.as("d2"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 5))
+    val flat = pairs(Similarity.adcSearch(emb, queries, "vec_id", "embedding", dim = 64, k = 5))
+    val ivfpq = pairs(Similarity.ivfPqSearch(emb, queries, "vec_id", "embedding", dim = 64, k = 5))
+    // probe recall isolates the IVF pruning loss (both sides share the PQ
+    // scoring); exact recall is the end-to-end number (PQ distortion × probe
+    // loss) — the codebook is the 16-vector stand-in, so PQ distortion
+    // dominates; what this gate protects is the composition, not the model
+    val probeRecall = recall(ivfpq, flat)
+    val exactRecall = recall(ivfpq, truth)
+    val flatRecall = recall(flat, truth)
+    info(f"s10 probeRecall=$probeRecall%.4f exactRecall=$exactRecall%.4f (s09 flat=$flatRecall%.4f)")
+    println(f"RECALL s10 probe=$probeRecall%.4f exact@5=$exactRecall%.4f s09exact@5=$flatRecall%.4f")
+    assert(probeRecall >= 0.5, f"IVF probe recall $probeRecall%.4f")
+    assert(exactRecall >= 0.25, f"end-to-end recall $exactRecall%.4f")
+  }
+
   test("d08 delta dedup equals the full run restricted to new-touching pairs (sf0.01)") {
     val docs = Tables.documents(spark, dir01)
     def rows(df: DataFrame): Set[(Long, Long, Double)] =
