@@ -507,6 +507,17 @@ object SparkEntry {
       Similarity.adcSearch(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
         dim = 64, k = 5)
     },
+    "s11_kmeans_train" -> q { (s, dir) =>
+      // exact-integer Lloyd: 3 assign/recompute rounds over 1e-6-scaled
+      // integer vectors, k=8 — assignment is a fused long-L2 codegen
+      // kernel against broadcast centroid literals (pure scan), recompute
+      // one k×dim shuffle; all-integer arithmetic makes the trajectory
+      // hash-exact vs the unrolled DuckDB oracle (the q52 rule applied to
+      // the quantizer training s03/s08/s09/d11 previously stubbed with
+      // lowest-id stand-ins)
+      Similarity.kmeansTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = 64, k = 8, iters = 3)
+    },
     "s10_ivfpq" -> q { (s, dir) =>
       // IVF-PQ: s03's coarse quantizer composed in front of s09's ADC
       // scoring — queries probe their 4 nearest of 16 cells and ADC-score
@@ -1723,6 +1734,58 @@ object SparkEntry {
         |        FROM adc)
         |SELECT q_id, cid AS neighbor_id, round(adc, 4) AS adc, rank
         |FROM top WHERE rank <= 5""".stripMargin,
+    // integer Lloyd oracle: 3 unrolled assign/recompute iterations over
+    // the 1e-6-scaled integer cells (the s04 scaling); distances and sums
+    // are exact integers, centroid updates truncating integer division
+    // (Spark `div` ≡ DuckDB `//`, both toward zero), assignment ties to
+    // the lower centroid id, empty clusters keep the previous centroid —
+    // the final (cluster, dim) grid hash-matches bit-for-bit
+    "s11_kmeans_train" ->
+      """WITH cells AS (
+        |  SELECT vec_id, CAST(i AS BIGINT) AS dim,
+        |         CAST(round(CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) * 1000000) AS BIGINT) AS x6
+        |  FROM embeddings, range(0, 64) t(i)),
+        |ids AS (
+        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ci
+        |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        |c0 AS (SELECT i.ci, c.dim, c.x6 AS c6 FROM ids i JOIN cells c USING (vec_id)),
+        |dist1 AS (
+        |  SELECT c.vec_id, k.ci, CAST(sum((c.x6 - k.c6)*(c.x6 - k.c6)) AS BIGINT) AS d2
+        |  FROM cells c JOIN c0 k ON c.dim = k.dim GROUP BY 1, 2),
+        |asg1 AS (
+        |  SELECT vec_id, ci
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, ci ASC) AS rn FROM dist1)
+        |  WHERE rn = 1),
+        |upd1 AS (
+        |  SELECT a.ci, c.dim, CAST(sum(c.x6) AS BIGINT) // count(*) AS c6n
+        |  FROM asg1 a JOIN cells c USING (vec_id) GROUP BY 1, 2),
+        |c1 AS (SELECT p.ci, p.dim, coalesce(u.c6n, p.c6) AS c6
+        |       FROM c0 p LEFT JOIN upd1 u ON p.ci = u.ci AND p.dim = u.dim),
+        |dist2 AS (
+        |  SELECT c.vec_id, k.ci, CAST(sum((c.x6 - k.c6)*(c.x6 - k.c6)) AS BIGINT) AS d2
+        |  FROM cells c JOIN c1 k ON c.dim = k.dim GROUP BY 1, 2),
+        |asg2 AS (
+        |  SELECT vec_id, ci
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, ci ASC) AS rn FROM dist2)
+        |  WHERE rn = 1),
+        |upd2 AS (
+        |  SELECT a.ci, c.dim, CAST(sum(c.x6) AS BIGINT) // count(*) AS c6n
+        |  FROM asg2 a JOIN cells c USING (vec_id) GROUP BY 1, 2),
+        |c2 AS (SELECT p.ci, p.dim, coalesce(u.c6n, p.c6) AS c6
+        |       FROM c1 p LEFT JOIN upd2 u ON p.ci = u.ci AND p.dim = u.dim),
+        |dist3 AS (
+        |  SELECT c.vec_id, k.ci, CAST(sum((c.x6 - k.c6)*(c.x6 - k.c6)) AS BIGINT) AS d2
+        |  FROM cells c JOIN c2 k ON c.dim = k.dim GROUP BY 1, 2),
+        |asg3 AS (
+        |  SELECT vec_id, ci
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, ci ASC) AS rn FROM dist3)
+        |  WHERE rn = 1),
+        |upd3 AS (
+        |  SELECT a.ci, c.dim, CAST(sum(c.x6) AS BIGINT) // count(*) AS c6n, count(*) AS n
+        |  FROM asg3 a JOIN cells c USING (vec_id) GROUP BY 1, 2)
+        |SELECT p.ci AS cluster_id, p.dim, coalesce(u.c6n, p.c6) AS c6,
+        |       coalesce(u.n, 0) AS n_members
+        |FROM c2 p LEFT JOIN upd3 u ON p.ci = u.ci AND p.dim = u.dim""".stripMargin,
     // IVF-PQ oracle: s09's codebook/code/LUT CTEs plus the coarse
     // quantizer — cells = argmax cosine vs the 16 lowest-id centroids
     // (cosine in DOUBLE with pinned list_sum order, ties to the HIGHER

@@ -105,6 +105,53 @@ case class DotProductFF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact squared L2 distance of two long arrays: Σ (xᵢ−yᵢ)². All
+  * arithmetic in long — overflow-free for 1e-6-scaled float32 embeddings
+  * (|x| ≤ ~2³⁰ per component ⇒ per-term ≤ 2⁶⁰/dim headroom at dim ≤ 2¹⁰)
+  * and bit-identical across engines/partitionings — the integer
+  * Lloyd-iteration kernel (the q52 exactness rule applied to k-means).
+  */
+case class L2DistanceLL(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "l2_distance_ll"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Column-API entry points. */
   def cosineFF(a: Column, b: Column): Column =
@@ -114,4 +161,8 @@ object VectorExprs {
   def dotFF(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProductFF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def l2LL(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      L2DistanceLL(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -495,14 +495,20 @@ object Dedup {
       idCol: String,
       vecCol: String,
       eps: Double,
-      nCentroids: Int = 16): DataFrame = {
+      nCentroids: Int = 16,
+      trained: Option[Seq[Seq[Float]]] = None): DataFrame = {
     import graft.expressions.VectorExprs
-    val centroids: Array[(Long, Seq[Float])] = corpus
-      .select(col(idCol).cast("long"), col(vecCol))
-      .orderBy(col(idCol).cast("long").asc)
-      .limit(nCentroids)
-      .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq)
+    // lowest-id stand-in quantizer by default (oracle-checkable); pass
+    // Similarity.kmeansCentroidVectors for a trained one
+    val centroids: Array[(Long, Seq[Float])] = trained match {
+      case Some(cs) => cs.zipWithIndex.map { case (v, i) => i.toLong -> v }.toArray
+      case None => corpus
+        .select(col(idCol).cast("long"), col(vecCol))
+        .orderBy(col(idCol).cast("long").asc)
+        .limit(nCentroids)
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq)
+    }
     // argmax by (cos, cid) struct ordering — no window, no shuffle (s03)
     def cellScores(v: org.apache.spark.sql.Column) = array(centroids.zipWithIndex.map {
       case ((_, cv), ci) =>

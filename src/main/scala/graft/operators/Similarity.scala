@@ -339,11 +339,100 @@ object Similarity {
         round(col("adc"), 4).as("adc"), col("rank"))
   }
 
+  /** Exact-integer Lloyd k-means (the trained replacement for the
+    * lowest-id codebook/centroid stand-ins in s03/s08/s09/d11): `iters`
+    * assign-recompute rounds over 1e-6-scaled integer vectors. Because
+    * every operation is integer (scaled components, long squared-L2,
+    * long sums, truncating division), the trajectory is bit-exact across
+    * engines, partitionings and retries — an unrolled SQL oracle
+    * hash-matches the final centroids, the q52 PageRank rule applied to
+    * the one "model fit" a pipeline otherwise can't oracle.
+    *
+    * Distributed shape (the MLlib broadcast pattern): per iteration the
+    * assignment is a PURE SCAN — a fused codegen long-L2 kernel
+    * ([[graft.expressions.VectorExprs.l2LL]]) against k broadcast
+    * centroid literals, argmin via struct `array_min` (ties to the lower
+    * centroid id) — and the recompute is ONE shuffle whose map-side
+    * partials reduce to k×dim groups. Between iterations only the k×dim
+    * centroid ints visit the driver (a bounded model read, never data).
+    * Init = the k lowest-id vectors (the s03/s08 convention). Training at
+    * 100 TB runs this on a sample; the scaled ints come from one linear
+    * `transform` materialized once up front (`localCheckpoint`), the only
+    * non-codegen step.
+    *
+    * Output: one row per (cluster_id, dim) with the final scaled-integer
+    * centroid component `c6` and the final assignment's `n_members`
+    * (empty clusters keep their previous centroid, n_members = 0).
+    */
+  def kmeansTrain(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int = 8,
+      iters: Int = 3): DataFrame = {
+    require(k > 0 && iters >= 1)
+    val v6 = corpus.select(col(idCol).cast("long").as("vec_id"),
+        expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1000000) as bigint))")
+          .as("v6"))
+      .localCheckpoint(true)
+    var cents: Array[Seq[Long]] = v6.orderBy(col("vec_id").asc).limit(k)
+      .collect().map(_.getSeq[Long](1).toSeq)
+    def recomputed(): DataFrame = {
+      val scores = array(cents.zipWithIndex.map { case (c6, ci) =>
+        struct(VectorExprs.l2LL(col("v6"), typedlit(c6)).as("d2"), lit(ci.toLong).as("ci"))
+      }: _*)
+      v6.select(array_min(scores).getField("ci").as("ci"), posexplode(col("v6")).as(Seq("dim", "x6")))
+        .groupBy(col("ci"), col("dim").cast("long").as("dim"))
+        .agg(sum(col("x6")).as("sum6"), count(lit(1)).as("n"))
+    }
+    for (_ <- 1 until iters) {
+      val upd = recomputed().select(col("ci"), col("dim"), expr("sum6 div n").as("c6")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      cents = Array.tabulate(k)(ci =>
+        Seq.tabulate(dim)(d => upd.getOrElse((ci.toLong, d.toLong), cents(ci)(d))))
+    }
+    // final round stays distributed: the (k×dim)-row aggregate IS the
+    // output; empty clusters coalesce to the previous centroids
+    val session = corpus.sparkSession
+    import session.implicits._
+    val prev = cents.zipWithIndex.flatMap { case (c6, ci) =>
+      c6.zipWithIndex.map { case (v, d) => (ci.toLong, d.toLong, v) }
+    }.toSeq.toDF("cluster_id", "dim", "prev_c6")
+    val comp = recomputed()
+      .select(col("ci").as("cluster_id"), col("dim"), expr("sum6 div n").as("new_c6"), col("n"))
+    // both sides are k×dim rows — no hint needed (build-left is unsupported
+    // for left-outer anyway)
+    prev.join(comp, Seq("cluster_id", "dim"), "left_outer")
+      .select(col("cluster_id"), col("dim"),
+        coalesce(col("new_c6"), col("prev_c6")).as("c6"),
+        coalesce(col("n"), lit(0L)).as("n_members"))
+  }
+
+  /** [[kmeansTrain]] reduced to a driver-side model handle: the final
+    * centroids as float vectors, consumable by [[ivfTopK]] /
+    * [[graft.operators.Dedup.semanticDedup]] in place of their lowest-id
+    * stand-ins (k×dim values — a bounded model read, never data).
+    */
+  def kmeansCentroidVectors(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int = 8,
+      iters: Int = 3): Seq[Seq[Float]] = {
+    val cells = kmeansTrain(corpus, idCol, vecCol, dim, k, iters)
+      .select(col("cluster_id"), col("dim"), col("c6")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Seq.tabulate(k)(ci =>
+      Seq.tabulate(dim)(d => (cells((ci.toLong, d.toLong)).toDouble / 1e6).toFloat))
+  }
+
   /** IVF-style ANN: a coarse quantizer of `nCentroids` centroid vectors
     * partitions the corpus into cells; each query exactly scores only the
-    * `nProbe` cells nearest to it. Centroids are picked deterministically
-    * (lowest-id corpus vectors — the one intentionally driver-side "model
-    * fit", the analog of a k-means training step; nCentroids rows, not data).
+    * `nProbe` cells nearest to it. Centroids default to the deterministic
+    * lowest-id stand-in (keeps the operator oracle-checkable); pass
+    * `trained` (e.g. [[kmeansCentroidVectors]]) to use a real model.
     * At scale: cell assignment is a pure scan (fused cosine kernels against
     * broadcast centroid literals), and the candidate join shuffles only
     * cell keys — the IVF index structure without a vector-DB dependency.
@@ -355,13 +444,17 @@ object Similarity {
       vecCol: String,
       k: Int,
       nCentroids: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    val centroids: Array[(Long, Seq[Float])] = corpus
-      .select(col(idCol).cast("long"), col(vecCol))
-      .orderBy(col(idCol).cast("long").asc)
-      .limit(nCentroids)
-      .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq)
+      nProbe: Int = 4,
+      trained: Option[Seq[Seq[Float]]] = None): DataFrame = {
+    val centroids: Array[(Long, Seq[Float])] = trained match {
+      case Some(cs) => cs.zipWithIndex.map { case (v, i) => i.toLong -> v }.toArray
+      case None => corpus
+        .select(col(idCol).cast("long"), col(vecCol))
+        .orderBy(col(idCol).cast("long").asc)
+        .limit(nCentroids)
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq)
+    }
     // per-centroid scores as an array<struct<cos,cid>>; struct ordering
     // (cos first) makes array_max the argmax — no window, no shuffle
     def cellScores(v: Column): Column = array(centroids.zipWithIndex.map {
