@@ -9,8 +9,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** Representative subset: one per operator family (full list in SURVEY §2). */
   val headline: Seq[String] = Seq(
+    // the ETL/sync family IS the reference's actual workload — benched in
+    // full so a regression on the import path is visible round-over-round
     "q01_latest_wins", "q02_snapshot_merge", "q03_rowfilter",
-    "q08_profiles_view", "q09_graph_degree", "q11_salted_agg",
+    "q04_backfill_range", "q05_pk_dedup", "q06_json_extract", "q07_tracking",
+    "q08_profiles_view", "q09_graph_degree", "q10_edge_merge", "q11_salted_agg",
+    "q17_priority_counts", "q19_registry_sync", "q20_json_struct",
+    "q23_tumbling_daily", "q31_profile", "q33_node_merge", "q39_typed_sync",
     "q12_pricing_summary", "q13_region_revenue", "q14_top_customers", "q15_event_sessions",
     "q16_brand_volume", "q18_nation_rollup", "q21_asof_join", "q22_range_join",
     "q24_scd2_intervals", "q25_mutual_edges", "q26_price_percentiles", "q27_age_metrics",
@@ -32,7 +37,8 @@ object Bench {
     "d06_dedup_clusters", "d07_embed_neardup_lsh", "d08_dedup_incremental", "d09_embed_delta",
     "d10_passage_dedup", "d11_semantic_dedup",
     "s01_ann_brute", "s02_ann_lsh", "s03_ann_ivf", "s05_range_search", "s06_quantize",
-    "s07_mmr_diversify", "s08_pq_encode", "s09_adc_search",
+    "s07_mmr_diversify", "s08_pq_encode", "s09_adc_search", "s10_ivfpq", "s11_kmeans_train",
+    "m01_multimodal", "m02_frame_sample", "m03_resize_plan", "m06_frame_phash",
     "t01_langid", "t02_quality", "t03_tokens", "t04_fingerprint", "t05_normalize",
     "t06_stratified_sample", "t07_cap_per_source", "t08_contamination", "t09_repetition",
     "t10_pii_redact", "t11_curation", "t12_sequence_pack", "t13_url_domains",
