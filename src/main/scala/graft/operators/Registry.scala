@@ -72,4 +72,29 @@ object Registry {
       }
       .reduce(_.unionByName(_))
   }
+
+  /** Settings-driven sync: only the configured TABLES subset, each with its
+    * configured row filter applied BEFORE the latest-wins merge — the
+    * filter-then-import order of the reference (filters prune rows as
+    * files land, so the merge never sees excluded keys), and scan-stage
+    * predicates here, so they push down to parquet.
+    */
+  def syncConfigured(
+      spark: SparkSession,
+      dir: String,
+      settings: graft.GraftSettings,
+      filters: Map[String, org.apache.spark.sql.Column] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val names = settings.registrySyncTables.keys.toSeq.sorted
+    require(names.nonEmpty, s"no configured table is registered: ${settings.tables.mkString(",")}")
+    names
+      .map { t =>
+        val (pk, ord) = syncTables(t)
+        val in = filters.get(t).fold(load(spark, dir, t))(load(spark, dir, t).where(_))
+        MergeOps.latestByKey(in, pk, ord)
+          .agg(count(lit(1)).as("n_current"))
+          .select(lit(t).as("table_name"), col("n_current"))
+      }
+      .reduce(_.unionByName(_))
+  }
 }
