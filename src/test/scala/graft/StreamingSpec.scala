@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.streaming.IncrementalStream
+import graft.streaming.{IncrementalStream, MetricEvent, TrailingWindow}
 
 /** The Structured-Streaming incremental loop: drop slice files into a
   * directory (the reference's S3 polling), run AvailableNow, check the
@@ -66,6 +66,57 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, String)].collect().toSeq
     assert(got == Seq((1L, 10L, "a"), (2L, 10L, "b"), (3L, 5L, "c")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(state + "_prev")))
+  }
+
+  test("trailing-24h metrics: streaming equals batch q44 on the same slice") {
+    // the real sf0.001 event slice, staged as an events.parquet table so the
+    // REGISTERED batch query (not a re-derivation) is the reference result
+    val base = Files.createTempDirectory("graft-q44-stream").toFile.getAbsolutePath
+    val slice = Tables.events(spark, "/root/testdata/sf0.001")
+      .where(col("user_id") < 40)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    slice.write.parquet(s"$base/events.parquet")
+    val batch = SparkEntry.queries("q44_rolling_metrics")(spark, base)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(batch.nonEmpty)
+
+    val rows = Tables.events(spark, base)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+      .collect()
+      .map(r => MetricEvent(r.getLong(0), r.getLong(1),
+        new java.sql.Timestamp(r.getLong(2) / 1000L), r.getLong(2), r.getDouble(3)))
+      .sortBy(e => (e.ts_us, e.event_id))
+    // three micro-batches split at DISTINCT ts boundaries (a RANGE tie split
+    // across batches is the documented append-mode non-goal)
+    def cut(at: Int): Int = {
+      var i = at
+      while (i < rows.length && rows(i).ts_us == rows(at - 1).ts_us) i += 1
+      i
+    }
+    val c1 = cut(rows.length / 3); val c2 = cut(2 * rows.length / 3)
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[MetricEvent]
+    val out = TrailingWindow.metrics(in.toDS().withWatermark("ts", "0 seconds"))
+    val q = out.writeStream.format("memory").queryName("graft_q44")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.take(c1).toIndexedSeq); q.processAllAvailable()
+      in.addData(rows.slice(c1, c2).toIndexedSeq); q.processAllAvailable()
+      in.addData(rows.drop(c2).toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("graft_q44")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(streamed == batch,
+        s"streaming != batch: only-stream=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+      // the split points force frames that reach back across micro-batches —
+      // the state-store path, not just in-batch arithmetic
+      assert(rows.take(c1).map(_.ts_us).max + TrailingWindow.DayUs >= rows(c1).ts_us ||
+        batch.exists(_._4 > 1), "slice must exercise cross-batch frames")
+    } finally q.stop()
   }
 
   test("windowed counts with watermark produce event-time aggregates") {
