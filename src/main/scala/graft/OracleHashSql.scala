@@ -1,0 +1,247 @@
+package graft
+
+import graft.expressions.MinHashCoefficients
+import graft.operators.Similarity
+
+/** DuckDB oracle SQL for the hash-kernel operators (d02, d03, s02, s03,
+  * t04) — the five queries previously declared weak-by-design because their
+  * signatures come from custom codegen kernels. The kernels are pure
+  * integer arithmetic (31-poly char fold + splitmix64 finalizer, wrapped
+  * 64-bit multiply/add), so the SAME arithmetic is expressible in SQL by
+  * emulating Java's two's-complement wraparound in HUGEINT:
+  *
+  *   - values live in the unsigned domain [0, 2^64); `% 2^64` after every
+  *     multiply/add reproduces the wrap,
+  *   - a 64×64-bit wrapped product is split 32/32 so no intermediate
+  *     exceeds 2^97 (HUGEINT is 128-bit but checked — a direct u64×u64
+  *     product would overflow and DuckDB throws instead of wrapping),
+  *   - xor/shift hop to the signed domain and back (DuckDB `xor` is
+  *     BIGINT-only; `>>> n` is `// 2^n` on the unsigned form),
+  *   - Java's signed `%` (used by the minhash universal hash) is
+  *     `((s % P) + P) % P` on the re-signed value.
+  *
+  * Each intermediate is one CTE column — inlining the whole finalizer
+  * would duplicate subtrees ~8× per stage (measured: minutes to even plan).
+  *
+  * Model constants are read from the SAME definitions the engine uses
+  * ([[MinHashCoefficients]], [[Similarity.hyperplanes]]) so the oracle
+  * can never drift from the kernels it checks. Tokenization relies on the
+  * Java/RE2 `\s+` common subset and BMP-only text (UTF-16 code units =
+  * code points), the same contract t01/t13's oracles already use.
+  */
+object OracleHashSql {
+
+  private val H = "18446744073709551616" // 2^64
+  private val HH = "9223372036854775808" // 2^63
+
+  private def s64(x: String): String =
+    s"CAST(($x) - CASE WHEN ($x) >= $HH THEN CAST($H AS HUGEINT) ELSE 0 END AS BIGINT)"
+
+  private def u64(y: String): String =
+    s"(CAST(($y) AS HUGEINT) + CASE WHEN ($y) < 0 THEN CAST($H AS HUGEINT) ELSE 0 END)"
+
+  private def xoru(a: String, b: String): String =
+    u64(s"xor(${s64(a)}, ${s64(b)})")
+
+  /** Wrapped multiply by an unsigned 64-bit CONSTANT, 32/32 split. */
+  private def wmulc(c: BigInt, z: String): String = {
+    val hi = c >> 32
+    val lo = c & 0xFFFFFFFFL
+    s"((($hi * ($z)) % 4294967296 * 4294967296 + $lo * ($z)) % $H)"
+  }
+
+  private def unsignedConst(v: Long): BigInt = BigInt(v) & ((BigInt(1) << 64) - 1)
+
+  /** 31-poly char fold (unsigned). Empty string folds zero chars —
+    * string_split('','') yields [''], hence the filter.
+    */
+  private def poly(s: String): String = {
+    val chars = s"list_filter(string_split($s, ''), c -> c <> '')"
+    val vals = s"list_transform($chars, c -> CAST(unicode(c) AS HUGEINT))"
+    s"list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), $vals), (h, c) -> (31*h + c) % $H)"
+  }
+
+  /** Staged splitmix64 finalizer: input CTE `src` must expose unsigned
+    * column `h0`; emits CTEs m1..m4, the last exposing unsigned `hu`,
+    * carrying `carry` columns through.
+    */
+  private def mixCtes(src: String, carry: Seq[String]): String = {
+    val cols = carry.mkString(", ")
+    val c1 = unsignedConst(0xBF58476D1CE4E5B9L)
+    val c2 = unsignedConst(0x94D049BB133111EBL)
+    s"""m1 AS (SELECT $cols, (h0 + 11400714819323198485) % $H AS z1 FROM $src),
+       |m2 AS (SELECT $cols, ${wmulc(c1, xoru("z1", "(z1 // 1073741824)"))} AS z2 FROM m1),
+       |m3 AS (SELECT $cols, ${wmulc(c2, xoru("z2", "(z2 // 134217728)"))} AS z3 FROM m2),
+       |m4 AS (SELECT $cols, ${xoru("z3", "(z3 // 2147483648)")} AS hu FROM m3)""".stripMargin
+  }
+
+  /** Whitespace tokenization, identical to the kernel's
+    * `trim.toLowerCase.split("\\s+").filter(_.nonEmpty)`.
+    */
+  private val toks =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+      |  FROM documents)""".stripMargin
+
+  /** The s01-oracle cosine (float inputs CAST to DOUBLE, left-to-right
+    * list_sum — the dotFF accumulation order).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       |    * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))""".stripMargin
+
+  private def topKRerank(k: Int): String =
+    s"""scored AS (
+       |  SELECT cd.q_id, cd.neighbor_id, ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM cand cd JOIN embeddings q ON q.vec_id = cd.q_id
+       |  JOIN embeddings c ON c.vec_id = cd.neighbor_id),
+       |r AS (SELECT q_id, neighbor_id, cos,
+       |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |      FROM scored)
+       |SELECT q_id, neighbor_id, round(cos, 4) AS cos, CAST(rnk AS BIGINT) AS "rank"
+       |FROM r WHERE rnk <= $k""".stripMargin
+
+  /** d03: 64-bit SimHash over per-token hashes, ALL pairs at hamming <= 3.
+    * The engine's 4×16-bit chunk banding is exact here by pigeonhole
+    * (3 bit flips cannot touch all 4 chunks), so the all-pairs oracle is a
+    * true hash-match, not a recall floor.
+    */
+  def d03Sql: String =
+    s"""WITH $toks,
+       |sh AS (SELECT doc_id, CASE WHEN len(tk) = 0 THEN [''] ELSE tk END AS shs FROM toks),
+       |g AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+       |h AS (SELECT doc_id, ${poly("s")} AS h0 FROM g),
+       |${mixCtes("h", Seq("doc_id"))},
+       |votes AS (
+       |  SELECT doc_id, b.b AS b,
+       |         sum(CASE WHEN (hu // (CAST(1 AS HUGEINT) << b.b)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM m4, (SELECT unnest(range(0, 64)) AS b) b GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT doc_id, ${s64("sum(CASE WHEN v > 0 THEN (CAST(1 AS HUGEINT) << b) ELSE 0 END)")} AS sim
+       |  FROM votes GROUP BY 1),
+       |pairs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.sim, y.sim)) AS hamming
+       |  FROM sig x JOIN sig y ON x.doc_id < y.doc_id)
+       |SELECT a, b, CAST(hamming AS INT) AS hamming FROM pairs WHERE hamming <= 3""".stripMargin
+
+  /** d02: 64-hash MinHash over 3-token shingles, 16-band candidates,
+    * signature-match-fraction estimate >= 0.5. Shingle DISTINCT is safe
+    * (duplicates cannot change a min); band equality compares the raw
+    * 4-row slice — the engine's xxhash64 band key equals slice equality
+    * up to 2^-64 collisions, the same odds the engine itself accepts.
+    */
+  def d02Sql: String = {
+    val p = "2305843009213693951"
+    val coefs = MinHashCoefficients.a(64).zip(MinHashCoefficients.b(64)).zipWithIndex
+      .map { case ((a, b), j) =>
+        s"($j, CAST('${unsignedConst(a)}' AS HUGEINT), CAST('${unsignedConst(b)}' AS HUGEINT))"
+      }
+      .mkString(", ")
+    val wmul = s"(((a // 4294967296 * hu) % 4294967296) * 4294967296 + (a % 4294967296) * hu) % $H"
+    s"""WITH $toks,
+       |sh AS (
+       |  SELECT doc_id, CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+       |         ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END AS shs
+       |  FROM toks),
+       |g AS (SELECT DISTINCT doc_id, unnest(shs) AS s FROM sh),
+       |h AS (SELECT doc_id, ${poly("s")} AS h0 FROM g),
+       |${mixCtes("h", Seq("doc_id"))},
+       |cf(j, a, b) AS (SELECT * FROM (VALUES $coefs)),
+       |mh AS (
+       |  SELECT doc_id, j, min(((${s64(s"(($wmul) + b) % $H")}) % $p + $p) % $p) AS mh
+       |  FROM m4, cf GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM mh GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id, b.b AS b, array_to_string(sig[4*b.b+1:4*b.b+4], ',') AS bv
+       |  FROM sig, (SELECT unnest(range(0, 16)) AS b) b),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id),
+       |est AS (
+       |  SELECT c.a, c.b,
+       |    len(list_filter(range(1, 65), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) / 64.0 AS e
+       |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b)
+       |SELECT a, b, round(e, 4) AS est_jaccard FROM est WHERE e >= 0.5""".stripMargin
+  }
+
+  /** s02: 64-bit hyperplane signatures (the engine's seeded ±1 planes
+    * embedded verbatim), 32×2-bit band candidates, exact-cosine top-5.
+    * Sign ties are engine-exact: each plane dot is a left-to-right double
+    * sum of EXACT ±v[i] products on both sides.
+    */
+  def s02Sql: String = {
+    val rows = Similarity.hyperplanes(bits = 64, dim = 64).zipWithIndex
+      .map { case (pv, j) =>
+        val bv = (BigInt(1) << j).toString
+        pv.map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString(s"($j, CAST('$bv' AS HUGEINT), [", ",", "]::DOUBLE[])")
+      }
+      .mkString(", ")
+    val dot = "list_sum(list_transform(list_zip(e.embedding, p.pv), s -> CAST(s[1] AS DOUBLE)*s[2]))"
+    s"""WITH pl(j, bv, pv) AS (SELECT * FROM (VALUES $rows)),
+       |sig AS (
+       |  SELECT e.vec_id, sum(CASE WHEN $dot >= 0.0 THEN p.bv ELSE CAST(0 AS HUGEINT) END) AS sig
+       |  FROM embeddings e, pl p GROUP BY 1),
+       |bands AS (
+       |  SELECT vec_id, b.b AS b, (sig // (CAST(1 AS HUGEINT) << (2*b.b))) % 4 AS bv
+       |  FROM sig, (SELECT unnest(range(0, 32)) AS b) b),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+       |  FROM bands q JOIN bands c ON q.b = c.b AND q.bv = c.bv AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 8),
+       |${topKRerank(5)}""".stripMargin
+  }
+
+  /** s03: IVF with the 16 lowest-id centroids, 4-probe cells, exact-cosine
+    * top-5 within probed cells — the s10 coarse-quantizer CTEs (which
+    * already hash-match) plus the s01 rerank.
+    */
+  def s03Sql: String =
+    s"""WITH cents AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ci, embedding AS cv
+       |  FROM embeddings ORDER BY vec_id LIMIT 16),
+       |cscore AS (
+       |  SELECT e.vec_id, c.ci, ${cosSql("e.embedding", "c.cv")} AS cos FROM embeddings e, cents c),
+       |cells AS (
+       |  SELECT vec_id, ci AS cell
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ci DESC) AS rn FROM cscore)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, ci AS cell
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ci DESC) AS rn
+       |        FROM cscore WHERE vec_id < 8)
+       |  WHERE rn <= 4),
+       |cand AS (
+       |  SELECT p.q_id, ce.vec_id AS neighbor_id
+       |  FROM probes p JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.q_id),
+       |${topKRerank(5)}""".stripMargin
+
+  /** t04: char-8-gram winnowing (window 4). `n_fp`/`fp_min` are
+    * order-independent views of the fingerprint set (count-distinct and
+    * min of the window minima), so the first-occurrence ordering the
+    * kernel preserves needs no SQL mirror.
+    */
+  def t04Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lower(trim(text)) AS tx,
+       |         greatest(length(lower(trim(text))) - 7, 1) AS ng FROM documents),
+       |g AS (
+       |  SELECT doc_id, ng, i.i AS i, substr(tx, CAST(i.i AS INT), 8) AS s
+       |  FROM t, LATERAL (SELECT unnest(range(1, ng + 1)) AS i) i),
+       |h AS (SELECT doc_id, ng, i, ${poly("s")} AS h0 FROM g),
+       |${mixCtes("h", Seq("doc_id", "ng", "i"))},
+       |gh AS (SELECT doc_id, ng, i, ${s64("hu")} AS gh FROM m4),
+       |small AS (
+       |  SELECT doc_id, CAST(1 AS BIGINT) AS n_fp, min(gh) AS fp_min
+       |  FROM gh WHERE ng <= 4 GROUP BY doc_id),
+       |wins AS (
+       |  SELECT a.doc_id, a.i, min(b.gh) AS w
+       |  FROM gh a JOIN gh b ON b.doc_id = a.doc_id AND b.i BETWEEN a.i AND a.i + 3
+       |  WHERE a.ng > 4 AND a.i <= a.ng - 3
+       |  GROUP BY a.doc_id, a.i),
+       |big AS (
+       |  SELECT doc_id, CAST(count(DISTINCT w) AS BIGINT) AS n_fp, min(w) AS fp_min
+       |  FROM wins GROUP BY doc_id)
+       |SELECT * FROM small UNION ALL SELECT * FROM big""".stripMargin
+}

@@ -1423,6 +1423,14 @@ object SparkEntry {
       |  '  +', ' ', 'g'))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // hash-kernel operators: the SQL re-derives the signature arithmetic
+    // (wrapped-64-bit emulation in HUGEINT) from the same constants the
+    // kernels use — see OracleHashSql
+    "d02_dedup_minhash" -> OracleHashSql.d02Sql,
+    "d03_dedup_simhash" -> OracleHashSql.d03Sql,
+    "s02_ann_lsh" -> OracleHashSql.s02Sql,
+    "s03_ann_ivf" -> OracleHashSql.s03Sql,
+    "t04_fingerprint" -> OracleHashSql.t04Sql,
     "q01_latest_wins" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)

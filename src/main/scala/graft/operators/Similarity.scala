@@ -21,13 +21,21 @@ object Similarity {
   def dot(a: Column, b: Column): Column = VectorExprs.dotFF(a, b)
   def cosine(a: Column, b: Column): Column = VectorExprs.cosineFF(a, b)
 
+  /** The deterministic ±1 hyperplanes behind [[hyperplaneSig]] — public so
+    * the SQL oracle generator embeds the IDENTICAL planes (one definition,
+    * or the engine and its oracle could silently diverge).
+    */
+  def hyperplanes(bits: Int, dim: Int): Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(0x5EED5EED)
+    Seq.fill(bits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+  }
+
   /** Deterministic random-hyperplane signature: `bits` hyperplanes with
     * ±1 components baked in as literal arrays (seeded, reproducible across
     * runs); bit j = sign of dot(v, plane_j).
     */
   def hyperplaneSig(v: Column, bits: Int, dim: Int): Column = {
-    val rnd = new scala.util.Random(0x5EED5EED)
-    val planes = Seq.fill(bits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+    val planes = hyperplanes(bits, dim)
     (0 until bits)
       .map(j => when(VectorExprs.dotFF(v, typedlit(planes(j))) >= lit(0.0), lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)

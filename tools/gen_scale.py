@@ -39,8 +39,12 @@ def read(name):
 
 
 def write(name, t):
-    pq.write_table(t, f'{dst}/{name}.parquet')
-    print(f'{name}: {t.num_rows} rows')
+    # Small row groups keep Spark's scan parallel: a single maximal row
+    # group would pin every scan-side stage to ONE task (first sf1 run:
+    # 16 idle cores behind a 960s single-task stage).
+    rg = max(t.num_rows // 32, 1024)
+    pq.write_table(t, f'{dst}/{name}.parquet', row_group_size=rg)
+    print(f'{name}: {t.num_rows} rows (rg={rg})')
 
 
 def offset(t, col, n, r):
