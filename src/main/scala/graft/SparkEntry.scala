@@ -35,6 +35,17 @@ object SparkEntry {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Parquet SPLIT sizing, not row groups, decides scan parallelism: with
+    // the 128 MB default a whole small-SF table is one split, so every
+    // scan-fused kernel (signature scans, quantizer assignment, decode)
+    // runs as ONE task while the other local cores idle — measured at sf1:
+    // a 15-min single-task stage behind 23 idle threads. Small splits +
+    // cheap file-open cost let the scheduler fan small files out; on a
+    // real cluster with >128 MB files these values still split every file
+    // across executors. Partitioning never changes results (aggregates are
+    // exact-integer or order-pinned — the correctness gate's invariant).
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (16L * 1024 * 1024).toString)
+    spark.conf.set("spark.sql.files.openCostInBytes", (64L * 1024).toString)
     spark
   }
 

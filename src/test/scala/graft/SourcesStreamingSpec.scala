@@ -222,6 +222,51 @@ class SourcesStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("direct import: filename-routed single-file import with filter and resume") {
+    import graft.sources.DirectImport
+    val dir = Files.createTempDirectory("graft-direct").toFile.getAbsolutePath
+    def publish(name: String, rows: Seq[(Long, Long, String)]): String = {
+      rows.toDF("k", "ts", "v").coalesce(1).write.mode("overwrite").parquet(s"$dir/st_$name")
+      val part = new java.io.File(s"$dir/st_$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(s"$dir/$name")
+      part.renameTo(target)
+      target.getAbsolutePath
+    }
+    val got = scala.collection.mutable.Map[String, Seq[(Long, Long, String)]]()
+    def sink(table: String, df: org.apache.spark.sql.DataFrame): Unit =
+      got(table) = got.getOrElse(table, Seq.empty) ++
+        df.select("k", "ts", "v").as[(Long, Long, String)].collect().toSeq
+
+    // full: start==0 routes to table "things", everything delivered
+    val full = publish("public-things-0-100.parquet", Seq((1L, 10L, "a"), (2L, 20L, "b")))
+    val r1 = DirectImport.run(spark, full, s"$dir/track", sink)
+    assert(r1 == DirectImport.Result("things", "full", 1, done = true))
+    assert(got("things").toSet == Set((1L, 10L, "a"), (2L, 20L, "b")))
+
+    // re-run is resume-aware: nothing re-delivered, still done
+    val r2 = DirectImport.run(spark, full, s"$dir/track", sink)
+    assert(r2 == DirectImport.Result("things", "full", 0, done = true))
+    assert(got("things").size == 2)
+
+    // incremental with a row filter applied before the sink
+    val inc = publish("public-things-100-200.parquet", Seq((3L, 150L, "keep"), (4L, 160L, "drop")))
+    val r3 = DirectImport.run(spark, inc, s"$dir/track", sink,
+      rowFilter = Some(col("v") === "keep"))
+    assert(r3 == DirectImport.Result("things", "incremental", 1, done = true))
+    assert(got("things").count(_._3 == "keep") == 1 && !got("things").exists(_._3 == "drop"))
+
+    // .empty marker: zero batches, window counted as imported
+    touchEmpty(s"$dir/public-things-200-300.empty")
+    val r4 = DirectImport.run(spark, s"$dir/public-things-200-300.empty", s"$dir/track", sink)
+    assert(r4 == DirectImport.Result("things", "incremental", 0, done = true))
+
+    // unparseable name is a caller error, not a silent no-op
+    intercept[IllegalArgumentException] {
+      DirectImport.run(spark, s"$dir/notanexport.parquet", s"$dir/track", sink)
+    }
+  }
+
   test("row-group resume: kill mid-full, resume, final state equals one-shot") {
     // a single parquet file with many small row groups (tiny block size)
     val root = Files.createTempDirectory("graft-rgresume").toFile.getAbsolutePath
