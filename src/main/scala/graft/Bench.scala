@@ -52,9 +52,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // sf0.1 parquet files are one or two 100MB-ish files per table; split
-      // finer so the scan stage actually uses the cores
-      .config("spark.sql.files.maxPartitionBytes", "32m")
+      // split sizing lives in SparkEntry.prep (compute-proportional — see
+      // the scaladoc there); prep's conf.set overrides builder values
       // at bench scale the mid-size dims (orders, customer, part) are
       // tens of MB — hash-joining them scan-side beats a shuffle; on a
       // real cluster AQE makes the same call from runtime sizes

@@ -39,13 +39,28 @@ object SparkEntry {
     // the 128 MB default a whole small-SF table is one split, so every
     // scan-fused kernel (signature scans, quantizer assignment, decode)
     // runs as ONE task while the other local cores idle — measured at sf1:
-    // a 15-min single-task stage behind 23 idle threads. Small splits +
-    // cheap file-open cost let the scheduler fan small files out; on a
-    // real cluster with >128 MB files these values still split every file
-    // across executors. Partitioning never changes results (aggregates are
+    // a 15-min single-task stage behind 23 idle threads, and a broadcast
+    // self-join downstream of a 1-split scan inherits the single partition
+    // for the whole pair-generation stage. The 128 MB default assumes scan
+    // cost ∝ bytes; the vector/signature kernels here cost ~100× more per
+    // byte than a plain scan over these narrow, well-compressed columns,
+    // so the split budget is scaled down by the same factor — this is
+    // compute-proportional sizing, not a local hack, and it holds on a
+    // cluster (1 MB of embedding bytes carries the kernel work of ~100 MB
+    // of plain scan). Partitioning never changes results (aggregates are
     // exact-integer or order-pinned — the correctness gate's invariant).
-    spark.conf.set("spark.sql.files.maxPartitionBytes", (16L * 1024 * 1024).toString)
-    spark.conf.set("spark.sql.files.openCostInBytes", (64L * 1024).toString)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (1L * 1024 * 1024).toString)
+    spark.conf.set("spark.sql.files.openCostInBytes", (32L * 1024).toString)
+    // Same bytes-vs-compute mismatch on the SHUFFLE side: AQE's partition
+    // coalescing floors at minPartitionSize (1 MB default), so a barrier
+    // repartition carrying only (id, sig) keys — a few hundred KB at test
+    // scale — coalesces back to ONE partition, and the band explode +
+    // pair-generation join downstream of it inherit the single partition
+    // (observed: a 24-thread session running d07's whole candidate stage
+    // on one core). Kernel-heavy narrow rows deserve a floor ~32× lower;
+    // genuinely large shuffles are untouched (coalescing still targets
+    // bytes/parallelism first and never splits beyond the initial count).
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", (32L * 1024).toString)
     spark
   }
 

@@ -24,7 +24,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), not coalesce(1): coalesce collapses every narrow
+      // stage upstream into the single write task (a scan→join→explode
+      // query with no shuffle then runs on ONE core); repartition inserts
+      // an exchange so the query computes parallel and only the small
+      // result funnels into the one-file write
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
