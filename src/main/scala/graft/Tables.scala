@@ -18,19 +18,34 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS); Spark 4 only reads it as a
-      // long (epoch nanos) behind this flag. Set lazily so callers with a
-      // driver-owned session still work.
+      // Older testdata generations write events.ts as parquet
+      // TIMESTAMP(NANOS); Spark 4 only reads that behind this flag (as an
+      // epoch-nanos long). Newer generations write TIMESTAMP(MICROS), which
+      // reads natively as TIMESTAMP_NTZ. Set lazily so callers with a
+      // driver-owned session still work; `events` below normalizes both.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
   /** events with `ts_us` (epoch microseconds) added — the cross-engine-safe
-    * timestamp representation (DuckDB oracle uses epoch_us(ts)).
+    * timestamp representation (DuckDB oracle uses epoch_us(ts), which yields
+    * the same micros for both physical encodings).
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "events")
+    val tsUs = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000") // epoch nanos
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ→LTZ cast interprets the wall time in the session timezone;
+        // naive micros == UTC micros only under UTC, so pin it here rather
+        // than trust the caller's session config.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        unix_micros(col("ts").cast("timestamp"))
+      case _ => unix_micros(col("ts"))
+    }
+    df.withColumn("ts_us", tsUs)
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
