@@ -27,6 +27,7 @@ object Bench {
     "q47_gap_fill", "q48_revenue_forecast", "q49_promo_share", "q50_rolling_active",
     "q51_triangles", "q52_pagerank", "q53_small_order_revenue", "q54_large_orders",
     "q55_disjunctive_revenue", "q56_top_supplier", "q58_event_pivot", "q59_cube_volume",
+    "q60_sole_shipper",
     // s04 re-runs d06's whole candidate+closure pipeline (already benched
     // via d06); m04/m05 are constant-size generators, not SF-scaled —
     // benching them would measure nothing about the data path
@@ -42,7 +43,7 @@ object Bench {
     "t01_langid", "t02_quality", "t03_tokens", "t04_fingerprint", "t05_normalize",
     "t06_stratified_sample", "t07_cap_per_source", "t08_contamination", "t09_repetition",
     "t10_pii_redact", "t11_curation", "t12_sequence_pack", "t13_url_domains",
-    "t14_mixture_sample", "t15_chunk_plan", "t16_vocab_top")
+    "t14_mixture_sample", "t15_chunk_plan", "t16_vocab_top", "t17_bloom_contamination")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

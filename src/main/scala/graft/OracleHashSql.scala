@@ -244,4 +244,37 @@ object OracleHashSql {
        |  SELECT doc_id, CAST(count(DISTINCT w) AS BIGINT) AS n_fp, min(w) AS fp_min
        |  FROM wins GROUP BY doc_id)
        |SELECT * FROM small UNION ALL SELECT * FROM big""".stripMargin
+
+  /** t17: exact-integer Bloom contamination (m = 2^16 bits, 4
+    * Kirsch–Mitzenmacher probes from the hash's unsigned 32-bit halves:
+    * p_i = (lo + i·hi) mod m). The filter IS the distinct set of eval
+    * probe positions, so membership — including every false positive —
+    * re-derives exactly; 5-token shingles and the splitmix64 hash are the
+    * d02/t08 pipeline verbatim.
+    */
+  def t17Sql: String =
+    s"""WITH $toks,
+       |sh AS (
+       |  SELECT doc_id, CASE WHEN len(tk) <= 5 THEN [array_to_string(tk, ' ')]
+       |         ELSE list_transform(range(1, len(tk) - 3), i -> array_to_string(tk[i:i+4], ' ')) END AS shs
+       |  FROM toks),
+       |g AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+       |h AS (SELECT doc_id, ${poly("s")} AS h0 FROM g),
+       |${mixCtes("h", Seq("doc_id"))},
+       |hset AS (SELECT DISTINCT doc_id, hu FROM m4),
+       |parts AS (
+       |  SELECT doc_id, hu, (hu % 4294967296) AS lo, (hu // 4294967296) AS hi
+       |  FROM hset),
+       |evp AS (
+       |  SELECT DISTINCT ((lo + i.i * hi) % 65536) AS p
+       |  FROM parts, (SELECT unnest(range(0, 4)) AS i) i
+       |  WHERE doc_id < 20),
+       |flag AS (
+       |  SELECT doc_id, hu FROM parts
+       |  WHERE doc_id >= 20
+       |    AND ((lo + 0 * hi) % 65536) IN (SELECT p FROM evp)
+       |    AND ((lo + 1 * hi) % 65536) IN (SELECT p FROM evp)
+       |    AND ((lo + 2 * hi) % 65536) IN (SELECT p FROM evp)
+       |    AND ((lo + 3 * hi) % 65536) IN (SELECT p FROM evp))
+       |SELECT doc_id, count(*) AS n_flagged FROM flag GROUP BY doc_id""".stripMargin
 }

@@ -35,21 +35,25 @@ object SparkEntry {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    // Parquet SPLIT sizing, not row groups, decides scan parallelism: with
-    // the 128 MB default a whole small-SF table is one split, so every
-    // scan-fused kernel (signature scans, quantizer assignment, decode)
-    // runs as ONE task while the other local cores idle — measured at sf1:
-    // a 15-min single-task stage behind 23 idle threads, and a broadcast
-    // self-join downstream of a 1-split scan inherits the single partition
-    // for the whole pair-generation stage. The 128 MB default assumes scan
-    // cost ∝ bytes; the vector/signature kernels here cost ~100× more per
-    // byte than a plain scan over these narrow, well-compressed columns,
-    // so the split budget is scaled down by the same factor — this is
-    // compute-proportional sizing, not a local hack, and it holds on a
-    // cluster (1 MB of embedding bytes carries the kernel work of ~100 MB
-    // of plain scan). Partitioning never changes results (aggregates are
-    // exact-integer or order-pinned — the correctness gate's invariant).
-    spark.conf.set("spark.sql.files.maxPartitionBytes", (1L * 1024 * 1024).toString)
+    // Parquet scan parallelism is bounded by ROW-GROUP granularity, not
+    // split sizing: a split only does work if a row group's midpoint falls
+    // inside it, so sub-row-group splits are empty tasks. The round-6 1 MB
+    // compute-proportional split tuning (kernels cost ~100× more per byte
+    // than plain scans, so kernel scans deserve ~100× smaller splits — the
+    // measured sf1 symptom was a 15-min single-task kernel stage behind 23
+    // idle threads) was calibrated against multi-row-group testdata; the
+    // round-7 regenerated testdata is ONE row group per file, where 1 MB
+    // splits parallelize nothing and add 10–30 empty tasks per scan —
+    // measured: a uniform 1.3–1.9× slowdown on the fact-join family,
+    // reverted by restoring the 128 MB default (A/B'd at 1/4/16/128 MB).
+    // The knob remains for many-row-group layouts — the sf1 scale set
+    // (32 row groups/table, tools/gen_scale.py) and real export
+    // directories — where SPARK_GRAFT_SPLIT_MB=4 re-enables
+    // compute-proportional splits and the kernel-parallelism win is real.
+    // Partitioning never changes results (aggregates are exact-integer or
+    // order-pinned — the correctness gate's invariant).
+    val splitMb = sys.env.getOrElse("SPARK_GRAFT_SPLIT_MB", "128").toLong
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (splitMb * 1024 * 1024).toString)
     spark.conf.set("spark.sql.files.openCostInBytes", (32L * 1024).toString)
     // Same bytes-vs-compute mismatch on the SHUFFLE side: AQE's partition
     // coalescing floors at minPartitionSize (1 MB default), so a barrier
@@ -1425,6 +1429,58 @@ object SparkEntry {
           org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).as("p"))
         .groupBy(pmod(col("p.k"), lit(10)).as("k_bucket"))
         .agg(count(lit(1)).as("n"))
+    },
+    "t17_bloom_contamination" -> q { (s, dir) =>
+      // t08's contamination screen with the broadcast made CONSTANT-SIZE:
+      // the eval set folds into a 2^16-bit exact-integer Bloom filter
+      // (mBits/64 = 1024 longs) instead of broadcasting its distinct
+      // shingle hashes — at 100 TB an eval suite's shingle set can be GBs,
+      // the filter stays KB-sized at any eval size (sized up by powers of
+      // two as needed). Probe positions are a pure integer function of the
+      // d02 shingle hash (Kirsch–Mitzenmacher double hashing), so the
+      // flagged set INCLUDING false positives is engine-exact — the oracle
+      // re-derives every bit. Corpus side: pure scan + broadcast word join
+      // + bounded per-doc agg; the corpus never shuffles.
+      import graft.expressions.HashExprs
+      val k = 5
+      val mBits = 1 << 16
+      val docs = Tables.documents(s, dir)
+      val evalHashes = docs.where(col("doc_id") < 20)
+        .select(explode(HashExprs.tokenShingleHashes(col("text"), k)).as("h"))
+      val corpus = docs.where(col("doc_id") >= 20)
+        .select(col("doc_id"), explode(HashExprs.tokenShingleHashes(col("text"), k)).as("h"))
+      Bloom.probeCount(corpus, Bloom.buildWords(evalHashes, mBits), "doc_id", mBits)
+    },
+    "q60_sole_shipper" -> q { (s, dir) =>
+      // TPC-H Q21's shape — the multi-supplier EXISTS / sole-failer
+      // NOT-EXISTS chain — mapped onto the testdata's dates: in every
+      // order drawing on ≥2 suppliers, find the supplier that was the
+      // SOLE latest shipper (its max ship date strictly beat every other
+      // supplier's), then rank suppliers by how often they held the order
+      // up. Q21's two correlated subqueries become two window frames over
+      // ONE hash partitioning: lineitem pre-aggregates to per-(order,
+      // supplier) maxima — the repartition(l_orderkey) ahead of it
+      // satisfies the groupBy's clustering AND both windows', so the
+      // whole chain runs on a single exchange (plan-asserted); the final
+      // per-supplier count is a bounded TakeOrdered top-20, never a
+      // global sort.
+      val perSup = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"))
+        .repartition(col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("ship_ms")).as("s_mx"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      perSup
+        .withColumn("mx", max(col("s_mx")).over(w))
+        .withColumn("nsup", count(lit(1)).over(w))
+        .where(col("nsup") >= 2 && col("s_mx") === col("mx"))
+        .withColumn("n_at_max", count(lit(1)).over(w))
+        .where(col("n_at_max") === 1)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("l_suppkey").asc)
+        .limit(20)
     })
 
   // --------------------------------------------------------------------------
@@ -2689,6 +2745,23 @@ object SparkEntry {
     // are integer-arithmetic-derived (Multimodal.syntheticMedia) so the
     // oracle recomputes them exactly. Scale math mirrors the Spark
     // expression order (least(256/max, 1.0), then round half-up).
+    "t17_bloom_contamination" -> OracleHashSql.t17Sql,
+    "q60_sole_shipper" ->
+      """WITH ps AS (
+        |  SELECT l_orderkey, l_suppkey, max(epoch_ms(l_shipdate)) AS s_mx
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT l_orderkey, l_suppkey, s_mx,
+        |         max(s_mx) OVER (PARTITION BY l_orderkey) AS mx,
+        |         count(*) OVER (PARTITION BY l_orderkey) AS nsup
+        |  FROM ps),
+        |am AS (
+        |  SELECT l_suppkey,
+        |         count(*) OVER (PARTITION BY l_orderkey) AS n_at_max
+        |  FROM m WHERE nsup >= 2 AND s_mx = mx),
+        |c AS (
+        |  SELECT l_suppkey, count(*) AS n_orders FROM am WHERE n_at_max = 1 GROUP BY 1)
+        |SELECT l_suppkey, n_orders FROM c ORDER BY n_orders DESC, l_suppkey LIMIT 20""".stripMargin,
     "m03_resize_plan" ->
       """WITH m AS (
         |  SELECT CAST(doc_id AS BIGINT) AS media_id,

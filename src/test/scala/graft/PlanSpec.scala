@@ -347,6 +347,25 @@ class PlanSpec extends SparkSpec {
       "checkpointed rev not read as materialized RDD:\n" + p)
   }
 
+  test("t17: bloom probe joins broadcast filter words, corpus never shuffle-joins") {
+    val p = plan("t17_bloom_contamination")
+    assert(p.contains("BroadcastHashJoin"), "filter words must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "corpus side must never shuffle for the word join:\n" + p)
+  }
+
+  test("q60: the per-order chain runs on one exchange (agg + both windows reuse it)") {
+    val p = plan("q60_sole_shipper")
+    // expected shuffles: the explicit repartition(l_orderkey) and the final
+    // per-supplier count — the groupBy(orderkey, suppkey) and BOTH window
+    // frames must ride the first one (hashpartitioning(l_orderkey) satisfies
+    // their clustering), adding none of their own
+    val finalPlan = p.split("== Initial Plan ==")(0) // AQE echoes the pre-AQE plan below
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(shuffles <= 2, s"per-order chain re-shuffles ($shuffles exchanges):\n" + p)
+    assert(p.contains("TakeOrdered"), "top-20 must be TakeOrdered, not a global sort:\n" + p)
+  }
+
   test("d02: signature computed before the exchange, bands join on hash") {
     val df = SparkEntry.queries("d02_dedup_minhash")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
