@@ -39,6 +39,7 @@ object Bench {
     "d10_passage_dedup", "d11_semantic_dedup",
     "s01_ann_brute", "s02_ann_lsh", "s03_ann_ivf", "s05_range_search", "s06_quantize",
     "s07_mmr_diversify", "s08_pq_encode", "s09_adc_search", "s10_ivfpq", "s11_kmeans_train",
+    "s12_ann_ivf_trained",
     "m01_multimodal", "m02_frame_sample", "m03_resize_plan", "m06_frame_phash",
     "t01_langid", "t02_quality", "t03_tokens", "t04_fingerprint", "t05_normalize",
     "t06_stratified_sample", "t07_cap_per_source", "t08_contamination", "t09_repetition",

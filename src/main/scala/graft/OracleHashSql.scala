@@ -217,6 +217,78 @@ object OracleHashSql {
        |  FROM probes p JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.q_id),
        |${topKRerank(5)}""".stripMargin
 
+  /** s12: IVF search with the TRAINED coarse quantizer — s11's three
+    * exact-integer Lloyd rounds re-derived inline (CTEs kc..cfin, the s11
+    * oracle verbatim with its `cells` renamed), centroids converted to
+    * float exactly as `kmeansCentroidVectors` does (double quotient then
+    * round-to-float), then the s03 probe/rerank chain over those centroids.
+    * One oracle proving model TRAINING and model CONSUMPTION agree
+    * end-to-end.
+    */
+  def s12Sql: String =
+    s"""WITH kc AS (
+       |  SELECT vec_id, CAST(i AS BIGINT) AS dim,
+       |         CAST(round(CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) * 1000000) AS BIGINT) AS x6
+       |  FROM embeddings, range(0, 64) t(i)),
+       |ids AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ci
+       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+       |c0 AS (SELECT i.ci, c.dim, c.x6 AS c6 FROM ids i JOIN kc c USING (vec_id)),
+       |dist1 AS (
+       |  SELECT c.vec_id, k.ci, CAST(sum((c.x6 - k.c6)*(c.x6 - k.c6)) AS BIGINT) AS d2
+       |  FROM kc c JOIN c0 k ON c.dim = k.dim GROUP BY 1, 2),
+       |asg1 AS (
+       |  SELECT vec_id, ci
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, ci ASC) AS rn FROM dist1)
+       |  WHERE rn = 1),
+       |upd1 AS (
+       |  SELECT a.ci, c.dim, CAST(sum(c.x6) AS BIGINT) // count(*) AS c6n
+       |  FROM asg1 a JOIN kc c USING (vec_id) GROUP BY 1, 2),
+       |c1 AS (SELECT p.ci, p.dim, coalesce(u.c6n, p.c6) AS c6
+       |       FROM c0 p LEFT JOIN upd1 u ON p.ci = u.ci AND p.dim = u.dim),
+       |dist2 AS (
+       |  SELECT c.vec_id, k.ci, CAST(sum((c.x6 - k.c6)*(c.x6 - k.c6)) AS BIGINT) AS d2
+       |  FROM kc c JOIN c1 k ON c.dim = k.dim GROUP BY 1, 2),
+       |asg2 AS (
+       |  SELECT vec_id, ci
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, ci ASC) AS rn FROM dist2)
+       |  WHERE rn = 1),
+       |upd2 AS (
+       |  SELECT a.ci, c.dim, CAST(sum(c.x6) AS BIGINT) // count(*) AS c6n
+       |  FROM asg2 a JOIN kc c USING (vec_id) GROUP BY 1, 2),
+       |c2 AS (SELECT p.ci, p.dim, coalesce(u.c6n, p.c6) AS c6
+       |       FROM c1 p LEFT JOIN upd2 u ON p.ci = u.ci AND p.dim = u.dim),
+       |dist3 AS (
+       |  SELECT c.vec_id, k.ci, CAST(sum((c.x6 - k.c6)*(c.x6 - k.c6)) AS BIGINT) AS d2
+       |  FROM kc c JOIN c2 k ON c.dim = k.dim GROUP BY 1, 2),
+       |asg3 AS (
+       |  SELECT vec_id, ci
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, ci ASC) AS rn FROM dist3)
+       |  WHERE rn = 1),
+       |upd3 AS (
+       |  SELECT a.ci, c.dim, CAST(sum(c.x6) AS BIGINT) // count(*) AS c6n
+       |  FROM asg3 a JOIN kc c USING (vec_id) GROUP BY 1, 2),
+       |cfin AS (SELECT p.ci, p.dim, coalesce(u.c6n, p.c6) AS c6
+       |         FROM c2 p LEFT JOIN upd3 u ON p.ci = u.ci AND p.dim = u.dim),
+       |cents AS (
+       |  SELECT ci, list(CAST(CAST(c6 AS DOUBLE) / 1000000.0 AS REAL) ORDER BY dim) AS cv
+       |  FROM cfin GROUP BY ci),
+       |cscore AS (
+       |  SELECT e.vec_id, c.ci, ${cosSql("e.embedding", "c.cv")} AS cos FROM embeddings e, cents c),
+       |cells AS (
+       |  SELECT vec_id, ci AS cell
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ci DESC) AS rn FROM cscore)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, ci AS cell
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ci DESC) AS rn
+       |        FROM cscore WHERE vec_id < 8)
+       |  WHERE rn <= 4),
+       |cand AS (
+       |  SELECT p.q_id, ce.vec_id AS neighbor_id
+       |  FROM probes p JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.q_id),
+       |${topKRerank(5)}""".stripMargin
+
   /** t04: char-8-gram winnowing (window 4). `n_fp`/`fp_min` are
     * order-independent views of the fingerprint set (count-distinct and
     * min of the window minima), so the first-occurrence ordering the

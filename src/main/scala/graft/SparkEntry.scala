@@ -548,6 +548,21 @@ object SparkEntry {
       Similarity.kmeansTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
         dim = 64, k = 8, iters = 3)
     },
+    "s12_ann_ivf_trained" -> q { (s, dir) =>
+      // the s11-trained quantizer actually CONSUMED: three exact-integer
+      // Lloyd rounds fit the 8 coarse centroids, then the s03 IVF search
+      // probes 4 of those trained cells per query. Training and serving
+      // verify in ONE oracle (s11's unrolled iterations composed with
+      // s03's probe/rerank), closing the lowest-id stand-in seam
+      // end-to-end: the model that assigns cells is the model the search
+      // trusts. The train phase's driver traffic is k×dim centroid ints
+      // per round (a bounded model read, never data).
+      val emb = Tables.embeddings(s, dir)
+      val trained = Similarity.kmeansCentroidVectors(emb, "vec_id", "embedding",
+        dim = 64, k = 8, iters = 3)
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nCentroids = 8, nProbe = 4, trained = Some(trained))
+    },
     "s10_ivfpq" -> q { (s, dir) =>
       // IVF-PQ: s03's coarse quantizer composed in front of s09's ADC
       // scoring — queries probe their 4 nearest of 16 cells and ADC-score
@@ -2746,6 +2761,7 @@ object SparkEntry {
     // oracle recomputes them exactly. Scale math mirrors the Spark
     // expression order (least(256/max, 1.0), then round half-up).
     "t17_bloom_contamination" -> OracleHashSql.t17Sql,
+    "s12_ann_ivf_trained" -> OracleHashSql.s12Sql,
     "q60_sole_shipper" ->
       """WITH ps AS (
         |  SELECT l_orderkey, l_suppkey, max(epoch_ms(l_shipdate)) AS s_mx
