@@ -27,7 +27,7 @@ object Bench {
     "q47_gap_fill", "q48_revenue_forecast", "q49_promo_share", "q50_rolling_active",
     "q51_triangles", "q52_pagerank", "q53_small_order_revenue", "q54_large_orders",
     "q55_disjunctive_revenue", "q56_top_supplier", "q58_event_pivot", "q59_cube_volume",
-    "q60_sole_shipper",
+    "q60_sole_shipper", "q61_part_variety",
     // s04 re-runs d06's whole candidate+closure pipeline (already benched
     // via d06); m04/m05 are constant-size generators, not SF-scaled —
     // benching them would measure nothing about the data path

@@ -1466,6 +1466,26 @@ object SparkEntry {
         .select(col("doc_id"), explode(HashExprs.tokenShingleHashes(col("text"), k)).as("h"))
       Bloom.probeCount(corpus, Bloom.buildWords(evalHashes, mBits), "doc_id", mBits)
     },
+    "q61_part_variety" -> q { (s, dir) =>
+      // TPC-H Q16 shape — supplier variety per part attribute, excluding
+      // flagged suppliers (Q16's NOT IN complaint subquery → broadcast
+      // left-anti join). Dedup-first: lineitem reduces to DISTINCT
+      // (partkey, suppkey) pairs with map-side partial distinct BEFORE any
+      // join, so the join input is |catalog pairs|, not |lineitems|; both
+      // dims broadcast; the final count-distinct groups are bounded by
+      // |brands|×|sizes|.
+      val pairs = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val excl = Tables.supplier(s, dir)
+        .where(col("s_acctbal") < 0).select(col("s_suppkey"))
+      pairs
+        .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size").cast("long").as("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
     "q60_sole_shipper" -> q { (s, dir) =>
       // TPC-H Q21's shape — the multi-supplier EXISTS / sole-failer
       // NOT-EXISTS chain — mapped onto the testdata's dates: in every
@@ -2762,6 +2782,15 @@ object SparkEntry {
     // expression order (least(256/max, 1.0), then round half-up).
     "t17_bloom_contamination" -> OracleHashSql.t17Sql,
     "s12_ann_ivf_trained" -> OracleHashSql.s12Sql,
+    "q61_part_variety" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |j AS (
+        |  SELECT p.p_brand, p.p_size, pr.l_suppkey
+        |  FROM pairs pr JOIN part p ON p.p_partkey = pr.l_partkey
+        |  WHERE pr.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM j GROUP BY 1, 2""".stripMargin,
     "q60_sole_shipper" ->
       """WITH ps AS (
         |  SELECT l_orderkey, l_suppkey, max(epoch_ms(l_shipdate)) AS s_mx

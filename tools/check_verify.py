@@ -1,9 +1,15 @@
 #!/usr/bin/env python3
 """Driver-style correctness compare: Spark parquet output vs DuckDB oracle."""
-import duckdb, json, sys, glob, os
+import duckdb, json, sys, glob, os, time
 
 sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
 outdir = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
+# optional 3rd arg: only=<csv> or skip=<csv> (dev iteration on big SFs)
+only = skip = None
+if len(sys.argv) > 3:
+    key, _, val = sys.argv[3].partition('=')
+    if key == 'only': only = set(val.split(','))
+    if key == 'skip': skip = set(val.split(','))
 
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
@@ -15,6 +21,10 @@ for name in sorted(os.listdir(outdir)):
     d = os.path.join(outdir, name)
     if not os.path.isdir(d):
         continue
+    if (only is not None and name not in only) or (skip is not None and name in skip):
+        continue
+    t0 = time.time()
+    print(f'{name}: ...', flush=True)
     files = glob.glob(f'{d}/*.parquet')
     if not files:
         print(f'{name}: NO OUTPUT')
@@ -54,7 +64,7 @@ for name in sorted(os.listdir(outdir)):
                 if not (av.fillna('@null@') == bv.fillna('@null@')).all():
                     eq = False; bad = c; break
         if eq:
-            print(f'{name}: OK ({len(a)} rows)')
+            print(f'{name}: OK ({len(a)} rows) [{time.time()-t0:.1f}s]', flush=True)
             ok += 1
         else:
             print(f'{name}: VALUE MISMATCH col={bad}')
