@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -71,6 +71,15 @@ object SparkEntry {
   private def q(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => fn(prep(s), dir)
 
+  /** Exact 1e-2-scaled integer of a 2-decimal monetary/rate double — the
+    * determinism rule (SURVEY §4): SUM integers, divide once at the end.
+    * A double sum's accumulation-order error is unbounded in row count;
+    * q16's revenue drifted past compare tolerance the first time a group
+    * reached ~230k rows (sf1), while the integer form is bit-identical at
+    * any scale, partitioning, or retry.
+    */
+  private def c2(c: Column): Column = round(c * lit(100)).cast("long")
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q13_region_revenue")(spark, "/root/testdata/sf0.001")
@@ -135,7 +144,7 @@ object SparkEntry {
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(
           count(col("o_orderkey")).as("n_orders"),
-          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spend"),
+          round(coalesce(sum(c2(col("o_totalprice"))), lit(0L)).cast("double") / lit(100.0), 2).as("total_spend"),
           coalesce(max(unix_millis(col("o_orderdate").cast("timestamp"))), lit(0L)).as("last_order_ms"))
     },
     "q09_graph_degree" -> q { (s, dir) =>
@@ -157,13 +166,13 @@ object SparkEntry {
         .where(to_date(col("l_shipdate")) <= lit("1998-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          round(sum(c2(col("l_quantity"))).cast("double") / lit(100.0), 2).as("sum_qty"),
+          round(sum(c2(col("l_extendedprice"))).cast("double") / lit(100.0), 2).as("sum_base_price"),
+          round(sum(c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount")))).cast("double") / lit(10000.0), 2).as("sum_disc_price"),
+          round(sum(c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount"))) * (lit(100L) + c2(col("l_tax")))).cast("double") / lit(1000000.0), 2).as("sum_charge"),
+          round(sum(c2(col("l_quantity"))).cast("double") / lit(100.0) / count(lit(1)).cast("double"), 4).as("avg_qty"),
+          round(sum(c2(col("l_extendedprice"))).cast("double") / lit(100.0) / count(lit(1)).cast("double"), 4).as("avg_price"),
+          round(sum(c2(col("l_discount"))).cast("double") / lit(100.0) / count(lit(1)).cast("double"), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
     },
     "q13_region_revenue" -> q { (s, dir) =>
@@ -178,7 +187,7 @@ object SparkEntry {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          round(sum(c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount")))).cast("double") / lit(10000.0), 2).as("revenue"),
           count(lit(1)).as("n_items"))
     },
     "q14_top_customers" -> q { (s, dir) =>
@@ -202,10 +211,13 @@ object SparkEntry {
     "q11_salted_agg" -> q { (s, dir) =>
       // hot-key-safe two-stage aggregation (Skew.saltedSumCount); result is
       // identical to a plain groupBy — the oracle proves exactly that
+      // value pre-scaled to exact 1e-2 integers so the two salted stages sum
+      // longs — a double would accumulate differently per salt bucket count
       Skew.saltedSumCount(
-        Tables.events(s, dir), Seq("event_type"), "value",
+        Tables.events(s, dir).withColumn("v2", c2(col("value"))), Seq("event_type"), "v2",
         buckets = 8, saltSource = Seq("event_id"))
-        .select(col("event_type"), col("n_rows"), round(col("sum_value"), 2).as("sum_value"))
+        .select(col("event_type"), col("n_rows"),
+          round(col("sum_v2").cast("double") / lit(100.0), 2).as("sum_value"))
     },
     "q29_salted_join" -> q { (s, dir) =>
       // skew-safe fact×dim join (hot suppliers spread over 8 reducers per
@@ -216,7 +228,8 @@ object SparkEntry {
         Tables.lineitem(s, dir).select(col("l_suppkey"), col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
         dim, "l_suppkey", buckets = 8, saltSource = Seq("l_orderkey", "l_linenumber"))
         .groupBy(col("s_name"))
-        .agg(count(lit(1)).as("n_items"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(c2(col("l_extendedprice"))).cast("double") / lit(100.0), 2).as("sum_price"))
     },
     "q16_brand_volume" -> q { (s, dir) =>
       val li = Tables.lineitem(s, dir)
@@ -224,15 +237,16 @@ object SparkEntry {
       li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          round(sum(c2(col("l_quantity"))).cast("double") / lit(100.0), 2).as("sum_qty"),
+          round(sum(c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount")))).cast("double") / lit(10000.0), 2).as("revenue"),
           count(lit(1)).as("n_items"))
     },
     "q17_priority_counts" -> q { (s, dir) =>
       Tables.orders(s, dir)
         .where(unix_millis(col("o_orderdate").cast("timestamp")).between(788918400000L, 796694399999L))
         .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_orders"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(c2(col("o_totalprice"))).cast("double") / lit(100.0) / count(lit(1)).cast("double"), 2).as("avg_price"))
     },
     "q18_nation_rollup" -> q { (s, dir) =>
       val c = Tables.customer(s, dir)
@@ -241,7 +255,8 @@ object SparkEntry {
       c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(c2(col("c_acctbal"))).cast("double") / lit(100.0), 2).as("sum_acctbal"))
         .select(
           coalesce(col("r_name"), lit("(all)")).as("r_name"),
           coalesce(col("n_name"), lit("(all)")).as("n_name"),
@@ -330,7 +345,8 @@ object SparkEntry {
         .toDF("band_id", "lo", "hi")
       TemporalJoins.rangeJoin(Tables.events(s, dir), ranges, "value", "lo", "hi")
         .groupBy(col("band_id"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(c2(col("value"))).cast("double") / lit(100.0), 2).as("sum_value"))
     },
     "q24_scd2_intervals" -> q { (s, dir) =>
       // SCD2 history: every event version with its validity window
@@ -438,7 +454,8 @@ object SparkEntry {
     "q23_tumbling_daily" -> q { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(expr("ts_us div 86400000000").as("day_idx"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(c2(col("value"))).cast("double") / lit(100.0), 2).as("sum_value"))
     },
 
     // --- training-data pipeline ---------------------------------------------
@@ -607,14 +624,18 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
       val li = Tables.lineitem(s, dir)
         .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
-        .select(col("l_orderkey"), (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .select(col("l_orderkey"),
+          (c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount")))).as("rev4"))
       li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(round(sum(col("rev")), 2).as("revenue"))
-        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .agg(sum(col("rev4")).as("rev4i"))
+        // rank on the exact integer so the top-10 cutoff can't be decided
+        // by double rounding
+        .orderBy(col("rev4i").desc, col("o_orderkey").asc)
         .limit(10)
-        .select(col("o_orderkey"), col("o_orderdate").cast("date").cast("string").as("o_date"), col("revenue"))
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").cast("string").as("o_date"),
+          round(col("rev4i").cast("double") / lit(10000.0), 2).as("revenue"))
     },
     "q34_nation_trade" -> q { (s, dir) =>
       // TPC-H Q7 shape: bidirectional trade volume between a nation pair by
@@ -695,7 +716,11 @@ object SparkEntry {
       // incremental rollup maintenance: three slice folds must equal the
       // from-scratch aggregate (the oracle) — the no-rescan nightly-rollup
       // path at 100 TB
-      val ev = Tables.events(s, dir).select(col("event_type"), col("value"), col("ts_us"))
+      // the folded state carries exact 1e-2-scaled integer sums: a double
+      // state would drift with the FOLD ORDER on top of row order — the one
+      // aggregate here that must be re-mergeable forever
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), c2(col("value")).as("v2"), col("ts_us"))
       val mid = CutUs - 86400000000L
       val slices = Seq(
         ev.where(col("ts_us") < mid),
@@ -704,10 +729,11 @@ object SparkEntry {
       val empty = s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
-          "event_type STRING, n_rows BIGINT, sum_value DOUBLE"))
+          "event_type STRING, n_rows BIGINT, sum_v2 BIGINT"))
       val folded = slices.foldLeft(empty)((st, sl) =>
-        MergeOps.foldAggState(st, sl, Seq("event_type"), Seq("value")))
-      folded.select(col("event_type"), col("n_rows"), round(col("sum_value"), 2).as("sum_value"))
+        MergeOps.foldAggState(st, sl, Seq("event_type"), Seq("v2")))
+      folded.select(col("event_type"), col("n_rows"),
+        round(col("sum_v2").cast("double") / lit(100.0), 2).as("sum_value"))
     },
     "d06_dedup_clusters" -> q { (s, dir) =>
       // pairs → transitive near-dup clusters: the decision step of a dedup
@@ -1599,7 +1625,7 @@ object SparkEntry {
         |GROUP BY c.event_type""".stripMargin,
     "q08_profiles_view" ->
       """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
-        |       round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend,
+        |       round(CAST(coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT)), 0) AS DOUBLE) / 100.0, 2) AS total_spend,
         |       coalesce(max(epoch_ms(o_orderdate)), 0) AS last_order_ms
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_name""".stripMargin,
@@ -1612,20 +1638,27 @@ object SparkEntry {
         |       max(epoch_us(ts)) AS last_ts_us, count(*) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q12_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        |       round(avg(l_quantity), 4) AS avg_qty,
-        |       round(avg(l_extendedprice), 4) AS avg_price,
-        |       round(avg(l_discount), 4) AS avg_disc,
+      """WITH s AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(round(l_quantity*100) AS BIGINT) AS q2,
+        |         CAST(round(l_extendedprice*100) AS BIGINT) AS p2,
+        |         CAST(round(l_discount*100) AS BIGINT) AS d2,
+        |         CAST(round(l_tax*100) AS BIGINT) AS t2
+        |  FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02')
+        |SELECT l_returnflag, l_linestatus,
+        |       round(CAST(sum(q2) AS DOUBLE) / 100.0, 2) AS sum_qty,
+        |       round(CAST(sum(p2) AS DOUBLE) / 100.0, 2) AS sum_base_price,
+        |       round(CAST(sum(p2 * (100 - d2)) AS DOUBLE) / 10000.0, 2) AS sum_disc_price,
+        |       round(CAST(sum(p2 * (100 - d2) * (100 + t2)) AS DOUBLE) / 1000000.0, 2) AS sum_charge,
+        |       round(CAST(sum(q2) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE), 4) AS avg_qty,
+        |       round(CAST(sum(p2) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE), 4) AS avg_price,
+        |       round(CAST(sum(d2) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE), 4) AS avg_disc,
         |       count(*) AS count_order
-        |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+        |FROM s GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q13_region_revenue" ->
       """SELECT r_name, n_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |                     * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0, 2) AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -1649,27 +1682,32 @@ object SparkEntry {
         |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM g GROUP BY user_id""".stripMargin,
     "q11_salted_agg" ->
-      """SELECT event_type, count(*) AS n_rows, round(sum(value), 2) AS sum_value
+      """SELECT event_type, count(*) AS n_rows,
+        |       round(CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
     "q29_salted_join" ->
-      """SELECT s_name, count(*) AS n_items, round(sum(l_extendedprice), 2) AS sum_price
+      """SELECT s_name, count(*) AS n_items,
+        |       round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_price
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name""".stripMargin,
     "q16_brand_volume" ->
       """SELECT p_brand,
-        |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       round(CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_qty,
+        |       round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |                     * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0, 2) AS revenue,
         |       count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
     "q17_priority_counts" ->
-      """SELECT o_orderpriority, count(*) AS n_orders, round(avg(o_totalprice), 2) AS avg_price
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       round(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE), 2) AS avg_price
         |FROM orders
         |WHERE epoch_ms(o_orderdate) BETWEEN 788918400000 AND 796694399999
         |GROUP BY o_orderpriority""".stripMargin,
     "q18_nation_rollup" ->
       """SELECT coalesce(r_name, '(all)') AS r_name, coalesce(n_name, '(all)') AS n_name,
-        |       count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+        |       count(*) AS n_customers,
+        |       round(CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -2071,19 +2109,24 @@ object SparkEntry {
         |SELECT a, b, round(dot/(sqrt(na)*sqrt(nb)), 4) AS cos
         |FROM p WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.35""".stripMargin,
     "q30_incremental_agg" ->
-      """SELECT event_type, count(*) AS n_rows, round(sum(value), 2) AS sum_value
+      """SELECT event_type, count(*) AS n_rows,
+        |       round(CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
     "q32_ship_priority" ->
       """SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND o_orderdate < TIMESTAMP '1998-01-01'
-        |  AND l_shipdate > TIMESTAMP '1998-01-01'
-        |GROUP BY o_orderkey, o_orderdate
-        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+        |  round(CAST(rev4i AS DOUBLE) / 10000.0, 2) AS revenue
+        |FROM (
+        |  SELECT o_orderkey, o_orderdate,
+        |         sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |             * (100 - CAST(round(l_discount*100) AS BIGINT))) AS rev4i
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND l_shipdate > TIMESTAMP '1998-01-01'
+        |  GROUP BY o_orderkey, o_orderdate
+        |  ORDER BY rev4i DESC, o_orderkey ASC LIMIT 10)""".stripMargin,
     "q34_nation_trade" ->
       """SELECT supp_nation, cust_nation, l_year,
         |       CAST(sum(vol4) AS DOUBLE) / 10000.0 AS revenue, count(*) AS n_items
@@ -2119,7 +2162,8 @@ object SparkEntry {
       """SELECT count(*) AS n_rows,
         |  count(user_id) AS nn_user_id, count(DISTINCT user_id) AS nd_user_id,
         |  count(event_type) AS nn_event_type, count(DISTINCT event_type) AS nd_event_type,
-        |  min(value) AS min_value, max(value) AS max_value, round(sum(value), 2) AS sum_value
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  round(CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value
         |FROM events""".stripMargin,
     // transitive closure of the d05 pair graph via recursive CTE: min id
     // reachable = component's canonical id (same label-propagation fixpoint
@@ -2635,14 +2679,16 @@ object SparkEntry {
         |SELECT p.o_orderkey, p.uid, p.t_us, b.event_id AS asof_event_id, b.value AS asof_value
         |FROM p ASOF LEFT JOIN b ON p.uid = b.uid AND b.ts_us <= p.t_us""".stripMargin,
     "q22_range_join" ->
-      """SELECT CAST(band_id AS BIGINT) AS band_id, count(*) AS n, round(sum(value), 2) AS sum_value
+      """SELECT CAST(band_id AS BIGINT) AS band_id, count(*) AS n,
+        |       round(CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value
         |FROM events
         |JOIN (VALUES (0,0.0,50.0),(1,50.0,100.0),(2,100.0,150.0),(3,150.0,200.0),(4,200.0,1000000000.0))
         |  AS r(band_id, lo, hi)
         |ON value >= lo AND value < hi
         |GROUP BY band_id""".stripMargin,
     "q23_tumbling_daily" ->
-      """SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*) AS n, round(sum(value), 2) AS sum_value
+      """SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*) AS n,
+        |       round(CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
     "q24_scd2_intervals" ->
       """SELECT user_id, event_id, epoch_us(ts) AS valid_from,

@@ -26,7 +26,11 @@ object Profile {
           Seq(
             min(col(c)).as(s"min_$c"),
             max(col(c)).as(s"max_$c"),
-            round(sum(col(c)), 2).as(s"sum_$c")))
+            // numeric columns are 2-decimal by contract: sum exact scaled
+            // integers (a double sum drifts with accumulation order — the
+            // q16 sf1 lesson), divide once
+            round(sum(round(col(c) * lit(100)).cast("long")).cast("double") / lit(100.0), 2)
+              .as(s"sum_$c")))
     df.agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
 }
