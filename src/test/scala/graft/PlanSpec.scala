@@ -366,6 +366,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrdered"), "top-20 must be TakeOrdered, not a global sort:\n" + p)
   }
 
+  test("q61: catalog pairs dedup before broadcast joins; no fact shuffle join") {
+    val p = plan("q61_part_variety")
+    assert(p.contains("BroadcastHashJoin"), "part/supplier dims must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "the deduped pair set must join dims by broadcast, never shuffle:\n" + p)
+    // the distinct (partkey, suppkey) reduction must partially aggregate
+    // map-side before its exchange — the dedup-first rule
+    assert(p.contains("partial"), "no map-side partial distinct:\n" + p)
+  }
+
   test("d02: signature computed before the exchange, bands join on hash") {
     val df = SparkEntry.queries("d02_dedup_minhash")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
