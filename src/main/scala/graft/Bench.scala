@@ -27,7 +27,7 @@ object Bench {
     "q47_gap_fill", "q48_revenue_forecast", "q49_promo_share", "q50_rolling_active",
     "q51_triangles", "q52_pagerank", "q53_small_order_revenue", "q54_large_orders",
     "q55_disjunctive_revenue", "q56_top_supplier", "q58_event_pivot", "q59_cube_volume",
-    "q60_sole_shipper", "q61_part_variety",
+    "q60_sole_shipper", "q61_part_variety", "q62_shipmode_priority", "q63_kmv_distinct",
     // s04 re-runs d06's whole candidate+closure pipeline (already benched
     // via d06); m04/m05 are constant-size generators, not SF-scaled —
     // benching them would measure nothing about the data path
@@ -36,7 +36,7 @@ object Bench {
     // cartesian would grade the one plan shape the engine never ships
     "d01_dedup_exact", "d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
     "d06_dedup_clusters", "d07_embed_neardup_lsh", "d08_dedup_incremental", "d09_embed_delta",
-    "d10_passage_dedup", "d11_semantic_dedup",
+    "d10_passage_dedup", "d11_semantic_dedup", "d12_dedup_pipeline",
     "s01_ann_brute", "s02_ann_lsh", "s03_ann_ivf", "s05_range_search", "s06_quantize",
     "s07_mmr_diversify", "s08_pq_encode", "s09_adc_search", "s10_ivfpq", "s11_kmeans_train",
     "s12_ann_ivf_trained",
@@ -44,7 +44,8 @@ object Bench {
     "t01_langid", "t02_quality", "t03_tokens", "t04_fingerprint", "t05_normalize",
     "t06_stratified_sample", "t07_cap_per_source", "t08_contamination", "t09_repetition",
     "t10_pii_redact", "t11_curation", "t12_sequence_pack", "t13_url_domains",
-    "t14_mixture_sample", "t15_chunk_plan", "t16_vocab_top", "t17_bloom_contamination")
+    "t14_mixture_sample", "t15_chunk_plan", "t16_vocab_top", "t17_bloom_contamination",
+    "t18_gopher_rules")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -349,4 +349,34 @@ object OracleHashSql {
        |    AND ((lo + 2 * hi) % 65536) IN (SELECT p FROM evp)
        |    AND ((lo + 3 * hi) % 65536) IN (SELECT p FROM evp))
        |SELECT doc_id, count(*) AS n_flagged FROM flag GROUP BY doc_id""".stripMargin
+
+  /** q63: KMV distinct sketch — per event_type, the k smallest distinct
+    * splitmix64(user_id) hashes in UNSIGNED order, estimate = exact
+    * integer floor((k−1)·2⁶⁴ / kth). splitmix64 is a bijection on 64 bits,
+    * so distinct user_ids map to distinct hashes and the sketch state is a
+    * pure function of the user set — the SQL re-derivation proves the
+    * engine's TypedImperativeAggregate (buffer inserts, unsigned evictions,
+    * merge tree) lands on the identical k-minimum set.
+    */
+  def q63Sql: String = {
+    val k = 64
+    s"""WITH src AS (
+       |  SELECT event_type, ${u64("user_id")} AS h0
+       |  FROM (SELECT DISTINCT event_type, user_id FROM events)),
+       |${mixCtes("src", Seq("event_type"))},
+       |r AS (SELECT event_type, hu,
+       |             row_number() OVER (PARTITION BY event_type ORDER BY hu) AS rk,
+       |             count(*) OVER (PARTITION BY event_type) AS n
+       |      FROM m4),
+       |kk AS (SELECT event_type, max(CASE WHEN rk = $k THEN hu END) AS kth, max(n) AS n
+       |       FROM r GROUP BY 1),
+       |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users FROM events GROUP BY 1)
+       |SELECT kk.event_type,
+       |  CASE WHEN n >= $k
+       |       THEN CAST((${k - 1} * CAST(18446744073709551616 AS HUGEINT)) // greatest(kth, 1) AS BIGINT)
+       |       ELSE n END AS est_users,
+       |  CASE WHEN n >= $k THEN ${s64("kth")} ELSE NULL END AS kth_hash,
+       |  ex.exact_users
+       |FROM kk JOIN ex USING (event_type)""".stripMargin
+  }
 }

@@ -1542,6 +1542,108 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_orders").desc, col("l_suppkey").asc)
         .limit(20)
+    },
+    "q62_shipmode_priority" -> q { (s, dir) =>
+      // TPC-H Q12 shape — priority-class line counts per shipment category
+      // with predicates on BOTH join sides (Q12's commit/receipt date chain
+      // maps to the testdata's ship-vs-order lateness). The category +
+      // ship-window filters push to the lineitem scan (PushedFilters), the
+      // priority CASE-sums fold into ONE hash agg pass, and the only
+      // shuffle is the fact-fact orderkey join (orders broadcast at bench
+      // scale; AQE decides on a cluster). Lateness compares epoch MICROS —
+      // integer arithmetic, no calendar/timezone drift between engines.
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_returnflag").isin("A", "N") &&
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_returnflag"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ord_us"),
+          col("o_orderpriority"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .where(col("ship_us") >= col("ord_us") + lit(30L * 86400000000L))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+            .as("low_line_count"))
+    },
+    "q63_kmv_distinct" -> q { (s, dir) =>
+      // KMV distinct-count sketch (expressions/KmvSketch.scala): the
+      // mergeable cardinality estimator for 100 TB rollups. countDistinct
+      // shuffles every distinct key; the sketch state is O(k) per group,
+      // partial-aggregates map-side (ObjectHashAggregate merges partial
+      // buffers like percentile_approx), and month = merge(days) without
+      // re-touching keys. Sketch inputs are splitmix64 hashes (codegen,
+      // same constants as the shingle kernel) and the estimate is exact
+      // integer floor-div of the k-th smallest UNSIGNED hash — an
+      // approximate operator with a hash-exact oracle (the exact
+      // countDistinct rides along as the accuracy reference: at k=64 the
+      // estimator's relative error is ~1/√(k−2) ≈ 13%).
+      import graft.expressions.KmvSketch
+      Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"),
+          KmvSketch.splitmix64(col("user_id")).as("h"))
+        .groupBy(col("event_type"))
+        .agg(
+          KmvSketch.kmvDistinct(col("h"), 64).as("kmv"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("kmv.est").as("est_users"),
+          col("kmv.kth").as("kth_hash"), col("exact_users"))
+    },
+    "t18_gopher_rules" -> q { (s, dir) =>
+      // Gopher rule-based quality filtering (Rae et al. 2021, arXiv:
+      // 2112.11446 table A1; the C4 heuristics' successor): word-count
+      // bounds, mean-word-length band, alpha-word fraction, symbol-word
+      // ratio, distinct-stopword floor. One codegen regexp scan pass —
+      // counts come from regexp_count over a single-spaced fold (patterns
+      // in the Java/RE2 common subset; '[^ ]*x[^ ]*' matches once per
+      // TOKEN containing x under both engines' leftmost-longest/greedy
+      // semantics, dodging the delimiter-sharing undercount of '( |^)x'
+      // forms). Every gate is integer cross-multiplication (3·n ≤ Σlen ≤
+      // 10·n, 5·alpha ≥ 4·n, 10·sym ≤ n) — zero FP anywhere, so the keep
+      // decision is bit-identical at any scale.
+      val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+      val sp = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      val nWords = regexp_count(sp, lit("[^ ]+"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          nWords.cast("long").as("n_words"),
+          length(regexp_replace(sp, " ", "")).cast("long").as("char_sum"),
+          regexp_count(sp, lit("[^ ]*[a-z][^ ]*")).cast("long").as("alpha_words"),
+          regexp_count(sp, lit("[^ ]*#[^ ]*")).cast("long").as("sym_words"),
+          stopwords.map(w =>
+            when(sp.rlike("(^| )" + w + "( |$)"), 1L).otherwise(0L))
+            .reduce(_ + _).as("stop_distinct"))
+      docs.withColumn("keep",
+        when(col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("char_sum") >= col("n_words") * 3 && col("char_sum") <= col("n_words") * 10 &&
+          col("alpha_words") * 5 >= col("n_words") * 4 &&
+          col("sym_words") * 10 <= col("n_words") &&
+          col("stop_distinct") >= 2, 1L).otherwise(0L))
+    },
+    "d12_dedup_pipeline" -> q { (s, dir) =>
+      // the END-TO-END fuzzy dedup decision a corpus actually ships:
+      // MinHash-LSH candidates → exact n-gram Jaccard ≥ 0.5 confirm (d04's
+      // operator) → transitive clusters (d06's label propagation) → keep
+      // the min-id doc per cluster. Every stage is the already-proven
+      // sub-quadratic plan — band-bucket joins, pair-scale iteration,
+      // one left join back to the corpus roster; unpaired docs short-
+      // circuit to keep=1 without entering the closure. The oracle runs
+      // the all-pairs exact Jaccard + recursive-CTE closure, so banding
+      // recall is hash-checked end-to-end, not assumed.
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", shingleK = 3, minJaccard = 0.5)
+      val clusters = Dedup.connectedComponents(pairs, "a", "b")
+      docs.select(col("doc_id"))
+        .join(clusters, col("doc_id") === col("node_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          when(col("cluster_id").isNull || col("cluster_id") === col("doc_id"), 1L)
+            .otherwise(0L).as("keep"))
     })
 
   // --------------------------------------------------------------------------
@@ -2853,6 +2955,69 @@ object SparkEntry {
         |c AS (
         |  SELECT l_suppkey, count(*) AS n_orders FROM am WHERE n_at_max = 1 GROUP BY 1)
         |SELECT l_suppkey, n_orders FROM c ORDER BY n_orders DESC, l_suppkey LIMIT 20""".stripMargin,
+    "q62_shipmode_priority" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_returnflag, epoch_us(l_shipdate) AS ship_us
+        |  FROM lineitem
+        |  WHERE l_returnflag IN ('A', 'N')
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01')
+        |SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM li JOIN orders ON l_orderkey = o_orderkey
+        |WHERE ship_us >= epoch_us(o_orderdate) + 2592000000000
+        |GROUP BY 1""".stripMargin,
+    "q63_kmv_distinct" -> OracleHashSql.q63Sql,
+    "t18_gopher_rules" ->
+      """WITH sp0 AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS sp FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(sp, '[^ ]+')) AS BIGINT) AS n_words,
+        |    CAST(length(replace(sp, ' ', '')) AS BIGINT) AS char_sum,
+        |    CAST(len(regexp_extract_all(sp, '[^ ]*[a-z][^ ]*')) AS BIGINT) AS alpha_words,
+        |    CAST(len(regexp_extract_all(sp, '[^ ]*#[^ ]*')) AS BIGINT) AS sym_words,
+        |    CAST(CASE WHEN regexp_matches(sp, '(^| )the( |$)') THEN 1 ELSE 0 END
+        |       + CASE WHEN regexp_matches(sp, '(^| )a( |$)') THEN 1 ELSE 0 END
+        |       + CASE WHEN regexp_matches(sp, '(^| )of( |$)') THEN 1 ELSE 0 END
+        |       + CASE WHEN regexp_matches(sp, '(^| )and( |$)') THEN 1 ELSE 0 END
+        |       + CASE WHEN regexp_matches(sp, '(^| )to( |$)') THEN 1 ELSE 0 END
+        |       + CASE WHEN regexp_matches(sp, '(^| )in( |$)') THEN 1 ELSE 0 END
+        |       + CASE WHEN regexp_matches(sp, '(^| )is( |$)') THEN 1 ELSE 0 END AS BIGINT) AS stop_distinct
+        |  FROM sp0)
+        |SELECT doc_id, n_words, char_sum, alpha_words, sym_words, stop_distinct,
+        |  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+        |      AND char_sum >= n_words * 3 AND char_sum <= n_words * 10
+        |      AND alpha_words * 5 >= n_words * 4
+        |      AND sym_words * 10 <= n_words
+        |      AND stop_distinct >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM c""".stripMargin,
+    "d12_dedup_pipeline" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |sets AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+        |              ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS j
+        |  FROM sets x JOIN sets y ON x.doc_id < y.doc_id),
+        |e AS (SELECT a, b FROM pairs WHERE j >= 0.5),
+        |sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+        |reach(node, label) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+        |  UNION
+        |  SELECT s.u, r.label FROM sym s JOIN reach r ON s.v = r.node),
+        |cl AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+        |SELECT d.doc_id,
+        |       coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+        |       CAST(CASE WHEN cl.cluster_id IS NULL OR cl.cluster_id = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM documents d LEFT JOIN cl ON cl.node = d.doc_id""".stripMargin,
     "m03_resize_plan" ->
       """WITH m AS (
         |  SELECT CAST(doc_id AS BIGINT) AS media_id,

@@ -1,0 +1,183 @@
+package graft.expressions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** KMV (k-minimum-values) distinct-count sketch — the mergeable cardinality
+  * estimator for 100 TB rollups (Bar-Yossef et al. 2002's "Counting distinct
+  * elements in a data stream" estimator; the same bottom-k idea underlies
+  * the theta sketch family).
+  *
+  * Why a sketch and not `countDistinct`: exact distinct is a full shuffle of
+  * every distinct key to its group — at 100 TB the distinct set IS the data.
+  * The KMV buffer is O(k) per group, partial-aggregates map-side (Spark
+  * plans a TypedImperativeAggregate exactly like percentile_approx: partial
+  * buffers merge associatively through ObjectHashAggregate), and two
+  * sketches merge by unioning and re-truncating — the estimate for a month
+  * is computable from daily sketches without touching the raw keys again.
+  *
+  * Determinism contract (the SURVEY §4 rule): the sketch state is the set of
+  * k smallest DISTINCT hash values in UNSIGNED order — a pure function of
+  * the input value set, independent of row order, partitioning, or merge
+  * tree shape. The estimate floor((k−1)·2⁶⁴ / kth_min) is exact integer
+  * arithmetic (BigInt here, HUGEINT in the oracle), so the sketch output is
+  * hash-exact across engines — an APPROXIMATE operator with an EXACT oracle.
+  */
+object KmvSketch {
+
+  /** splitmix64 finalizer (Steele et al., the JDK SplittableRandom mix) —
+    * identical constants to [[TokenShingleHashes]]'s mix and to the staged
+    * HUGEINT emulation in OracleHashSql.mixCtes, so sketch inputs are
+    * re-derivable bit-for-bit in SQL.
+    */
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def splitmix64(c: Column): Column = ColumnBridge.column(Splitmix64(ColumnBridge.expression(c)))
+
+  /** KMV sketch aggregate over a pre-hashed long column. Output struct:
+    * (est BIGINT, kth BIGINT nullable) — kth is the k-th smallest hash in
+    * signed representation (NULL below fill), est the cardinality estimate
+    * (exact count below fill).
+    */
+  def kmvDistinct(hashCol: Column, k: Int): Column =
+    ColumnBridge.column(KmvDistinct(ColumnBridge.expression(hashCol), k).toAggregateExpression())
+}
+
+/** splitmix64 of a long, as a codegen scalar expression. */
+case class Splitmix64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "splitmix64"
+
+  override def nullSafeEval(input: Any): Any = KmvSketch.mix(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val z = ctx.freshName("z")
+      s"""
+         |long $z = $c + 0x9E3779B97F4A7C15L;
+         |$z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
+         |$z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
+         |${ev.value} = $z ^ ($z >>> 31);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Mutable KMV state: the k smallest distinct hashes seen, in unsigned
+  * order. TreeSet gives O(log k) insert/evict and O(1) max lookup; k is
+  * small (64–1024), so the per-group buffer is a few KB.
+  */
+final class KmvBuffer(val k: Int) {
+  val set: java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long](new java.util.Comparator[java.lang.Long] {
+      override def compare(a: java.lang.Long, b: java.lang.Long): Int =
+        java.lang.Long.compareUnsigned(a, b)
+    })
+
+  def insert(h: Long): Unit = {
+    if (set.size() < k) { set.add(h); () }
+    else if (java.lang.Long.compareUnsigned(h, set.last()) < 0) {
+      // strictly below the current k-th: admit and evict the max. An equal
+      // hash is already present (distinct set), so no-op is correct.
+      if (set.add(h)) set.pollLast()
+      ()
+    }
+  }
+
+  def mergeIn(other: KmvBuffer): Unit = {
+    val it = other.set.iterator()
+    while (it.hasNext) insert(it.next())
+  }
+}
+
+/** The aggregate function. `child` must evaluate to a LONG hash (pre-hash
+  * with [[Splitmix64]] — keeping the hash outside the aggregate keeps it in
+  * whole-stage codegen and lets callers choose the hash).
+  */
+case class KmvDistinct(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] {
+
+  require(k >= 2, s"KMV needs k >= 2, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("est", LongType, nullable = false),
+    StructField("kth", LongType, nullable = true)))
+  override def prettyName: String = "kmv_distinct"
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buffer: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.insert(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: KmvBuffer, input: KmvBuffer): KmvBuffer = {
+    buffer.mergeIn(input)
+    buffer
+  }
+
+  private val Two64 = BigInt(1) << 64
+  private def unsigned(h: Long): BigInt = BigInt(h) & (Two64 - 1)
+
+  override def eval(buffer: KmvBuffer): Any = {
+    val n = buffer.set.size()
+    if (n < k) {
+      // below fill the sketch IS the distinct set — exact count, no kth
+      InternalRow(n.toLong, null)
+    } else {
+      val kth = buffer.set.last().longValue()
+      // E[distinct] = (k-1) / U(kth): kth smallest of n uniform [0,1) draws
+      // sits at ~k/n. Exact integer floor-div (BigInt ↔ oracle HUGEINT);
+      // u >= k >= 2 in practice, max(1) guards the measure-zero kth == 0.
+      val u = unsigned(kth).max(BigInt(1))
+      val est = (BigInt(k - 1) * Two64) / u
+      InternalRow(est.longValue, kth)
+    }
+  }
+
+  override def serialize(buffer: KmvBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buffer.set.size() * 8)
+    bb.putInt(buffer.set.size())
+    val it = buffer.set.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new KmvBuffer(k)
+    var i = 0
+    while (i < n) { buf.insert(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}

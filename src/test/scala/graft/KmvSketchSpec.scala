@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expressions.{KmvBuffer, KmvSketch}
+
+/** KMV distinct sketch (q63 / expressions/KmvSketch.scala). */
+class KmvSketchSpec extends SparkSpec {
+
+  test("mix matches the JDK SplittableRandom/splitmix64 reference values") {
+    // reference values computed from the published splitmix64 algorithm
+    // (Steele, Lea & Flood 2014) with seed = input, one next() step
+    def ref(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue).foreach { v =>
+      assert(KmvSketch.mix(v) == ref(v))
+    }
+    // bijectivity smoke: no collisions over a contiguous input range
+    val outs = (0L until 10000L).map(KmvSketch.mix).toSet
+    assert(outs.size == 10000)
+  }
+
+  test("buffer keeps the k smallest in UNSIGNED order and evicts correctly") {
+    val buf = new KmvBuffer(3)
+    // -1L is the LARGEST unsigned value; 1,2,3 are small
+    Seq(-1L, 3L, 1L, 2L).foreach(buf.insert)
+    assert(buf.set.size() == 3)
+    assert(!buf.set.contains(-1L), "signed comparison leaked into the sketch")
+    buf.insert(0L) // new minimum evicts current max (3)
+    assert(buf.set.contains(0L) && !buf.set.contains(3L))
+    buf.insert(1L) // duplicate: no-op
+    assert(buf.set.size() == 3)
+  }
+
+  test("below fill the sketch is exact; above fill the estimate tracks truth") {
+    import spark.implicits._
+    val k = 64
+    val small = (1L to 20L).toDF("v")
+      .select(KmvSketch.splitmix64(col("v")).as("h"))
+      .agg(KmvSketch.kmvDistinct(col("h"), k).as("kmv"))
+      .select(col("kmv.est"), col("kmv.kth")).head()
+    assert(small.getLong(0) == 20L && small.isNullAt(1))
+
+    val n = 5000L
+    val big = (1L to n).toDF("v")
+      .select(KmvSketch.splitmix64(col("v")).as("h"))
+      .agg(KmvSketch.kmvDistinct(col("h"), k).as("kmv"))
+      .select(col("kmv.est")).head().getLong(0)
+    // KMV relative std error ~ 1/sqrt(k-2) ≈ 0.13; 4 sigma bound
+    assert(math.abs(big - n) < n * 0.52, s"estimate $big too far from $n")
+  }
+
+  test("sketch output is invariant to partitioning (merge-tree independence)") {
+    import spark.implicits._
+    val data = (1L to 3000L).map(v => (v % 7, v)).toDF("g", "v")
+      .select(col("g"), KmvSketch.splitmix64(col("v")).as("h"))
+    def run(parts: Int): Map[Long, (Long, Long)] =
+      data.repartition(parts)
+        .groupBy("g").agg(KmvSketch.kmvDistinct(col("h"), 32).as("kmv"))
+        .select(col("g"), col("kmv.est"), col("kmv.kth"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 1 partition (no merge) vs 16 (serialize + partial merge tree):
+    // identical k-min sets, identical estimates
+    assert(run(1) == run(16))
+  }
+
+  test("q63 runs on testdata: estimate equals exact below fill") {
+    // sf0.001 has 15 users per event_type < k=64 — the sketch IS the
+    // distinct set, so est must equal the exact countDistinct
+    val rows = SparkEntry.queries("q63_kmv_distinct")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getLong(r.fieldIndex("est_users"))
+      val exact = r.getLong(r.fieldIndex("exact_users"))
+      assert(est == exact, s"below-fill estimate must be exact: $r")
+      assert(r.isNullAt(r.fieldIndex("kth_hash")))
+    }
+  }
+}

@@ -376,6 +376,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial"), "no map-side partial distinct:\n" + p)
   }
 
+  test("q62: category + ship-window filters push to the lineitem scan") {
+    val p = plan("q62_shipmode_priority")
+    assert(p.contains("PushedFilters") && p.contains("In(l_returnflag"),
+      "returnflag filter not pushed:\n" + p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("l_shipdate)"),
+      "ship-window not pushed:\n" + p)
+    // one conditional-sum agg pass with map-side partials
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+  }
+
+  test("q63: sketch partial-aggregates map-side (mergeable ObjectHashAggregate)") {
+    val p = plan("q63_kmv_distinct")
+    // the KMV TypedImperativeAggregate must plan through ObjectHashAggregate
+    // with a partial stage before the exchange — the mergeable-sketch
+    // contract that makes it O(k) per group at 100 TB
+    assert(p.contains("ObjectHashAggregate"), "sketch not object-hash-aggregated:\n" + p)
+    assert(p.contains("partial_kmv_distinct"), "no map-side partial sketch:\n" + p)
+  }
+
   test("d02: signature computed before the exchange, bands join on hash") {
     val df = SparkEntry.queries("d02_dedup_minhash")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

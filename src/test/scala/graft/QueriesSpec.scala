@@ -329,6 +329,79 @@ class QueriesSpec extends SparkSpec {
     assert(total > 0L && total <= 1000000000000L)
   }
 
+  test("d12: exactly one survivor per cluster, clusters close over d04 pairs") {
+    val out = SparkEntry.queries("d12_dedup_pipeline")(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    // roster covers the whole corpus
+    assert(out.count() == docs.count())
+    // each cluster keeps exactly one doc — the min id (labels are min ids)
+    val perCluster = out.groupBy("cluster_id")
+      .agg(sum("keep").as("kept"), min("doc_id").as("mn"))
+    assert(perCluster.where(col("kept") =!= 1L).count() == 0,
+      "a cluster must keep exactly one doc")
+    assert(out.where(col("keep") === 1L && col("doc_id") =!= col("cluster_id")).count() == 0,
+      "survivor must be the cluster min")
+    // every d04-confirmed pair lands in one cluster
+    val pairs = SparkEntry.queries("d04_ngram_jaccard")(spark, sfDir)
+      .select(col("a"), col("b"))
+    val lbl = out.select(col("doc_id"), col("cluster_id"))
+    val split = pairs
+      .join(lbl.withColumnRenamed("doc_id", "a").withColumnRenamed("cluster_id", "ca"), Seq("a"))
+      .join(lbl.withColumnRenamed("doc_id", "b").withColumnRenamed("cluster_id", "cb"), Seq("b"))
+      .where(col("ca") =!= col("cb"))
+    assert(split.count() == 0, "a confirmed near-dup pair straddles two clusters")
+  }
+
+  test("t18: every gate fires on a constructed violator and passes clean text") {
+    import spark.implicits._
+    val good = (("w" * 5 + " ") * 60 + "the of and").trim // 63 words, len-5 words, 3 stopwords
+    val shortDoc = "the of and tiny"                      // word count < 50
+    val longWords = (("w" * 20 + " ") * 60 + "the of").trim // mean word length > 10
+    val noStops = ("w" * 5 + " ") * 60                     // < 2 stopwords
+    val symbols = (("#w21" + " ") * 30 + ("word " * 30) + "the of and").trim // sym ratio > 0.1
+    val df = Seq((1L, good), (2L, shortDoc), (3L, longWords), (4L, noStops), (5L, symbols))
+      .toDF("doc_id", "text")
+    // route the synthetic docs through the same expressions the query uses
+    val q = SparkEntry.queries("t18_gopher_rules")
+    // same expressions as the query body, applied to the probe frame
+    val out = {
+      val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+      val sp = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      val nWords = regexp_count(sp, lit("[^ ]+"))
+      df.select(col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        length(regexp_replace(sp, " ", "")).cast("long").as("char_sum"),
+        regexp_count(sp, lit("[^ ]*[a-z][^ ]*")).cast("long").as("alpha_words"),
+        regexp_count(sp, lit("[^ ]*#[^ ]*")).cast("long").as("sym_words"),
+        stopwords.map(w => when(sp.rlike("(^| )" + w + "( |$)"), 1L).otherwise(0L))
+          .reduce(_ + _).as("stop_distinct"))
+        .withColumn("keep",
+          when(col("n_words") >= 50 && col("n_words") <= 100000 &&
+            col("char_sum") >= col("n_words") * 3 && col("char_sum") <= col("n_words") * 10 &&
+            col("alpha_words") * 5 >= col("n_words") * 4 &&
+            col("sym_words") * 10 <= col("n_words") &&
+            col("stop_distinct") >= 2, 1L).otherwise(0L))
+    }
+    val keeps = out.collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("keep"))).toMap
+    assert(keeps(1L) == 1L, "clean doc rejected")
+    assert(keeps(2L) == 0L, "short doc passed the word-count gate")
+    assert(keeps(3L) == 0L, "long-word doc passed the mean-length gate")
+    assert(keeps(4L) == 0L, "stopword-free doc passed the stopword gate")
+    assert(keeps(5L) == 0L, "symbol-heavy doc passed the symbol gate")
+    // and the registered query runs on testdata with sane stats
+    val real = q(spark, sfDir)
+    assert(real.where(col("alpha_words") =!= col("n_words")).count() == 0,
+      "testdata corpus is all-alpha; alpha_words must equal n_words")
+  }
+
+  test("q62: priority split partitions the joined rows exactly") {
+    val out = SparkEntry.queries("q62_shipmode_priority")(spark, sfDir).collect()
+    assert(out.nonEmpty && out.map(_.getString(0)).toSet.subsetOf(Set("A", "N")))
+    out.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(2) >= 0L && r.getLong(1) + r.getLong(2) > 0L)
+    }
+  }
+
   test("m01 multimodal stats cover all three kinds") {
     val out = SparkEntry.queries("m01_multimodal")(spark, sfDir).collect()
     assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))
