@@ -1845,6 +1845,13 @@ object SparkEntry {
     // same sets from raw text (lowercase, \s+ split, k=3 joined by ' ').
     // The LSH candidate stage has full recall on near-dup data at this
     // threshold (verified at sf0.001/sf0.01), so candidates+exact == exact.
+    // the oracle's pair generation is an INVERTED-INDEX join (docs sharing
+    // at least one shingle), not an all-pairs scan: j >= 0.5 implies a
+    // shared shingle, so the outputs are provably identical (verified
+    // bit-equal against the all-pairs form at sf0.01) while the oracle
+    // stays runnable a decade up — 17x at sf0.01, feasible-vs-hopeless
+    // at sf1. Intersection size = COUNT over the gram join (sets are
+    // list_distinct), Jaccard from |A| + |B| − |A∩B|, arithmetic unchanged.
     "d04_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -1855,11 +1862,15 @@ object SparkEntry {
         |         list_distinct(CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
         |              ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
         |  FROM toks),
+        |sizes AS (SELECT doc_id, len(sh) AS n FROM sets),
+        |inv AS (SELECT doc_id, unnest(sh) AS g FROM sets),
+        |shared AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
         |pairs AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b,
-        |         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-        |           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS j
-        |  FROM sets x JOIN sets y ON x.doc_id < y.doc_id)
+        |  SELECT a, b, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS j
+        |  FROM shared JOIN sizes sa ON sa.doc_id = shared.a JOIN sizes sb ON sb.doc_id = shared.b)
         |SELECT a, b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5""".stripMargin,
     // the full d04 exact-pairs set restricted to pairs touching the new
     // batch — the delta path's equality contract
@@ -1873,11 +1884,15 @@ object SparkEntry {
         |         list_distinct(CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
         |              ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
         |  FROM toks),
+        |sizes AS (SELECT doc_id, len(sh) AS n FROM sets),
+        |inv AS (SELECT doc_id, unnest(sh) AS g FROM sets),
+        |shared AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
         |pairs AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b,
-        |         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-        |           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS j
-        |  FROM sets x JOIN sets y ON x.doc_id < y.doc_id)
+        |  SELECT a, b, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS j
+        |  FROM shared JOIN sizes sa ON sa.doc_id = shared.a JOIN sizes sb ON sb.doc_id = shared.b)
         |SELECT a, b, round(j, 4) AS jaccard FROM pairs
         |WHERE j >= 0.5 AND (a % 10 = 9 OR b % 10 = 9)""".stripMargin,
     // NOTE: DuckDB's list_cosine_similarity computes in float32 and can never
@@ -3002,11 +3017,15 @@ object SparkEntry {
         |         list_distinct(CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
         |              ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END) AS sh
         |  FROM toks),
+        |sizes AS (SELECT doc_id, len(sh) AS n FROM sets),
+        |inv AS (SELECT doc_id, unnest(sh) AS g FROM sets),
+        |shared AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
         |pairs AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b,
-        |         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-        |           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS j
-        |  FROM sets x JOIN sets y ON x.doc_id < y.doc_id),
+        |  SELECT a, b, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS j
+        |  FROM shared JOIN sizes sa ON sa.doc_id = shared.a JOIN sizes sb ON sb.doc_id = shared.b),
         |e AS (SELECT a, b FROM pairs WHERE j >= 0.5),
         |sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
         |reach(node, label) AS (
