@@ -379,4 +379,29 @@ object OracleHashSql {
        |  ex.exact_users
        |FROM kk JOIN ex USING (event_type)""".stripMargin
   }
+
+  /** q64: the GLOBAL sketch — one k-min set over all distinct user hashes.
+    * The oracle derives ONE estimate; the engine must land on it twice
+    * (per-type states union-merged, and the direct global sketch): the
+    * merge-exactness theorem k-min(∪ sets) = k-min(∪ k-min sets) as a
+    * hash-checked equality.
+    */
+  def q64Sql: String = {
+    val k = 64
+    s"""WITH src AS (
+       |  SELECT ${u64("user_id")} AS h0
+       |  FROM (SELECT DISTINCT user_id FROM events)),
+       |${mixCtes("src", Seq("h0"))},
+       |r AS (SELECT hu, row_number() OVER (ORDER BY hu) AS rk, count(*) OVER () AS n FROM m4),
+       |kk AS (SELECT max(CASE WHEN rk = $k THEN hu END) AS kth, max(n) AS n FROM r),
+       |ex AS (SELECT count(DISTINCT user_id) AS exact_users FROM events),
+       |est AS (
+       |  SELECT CASE WHEN n >= $k
+       |         THEN CAST((${k - 1} * CAST(18446744073709551616 AS HUGEINT)) // greatest(kth, 1) AS BIGINT)
+       |         ELSE n END AS e,
+       |         CASE WHEN n >= $k THEN ${s64("kth")} ELSE NULL END AS kth_s
+       |  FROM kk)
+       |SELECT est.e AS est_union, est.kth_s AS kth_union, est.e AS est_direct, ex.exact_users
+       |FROM est, ex""".stripMargin
+  }
 }

@@ -1594,6 +1594,30 @@ object SparkEntry {
         .select(col("event_type"), col("kmv.est").as("est_users"),
           col("kmv.kth").as("kth_hash"), col("exact_users"))
     },
+    "q64_kmv_mergeable" -> q { (s, dir) =>
+      // sketch ALGEBRA (the rollup contract): per-group sketch STATES
+      // (array<long> k-min sets — the persistable value a daily job writes)
+      // union-merge into the global estimate WITHOUT re-touching raw keys.
+      // k-min(∪ sets) = k-min(∪ k-min sets), so the merged estimate is
+      // IDENTICAL to sketching the raw union — est_union must equal
+      // est_direct exactly, and the oracle checks equality, not closeness.
+      // At 100 TB this is how distinct-count rollups actually run: days
+      // keep k longs each, months merge days, nothing re-scans.
+      import graft.expressions.KmvSketch
+      val k = 64
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"),
+          KmvSketch.splitmix64(col("user_id")).as("h"))
+      val merged = ev.groupBy(col("event_type"))
+        .agg(KmvSketch.kmvState(col("h"), k).as("state"))
+        .agg(KmvSketch.kmvMerge(col("state"), k).as("kmv"))
+        .select(col("kmv.est").as("est_union"), col("kmv.kth").as("kth_union"))
+      val direct = ev
+        .agg(KmvSketch.kmvDistinct(col("h"), k).as("kmv"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("kmv.est").as("est_direct"), col("exact_users"))
+      merged.crossJoin(direct)
+    },
     "t18_gopher_rules" -> q { (s, dir) =>
       // Gopher rule-based quality filtering (Rae et al. 2021, arXiv:
       // 2112.11446 table A1; the C4 heuristics' successor): word-count
@@ -1898,13 +1922,19 @@ object SparkEntry {
     // NOTE: DuckDB's list_cosine_similarity computes in float32 and can never
     // hash-match a double pipeline; these oracles re-derive cosine in double
     // (list_sum is sequential left-to-right, matching the Spark loop).
+    // norms hoist into a per-vector CTE: same list_sum over the same list
+    // gives the identical double, computed |V| times instead of |V|² —
+    // what keeps these deliberately-quadratic baselines runnable at sf1
     "d05_embed_neardup" ->
-      """WITH p AS (
+      """WITH nm AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS n2
+        |  FROM embeddings),
+        |p AS (
         |  SELECT a.vec_id AS a, b.vec_id AS b,
         |    list_sum(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE))) AS dot,
-        |    list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS na,
-        |    list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nb
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |    a.n2 AS na, b.n2 AS nb
+        |  FROM nm a JOIN nm b ON a.vec_id < b.vec_id)
         |SELECT a, b, round(dot/(sqrt(na)*sqrt(nb)), 4) AS cos
         |FROM p WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.35""".stripMargin,
     // pos is 1-based here vs Spark's 0-based posexplode — it is only a
@@ -1923,12 +1953,15 @@ object SparkEntry {
         |       min(code) AS code_min, max(code) AS code_max
         |FROM codes GROUP BY vec_id""".stripMargin,
     "d09_embed_delta" ->
-      """WITH p AS (
+      """WITH nm AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS n2
+        |  FROM embeddings),
+        |p AS (
         |  SELECT a.vec_id AS a, b.vec_id AS b,
         |    list_sum(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE))) AS dot,
-        |    list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS na,
-        |    list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nb
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |    a.n2 AS na, b.n2 AS nb
+        |  FROM nm a JOIN nm b ON a.vec_id < b.vec_id
         |  WHERE a.vec_id % 100 >= 98 OR b.vec_id % 100 >= 98)
         |SELECT a, b, round(dot/(sqrt(na)*sqrt(nb)), 4) AS cos
         |FROM p WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.35""".stripMargin,
@@ -2217,12 +2250,15 @@ object SparkEntry {
     // d07 is the bucketed scale path for the same contract: the all-pairs
     // oracle doubles as a 100%-recall assertion on the LSH candidates
     "d07_embed_neardup_lsh" ->
-      """WITH p AS (
+      """WITH nm AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS n2
+        |  FROM embeddings),
+        |p AS (
         |  SELECT a.vec_id AS a, b.vec_id AS b,
         |    list_sum(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE))) AS dot,
-        |    list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS na,
-        |    list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nb
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |    a.n2 AS na, b.n2 AS nb
+        |  FROM nm a JOIN nm b ON a.vec_id < b.vec_id)
         |SELECT a, b, round(dot/(sqrt(na)*sqrt(nb)), 4) AS cos
         |FROM p WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.35""".stripMargin,
     "q30_incremental_agg" ->
@@ -2286,12 +2322,15 @@ object SparkEntry {
     // reachable = component's canonical id (same label-propagation fixpoint
     // the Spark loop converges to)
     "d06_dedup_clusters" ->
-      """WITH RECURSIVE pr AS (
+      """WITH RECURSIVE nm AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS n2
+        |  FROM embeddings),
+        |pr AS (
         |  SELECT a.vec_id AS a, b.vec_id AS b,
         |    list_sum(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE))) AS dot,
-        |    list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS na,
-        |    list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nb
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |    a.n2 AS na, b.n2 AS nb
+        |  FROM nm a JOIN nm b ON a.vec_id < b.vec_id),
         |e AS (SELECT a, b FROM pr WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.35),
         |sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
         |reach(node, label) AS (
@@ -2300,12 +2339,15 @@ object SparkEntry {
         |  SELECT s.u, r.label FROM sym s JOIN reach r ON s.v = r.node)
         |SELECT node AS vec_id, min(label) AS cluster_id FROM reach GROUP BY node""".stripMargin,
     "s04_cluster_centroids" ->
-      """WITH RECURSIVE pr AS (
+      """WITH RECURSIVE nm AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS n2
+        |  FROM embeddings),
+        |pr AS (
         |  SELECT a.vec_id AS a, b.vec_id AS b,
         |    list_sum(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE))) AS dot,
-        |    list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS na,
-        |    list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nb
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |    a.n2 AS na, b.n2 AS nb
+        |  FROM nm a JOIN nm b ON a.vec_id < b.vec_id),
         |e AS (SELECT a, b FROM pr WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.35),
         |sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
         |reach(node, label) AS (
@@ -2983,6 +3025,7 @@ object SparkEntry {
         |WHERE ship_us >= epoch_us(o_orderdate) + 2592000000000
         |GROUP BY 1""".stripMargin,
     "q63_kmv_distinct" -> OracleHashSql.q63Sql,
+    "q64_kmv_mergeable" -> OracleHashSql.q64Sql,
     "t18_gopher_rules" ->
       """WITH sp0 AS (
         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS sp FROM documents),

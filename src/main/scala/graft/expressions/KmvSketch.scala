@@ -54,6 +54,23 @@ object KmvSketch {
     */
   def kmvDistinct(hashCol: Column, k: Int): Column =
     ColumnBridge.column(KmvDistinct(ColumnBridge.expression(hashCol), k).toAggregateExpression())
+
+  /** The sketch STATE as a persistable value: array<long> of the k-min set
+    * in unsigned ascending order. Write these to a rollup table; any later
+    * union (month from days, global from per-source) re-aggregates the
+    * states with [[kmvMerge]] — no re-scan of the raw keys, ever.
+    */
+  def kmvState(hashCol: Column, k: Int): Column =
+    ColumnBridge.column(KmvState(ColumnBridge.expression(hashCol), k).toAggregateExpression())
+
+  /** Union-merge of persisted sketch states (array<long> column) back into
+    * the (est, kth) summary. Exactness contract: k-min(∪ sets) ==
+    * k-min(∪ k-min sets), so merging states gives the IDENTICAL sketch —
+    * and therefore the identical estimate — as sketching the raw union
+    * (q64 oracle-checks exactly that).
+    */
+  def kmvMerge(stateCol: Column, k: Int): Column =
+    ColumnBridge.column(KmvMerge(ColumnBridge.expression(stateCol), k).toAggregateExpression())
 }
 
 /** splitmix64 of a long, as a codegen scalar expression. */
@@ -105,33 +122,18 @@ final class KmvBuffer(val k: Int) {
   }
 }
 
-/** The aggregate function. `child` must evaluate to a LONG hash (pre-hash
-  * with [[Splitmix64]] — keeping the hash outside the aggregate keeps it in
-  * whole-stage codegen and lets callers choose the hash).
+/** Shared KMV aggregation machinery: buffer lifecycle, serialization, and
+  * the exact-integer estimator. Subclasses choose the input shape (raw
+  * hashes vs persisted states) and the output shape (summary vs state).
   */
-case class KmvDistinct(
-    child: Expression,
-    k: Int,
-    override val mutableAggBufferOffset: Int = 0,
-    override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KmvBuffer] {
-
-  require(k >= 2, s"KMV needs k >= 2, got $k")
+abstract class KmvAggBase extends TypedImperativeAggregate[KmvBuffer] {
+  def child: Expression
+  def k: Int
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = StructType(Seq(
-    StructField("est", LongType, nullable = false),
-    StructField("kth", LongType, nullable = true)))
-  override def prettyName: String = "kmv_distinct"
 
   override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
-
-  override def update(buffer: KmvBuffer, input: InternalRow): KmvBuffer = {
-    val v = child.eval(input)
-    if (v != null) buffer.insert(v.asInstanceOf[Long])
-    buffer
-  }
 
   override def merge(buffer: KmvBuffer, input: KmvBuffer): KmvBuffer = {
     buffer.mergeIn(input)
@@ -139,21 +141,18 @@ case class KmvDistinct(
   }
 
   private val Two64 = BigInt(1) << 64
-  private def unsigned(h: Long): BigInt = BigInt(h) & (Two64 - 1)
 
-  override def eval(buffer: KmvBuffer): Any = {
+  /** (est, kth) summary row — exact count below fill, floor((k−1)·2⁶⁴/kth)
+    * at fill (BigInt ↔ oracle HUGEINT; max(1) guards the measure-zero
+    * kth == 0).
+    */
+  protected def summary(buffer: KmvBuffer): InternalRow = {
     val n = buffer.set.size()
-    if (n < k) {
-      // below fill the sketch IS the distinct set — exact count, no kth
-      InternalRow(n.toLong, null)
-    } else {
+    if (n < k) InternalRow(n.toLong, null)
+    else {
       val kth = buffer.set.last().longValue()
-      // E[distinct] = (k-1) / U(kth): kth smallest of n uniform [0,1) draws
-      // sits at ~k/n. Exact integer floor-div (BigInt ↔ oracle HUGEINT);
-      // u >= k >= 2 in practice, max(1) guards the measure-zero kth == 0.
-      val u = unsigned(kth).max(BigInt(1))
-      val est = (BigInt(k - 1) * Two64) / u
-      InternalRow(est.longValue, kth)
+      val u = (BigInt(kth) & (Two64 - 1)).max(BigInt(1))
+      InternalRow(((BigInt(k - 1) * Two64) / u).longValue, kth)
     }
   }
 
@@ -173,10 +172,115 @@ case class KmvDistinct(
     while (i < n) { buf.insert(bb.getLong); i += 1 }
     buf
   }
+}
+
+/** KMV summary aggregate. `child` must evaluate to a LONG hash (pre-hash
+  * with [[Splitmix64]] — keeping the hash outside the aggregate keeps it in
+  * whole-stage codegen and lets callers choose the hash).
+  */
+case class KmvDistinct(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends KmvAggBase {
+
+  require(k >= 2, s"KMV needs k >= 2, got $k")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("est", LongType, nullable = false),
+    StructField("kth", LongType, nullable = true)))
+  override def prettyName: String = "kmv_distinct"
+
+  override def update(buffer: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.insert(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def eval(buffer: KmvBuffer): Any = summary(buffer)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinct =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** KMV sketch STATE aggregate: same buffer, but the output is the k-min
+  * set itself (array<long>, unsigned ascending) — the persistable rollup
+  * value that [[KmvMerge]] re-aggregates later without the raw keys.
+  */
+case class KmvState(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends KmvAggBase {
+
+  require(k >= 2, s"KMV needs k >= 2, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kmv_state"
+
+  override def update(buffer: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.insert(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def eval(buffer: KmvBuffer): Any = {
+    val out = new Array[Long](buffer.set.size())
+    val it = buffer.set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvState =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvState =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** Union-merge of persisted [[KmvState]] arrays back into the (est, kth)
+  * summary. Because k-min(A ∪ B) = k-min(k-min(A) ∪ k-min(B)), the merged
+  * sketch — and therefore the estimate — is IDENTICAL to sketching the
+  * raw union (q64's oracle checks the equality, not an approximation).
+  */
+case class KmvMerge(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends KmvAggBase {
+
+  require(k >= 2, s"KMV needs k >= 2, got $k")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("est", LongType, nullable = false),
+    StructField("kth", LongType, nullable = true)))
+  override def prettyName: String = "kmv_merge"
+
+  override def update(buffer: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) { buffer.insert(arr.getLong(i)); i += 1 }
+    }
+    buffer
+  }
+
+  override def eval(buffer: KmvBuffer): Any = summary(buffer)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMerge =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)

@@ -67,6 +67,35 @@ class KmvSketchSpec extends SparkSpec {
     assert(run(1) == run(16))
   }
 
+  test("state → merge equals the direct sketch (union-merge exactness)") {
+    import spark.implicits._
+    val k = 32
+    val data = (1L to 4000L).map(v => (v % 10, v)).toDF("g", "v")
+      .select(col("g"), KmvSketch.splitmix64(col("v")).as("h"))
+      .repartition(8)
+    val direct = data.agg(KmvSketch.kmvDistinct(col("h"), k).as("kmv"))
+      .select(col("kmv.est"), col("kmv.kth")).head()
+    val viaStates = data.groupBy("g").agg(KmvSketch.kmvState(col("h"), k).as("state"))
+      .agg(KmvSketch.kmvMerge(col("state"), k).as("kmv"))
+      .select(col("kmv.est"), col("kmv.kth")).head()
+    assert(direct == viaStates,
+      s"k-min(union) must equal k-min(union of k-mins): $direct vs $viaStates")
+    // state shape: each group's state is its k smallest distinct hashes,
+    // unsigned ascending, capped at k
+    val states = data.groupBy("g").agg(KmvSketch.kmvState(col("h"), k).as("state"))
+      .select(col("state")).collect().map(_.getSeq[Long](0))
+    states.foreach { st =>
+      assert(st.length <= k)
+      assert(st.sliding(2).forall(p => p.length < 2 ||
+        java.lang.Long.compareUnsigned(p(0), p(1)) < 0), "state not unsigned-sorted")
+    }
+  }
+
+  test("q64 runs: union estimate equals direct estimate") {
+    val r = SparkEntry.queries("q64_kmv_mergeable")(spark, sfDir).head()
+    assert(r.getLong(r.fieldIndex("est_union")) == r.getLong(r.fieldIndex("est_direct")))
+  }
+
   test("q63 runs on testdata: estimate equals exact below fill") {
     // sf0.001 has 15 users per event_type < k=64 — the sketch IS the
     // distinct set, so est must equal the exact countDistinct
