@@ -152,6 +152,140 @@ case class L2DistanceLL(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused per-segment PQ argmin over ALL segments in one pass: for each of
+  * `nSeg` segments, the nearest codeword under the ‖x‖²-free key
+  * m = (0 − 2·x·c) + ‖c‖², plus the segment's own ‖x‖² (so err = x2 + m).
+  * Output: array of struct(m double, j long, x2 double), one per segment.
+  *
+  * Why one kernel instead of composing slice/dotFF/array_min per codeword:
+  * the declarative form unrolls nSeg × nCodes (= 128) dot-product loops
+  * into the generated consume method of the enclosing stage — past Janino's
+  * 64 KB method limit, so the WHOLE stage silently fell back to interpreted
+  * execution (observed "Code grows beyond 64 KB" in every s08/s09/s10 run).
+  * Here the codebook rides along as a reference object and the loops stay
+  * loops: ~100 lines of generated code regardless of nSeg/nCodes.
+  *
+  * FP contract (the oracle depends on it): every accumulation is the same
+  * sequential left-to-right float→double order as [[DotProductFF]] over the
+  * sliced segment, m is computed as `(0.0 − 2.0·dot) + c2` with c2 the
+  * driver-side left-to-right norm — bit-identical to the expression tree it
+  * replaces (spec-asserted). Argmin keeps the FIRST minimum (strict <), the
+  * same lower-j tie-break as `array_min` over struct(m, j); ±0.0 is the one
+  * theoretical divergence from struct ordering's Double.compare and cannot
+  * arise for finite random embeddings (m = ±0.0 needs an exactly-zero
+  * codeword).
+  */
+case class PqSegBest(
+    child: Expression,
+    codebook: Array[Array[Float]],
+    norms: Array[Array[Double]],
+    nSeg: Int,
+    segDim: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def nCodes: Int = codebook.length
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("m", DoubleType, nullable = false),
+      StructField("j", LongType, nullable = false),
+      StructField("x2", DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "pq_seg_best"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Any](nSeg)
+    var s = 0
+    while (s < nSeg) {
+      val base = s * segDim
+      var x2 = 0.0
+      var i = 0
+      while (i < segDim) {
+        val xv = v.getFloat(base + i).toDouble
+        x2 += xv * xv
+        i += 1
+      }
+      var bm = Double.PositiveInfinity
+      var bj = 0L
+      var j = 0
+      while (j < nCodes) {
+        val c = codebook(j)
+        var dot = 0.0
+        i = 0
+        while (i < segDim) {
+          dot += v.getFloat(base + i).toDouble * c(base + i).toDouble
+          i += 1
+        }
+        val m = (0.0 - 2.0 * dot) + norms(s)(j)
+        if (m < bm) { bm = m; bj = j.toLong }
+        j += 1
+      }
+      out(s) = org.apache.spark.sql.catalyst.InternalRow(bm, bj, x2)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cb = ctx.addReferenceObj("pqCodebook", codebook, "float[][]")
+      val c2 = ctx.addReferenceObj("pqNorms", norms, "double[][]")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val base = ctx.freshName("base")
+      val x2 = ctx.freshName("x2")
+      val xv = ctx.freshName("xv")
+      val bm = ctx.freshName("bm")
+      val bj = ctx.freshName("bj")
+      val dot = ctx.freshName("dot")
+      val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      s"""
+         |Object[] $out = new Object[$nSeg];
+         |for (int $s = 0; $s < $nSeg; $s++) {
+         |  int $base = $s * $segDim;
+         |  double $x2 = 0.0;
+         |  for (int $i = 0; $i < $segDim; $i++) {
+         |    double $xv = (double) $v.getFloat($base + $i);
+         |    $x2 += $xv * $xv;
+         |  }
+         |  double $bm = Double.POSITIVE_INFINITY;
+         |  long $bj = 0L;
+         |  for (int $j = 0; $j < $nCodes; $j++) {
+         |    float[] $c = $cb[$j];
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $segDim; $i++) {
+         |      $dot += ((double) $v.getFloat($base + $i)) * ((double) $c[$base + $i]);
+         |    }
+         |    double $m = (0.0 - 2.0 * $dot) + $c2[$s][$j];
+         |    if ($m < $bm) { $bm = $m; $bj = (long) $j; }
+         |  }
+         |  $out[$s] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{ $bm, $bj, $x2 });
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  // the model arrays are constructor state, not children — two instances
+  // are equal only if their models match (relevant for CSE)
+  override def equals(other: Any): Boolean = other match {
+    case p: PqSegBest =>
+      p.child == child && p.nSeg == nSeg && p.segDim == segDim &&
+        p.codebook.map(_.toSeq).toSeq == codebook.map(_.toSeq).toSeq
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(nSeg), Int.box(segDim),
+      codebook.map(_.toSeq).toSeq)
+}
+
 object VectorExprs {
   /** Column-API entry points. */
   def cosineFF(a: Column, b: Column): Column =
@@ -165,4 +299,17 @@ object VectorExprs {
   def l2LL(a: Column, b: Column): Column =
     ColumnBridge.column(
       L2DistanceLL(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** All-segment PQ argmin (see [[PqSegBest]]). `codewords` are full-dim
+    * vectors; norms are derived here with the same left-to-right fold the
+    * unrolled expression tree used, so both forms share one definition.
+    */
+  def pqSegBest(v: Column, codewords: Array[Seq[Float]], nSeg: Int, segDim: Int): Column = {
+    val cb = codewords.map(_.toArray)
+    val norms = Array.tabulate(nSeg, codewords.length) { (s, j) =>
+      codewords(j).slice(s * segDim, (s + 1) * segDim)
+        .foldLeft(0.0)((a, f) => a + f.toDouble * f.toDouble)
+    }
+    ColumnBridge.column(PqSegBest(ColumnBridge.expression(v), cb, norms, nSeg, segDim))
+  }
 }

@@ -254,9 +254,17 @@ object Dedup {
     * [[ngramJaccardDelta]]. The delta path's spec-asserted equality with
     * the full path holds only while BOTH use the same banding and
     * estimator gate — keep these in one place.
+    *
+    * 32 bands × 2 rows, sized to the minJaccard = 0.5 design threshold:
+    * P(miss) = (1 − j²)³² is ~1e-4 at j = 0.5 and ~1e-8 at j = 0.67. The
+    * previous 16 × 4 point missed 35% at j = 0.5 in expectation — invisible
+    * at the sf0.01 gate (no pairs below j ≈ 0.8 there) and caught by the
+    * sf1 decade check, where 12 of 250,600 true pairs (all j 0.67–0.82)
+    * fell through banding. Ground-truth oracles over scaled data find what
+    * parameter folklore hides.
     */
   private val NgramNumHashes = 64
-  private val NgramBands = 16
+  private val NgramBands = 32
   private val NgramMinEstJaccard = 0.2
 
   /** Exact n-gram Jaccard similarity on LSH-generated candidates: the

@@ -158,34 +158,28 @@ object Similarity {
       .limit(nCodes)
       .collect()
       .map(_.getSeq[Float](1).toSeq)
-    val perSeg = (0 until nSeg).map { s =>
-      val xs = slice(col(vecCol), s * segDim + 1, segDim)
-      val xs2 = VectorExprs.dotFF(xs, xs)
-      val best = segArgmin(col(vecCol), codewords, s, segDim, nCodes)
-      struct(best.getField("j").as("code"), (xs2 + best.getField("m")).as("err"))
-    }
+    // ONE fused kernel evaluation per vector: all-segment argmin + segment
+    // norms from PqSegBest (the unrolled slice/dotFF/array_min tree blew
+    // Janino's 64 KB method limit and silently de-codegen'd the whole
+    // stage — see the PqSegBest scaladoc); posexplode its array directly,
+    // so seg indices and struct fields land exactly as before
+    val best = VectorExprs.pqSegBest(col(vecCol), codewords, nSeg, segDim)
     corpus
       .select(col(idCol).cast("long").as("vec_id"),
-        posexplode(array(perSeg: _*)).as(Seq("seg", "b")))
+        posexplode(best).as(Seq("seg", "b")))
       .select(col("vec_id"), col("seg").cast("long").as("seg"),
-        col("b.code").as("code"), round(col("b.err"), 4).as("err"))
+        col("b.j").as("code"), round(col("b.x2") + col("b.m"), 4).as("err"))
   }
 
-  /** Per-segment nearest-codeword argmin as struct(m, j) — shared by
-    * [[pqEncode]] and [[adcSearch]] so both assign identical codes.
+  /** All-segment code assignment (array<long>) via the shared
+    * [[graft.expressions.PqSegBest]] kernel — [[pqEncode]], [[adcSearch]]
+    * and [[ivfPqSearch]] all assign codes through this one definition.
     */
-  private def segArgmin(
+  private def segCodes(
       vecCol: Column, codewords: Array[Seq[Float]],
-      s: Int, segDim: Int, nCodes: Int): Column = {
-    val xs = slice(vecCol, s * segDim + 1, segDim)
-    array_min(array((0 until nCodes).map { j =>
-      val cs = codewords(j).slice(s * segDim, (s + 1) * segDim)
-      // codeword norm as a driver-side double: sequential left-to-right
-      // accumulation, the same order DuckDB's list_sum uses
-      val c2 = cs.foldLeft(0.0)((a, f) => a + f.toDouble * f.toDouble)
-      val m = (lit(0.0) - lit(2.0) * VectorExprs.dotFF(xs, typedlit(cs))) + lit(c2)
-      struct(m.as("m"), lit(j.toLong).as("j"))
-    }: _*))
+      nSeg: Int, segDim: Int): Column = {
+    val best = VectorExprs.pqSegBest(vecCol, codewords, nSeg, segDim)
+    array((0 until nSeg).map(s => element_at(best, s + 1).getField("j")): _*)
   }
 
   /** Asymmetric-distance PQ search (the search half of [[pqEncode]]):
@@ -195,7 +189,7 @@ object Similarity {
     * of a `dim`-wide float scan, which is why PQ indexes serve
     * billion-vector corpora from RAM.
     *
-    * Scale shape: codes are a pure scan (the [[segArgmin]] kernel,
+    * Scale shape: codes are a pure scan (the [[segCodes]] kernel,
     * codebook as literals); the LUTs are (queries × nSeg × nCodes)
     * doubles — driver-computed from the broadcast-small query set and
     * broadcast-joined, so the corpus never shuffles; top-k per query is
@@ -221,8 +215,7 @@ object Similarity {
       .limit(nCodes)
       .collect()
       .map(_.getSeq[Float](1).toSeq)
-    val codes = array((0 until nSeg).map(s =>
-      segArgmin(col(vecCol), codewords, s, segDim, nCodes).getField("j")): _*)
+    val codes = segCodes(col(vecCol), codewords, nSeg, segDim)
     // materialize the code assignment BEFORE the query fan-out: the
     // broadcast join would otherwise re-evaluate the 8×16-codeword argmin
     // scan once per query row it pairs with
@@ -303,8 +296,7 @@ object Similarity {
       case (cv, ci) =>
         struct(VectorExprs.cosineFF(v, typedlit(cv)).as("cos"), lit(ci.toLong).as("cid"))
     }: _*)
-    val codes = array((0 until nSeg).map(s =>
-      segArgmin(col(vecCol), codewords, s, segDim, nCodes).getField("j")): _*)
+    val codes = segCodes(col(vecCol), codewords, nSeg, segDim)
     // ONE fused scan assigns cell + codes; materialize before the fan-out
     val coded = corpus.select(col(idCol).cast("long").as("cid"),
         array_max(cellScores(col(vecCol))).getField("cid").as("cell"),

@@ -395,6 +395,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_kmv_distinct"), "no map-side partial sketch:\n" + p)
   }
 
+  test("s08/s09/s10: generated code compiles — no silent 64 KB fallback") {
+    // the unrolled 128-dot expression tree used to exceed Janino's 64 KB
+    // method limit inside the Generate consume, and Spark FELL BACK to
+    // interpreted execution without failing anything. With fallback off,
+    // a compile failure throws instead of degrading.
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      Seq("s08_pq_encode", "s09_adc_search", "s10_ivfpq").foreach { n =>
+        withClue(s"$n: ") { SparkEntry.queries(n)(spark, sfDir).collect() }
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("d02: signature computed before the exchange, bands join on hash") {
     val df = SparkEntry.queries("d02_dedup_minhash")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
