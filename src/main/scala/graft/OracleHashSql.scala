@@ -404,4 +404,41 @@ object OracleHashSql {
        |SELECT est.e AS est_union, est.kth_s AS kth_union, est.e AS est_direct, ex.exact_users
        |FROM est, ex""".stripMargin
   }
+
+  /** q65: sample-quantile sketch — bottom-k rows by unsigned
+    * splitmix64(event_id) per group, type-1 quantile picks over the sample
+    * ordered by (value, unsigned hash), plus the exact full-data quantiles.
+    * `ceil(n*q)` stays in FP on both engines (q26's rule — ceil(9·n/10) in
+    * exact rationals can differ from IEEE when 10 | 9n).
+    */
+  def q65Sql: String = {
+    val k = 256
+    s"""WITH src AS (
+       |  SELECT event_type, ${u64("event_id")} AS h0,
+       |         CAST(round(value * 100) AS BIGINT) AS v_c
+       |  FROM events),
+       |${mixCtes("src", Seq("event_type", "v_c"))},
+       |r AS (SELECT event_type, v_c, hu,
+       |             row_number() OVER (PARTITION BY event_type ORDER BY hu) AS hrk
+       |      FROM m4),
+       |samp AS (SELECT event_type, v_c, hu FROM r WHERE hrk <= $k),
+       |sq AS (SELECT event_type, v_c,
+       |              row_number() OVER (PARTITION BY event_type ORDER BY v_c ASC, hu ASC) AS rn,
+       |              count(*) OVER (PARTITION BY event_type) AS n
+       |       FROM samp),
+       |sk AS (SELECT event_type, max(n) AS n_sample,
+       |              max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN v_c END) AS p50_c,
+       |              max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN v_c END) AS p90_c
+       |       FROM sq GROUP BY 1),
+       |eq AS (SELECT event_type, v_c,
+       |              row_number() OVER (PARTITION BY event_type ORDER BY v_c ASC, hu ASC) AS rn,
+       |              count(*) OVER (PARTITION BY event_type) AS n
+       |       FROM m4),
+       |ex AS (SELECT event_type,
+       |              max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN v_c END) AS exact_p50_c,
+       |              max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN v_c END) AS exact_p90_c
+       |       FROM eq GROUP BY 1)
+       |SELECT sk.event_type, sk.n_sample, sk.p50_c, sk.p90_c, ex.exact_p50_c, ex.exact_p90_c
+       |FROM sk JOIN ex USING (event_type)""".stripMargin
+  }
 }

@@ -1594,6 +1594,41 @@ object SparkEntry {
         .select(col("event_type"), col("kmv.est").as("est_users"),
           col("kmv.kth").as("kth_hash"), col("exact_users"))
     },
+    "q65_sketch_quantiles" -> q { (s, dir) =>
+      // quantile SKETCH: the k rows with the smallest unsigned
+      // splitmix64(event_id) form a deterministic uniform sample (bottom-k
+      // by a unique row key — a seeded SRS that is a pure function of the
+      // row set, so unlike KLL/t-digest it is order-, partition- and
+      // merge-tree-independent and therefore hash-exactly oracle-able).
+      // Quantiles are q26's type-1 picks over the sample, values as exact
+      // 1e-2-scaled integers; the exact full-data quantiles ride along as
+      // the accuracy reference. Below fill (sf0.001) the sample IS the
+      // data and sketch == exact — spec-asserted. O(k) state per group,
+      // map-side partial merges: the quantile member of the q63/q64
+      // mergeable-sketch family.
+      import graft.expressions.KmvSketch
+      val k = 256
+      val base = Tables.events(s, dir)
+        .select(col("event_type"),
+          KmvSketch.splitmix64(col("event_id")).as("h"),
+          c2(col("value")).as("v_c"))
+      val sk = base.groupBy(col("event_type"))
+        .agg(KmvSketch.quantileSketch(col("h"), col("v_c"), k).as("qs"))
+        .select(col("event_type"), col("qs.n_sample").as("n_sample"),
+          col("qs.p50").as("p50_c"), col("qs.p90").as("p90_c"))
+      // exact reference (q26's pattern); tie-break by the hash in UNSIGNED
+      // order — xor with the sign bit makes signed ordering equal unsigned
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("v_c").asc, col("h").bitwiseXOR(lit(Long.MinValue)).asc)
+      val wn = Window.partitionBy(col("event_type"))
+      val ex = base.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy(col("event_type"))
+        .agg(
+          max(when(col("rn") === ceil(col("n") * lit(0.5)), col("v_c"))).as("exact_p50_c"),
+          max(when(col("rn") === ceil(col("n") * lit(0.9)), col("v_c"))).as("exact_p90_c"))
+      sk.join(ex, Seq("event_type"))
+    },
     "q64_kmv_mergeable" -> q { (s, dir) =>
       // sketch ALGEBRA (the rollup contract): per-group sketch STATES
       // (array<long> k-min sets — the persistable value a daily job writes)
@@ -3026,6 +3061,7 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     "q63_kmv_distinct" -> OracleHashSql.q63Sql,
     "q64_kmv_mergeable" -> OracleHashSql.q64Sql,
+    "q65_sketch_quantiles" -> OracleHashSql.q65Sql,
     "t18_gopher_rules" ->
       """WITH sp0 AS (
         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS sp FROM documents),

@@ -71,6 +71,20 @@ object KmvSketch {
     */
   def kmvMerge(stateCol: Column, k: Int): Column =
     ColumnBridge.column(KmvMerge(ColumnBridge.expression(stateCol), k).toAggregateExpression())
+
+  /** Quantile sketch over (rowHash, value): the k rows with the smallest
+    * UNSIGNED hashes form a deterministic uniform sample (bottom-k by a
+    * unique row key's splitmix64 — a seeded simple random sample that is a
+    * pure function of the row set: order-, partition- and merge-tree-
+    * independent, unlike every insertion-order sketch in the KLL/t-digest
+    * family). Quantiles are q26's type-1 picks over the sample, sorted by
+    * (value, hash). Output struct: (n_sample, p50, p90) — exact quantiles
+    * below fill, sample quantiles (±~1/√k) above.
+    */
+  def quantileSketch(hashCol: Column, valueCol: Column, k: Int): Column =
+    ColumnBridge.column(QuantileSketch(
+      ColumnBridge.expression(hashCol), ColumnBridge.expression(valueCol), k)
+      .toAggregateExpression())
 }
 
 /** splitmix64 of a long, as a codegen scalar expression. */
@@ -120,6 +134,114 @@ final class KmvBuffer(val k: Int) {
     val it = other.set.iterator()
     while (it.hasNext) insert(it.next())
   }
+}
+
+/** Bottom-k (hash → value) sample: the k entries with the smallest
+  * unsigned hashes, each carrying its row's value. Hashes are unique (the
+  * row key is), so a TreeMap keyed by unsigned hash is the whole state.
+  */
+final class KvBuffer(val k: Int) {
+  val map: java.util.TreeMap[java.lang.Long, Long] =
+    new java.util.TreeMap[java.lang.Long, Long](new java.util.Comparator[java.lang.Long] {
+      override def compare(a: java.lang.Long, b: java.lang.Long): Int =
+        java.lang.Long.compareUnsigned(a, b)
+    })
+
+  def insert(h: Long, v: Long): Unit = {
+    if (map.size() < k) { map.put(h, v); () }
+    else if (java.lang.Long.compareUnsigned(h, map.lastKey()) < 0) {
+      map.put(h, v)
+      if (map.size() > k) { map.pollLastEntry(); () }
+    }
+  }
+
+  def mergeIn(other: KvBuffer): Unit = {
+    val it = other.map.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); insert(e.getKey, e.getValue) }
+  }
+}
+
+/** Deterministic sample-quantile sketch (see KmvSketch.quantileSketch).
+  * children = (rowHash LONG, value LONG); output struct
+  * (n_sample, p50, p90) with q26's type-1 `rn == ceil(n·q)` picks over the
+  * sample sorted by (value asc, unsigned hash asc) — the same FP `ceil`
+  * the oracle writes, so picks match bit-for-bit.
+  */
+case class QuantileSketch(
+    hashChild: Expression,
+    valueChild: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KvBuffer] {
+
+  require(k >= 2, s"quantile sketch needs k >= 2, got $k")
+
+  override def children: Seq[Expression] = Seq(hashChild, valueChild)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_sample", LongType, nullable = false),
+    StructField("p50", LongType, nullable = false),
+    StructField("p90", LongType, nullable = false)))
+  override def prettyName: String = "quantile_sketch"
+
+  override def createAggregationBuffer(): KvBuffer = new KvBuffer(k)
+
+  override def update(buffer: KvBuffer, input: InternalRow): KvBuffer = {
+    val h = hashChild.eval(input)
+    val v = valueChild.eval(input)
+    if (h != null && v != null) buffer.insert(h.asInstanceOf[Long], v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: KvBuffer, input: KvBuffer): KvBuffer = {
+    buffer.mergeIn(input)
+    buffer
+  }
+
+  override def eval(buffer: KvBuffer): Any = {
+    val n = buffer.map.size()
+    if (n == 0) return InternalRow(0L, 0L, 0L)
+    val hs = new Array[Long](n)
+    val vs = new Array[Long](n)
+    val it = buffer.map.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) { val e = it.next(); hs(i) = e.getKey; vs(i) = e.getValue; i += 1 }
+    // sort sample by (value asc, unsigned hash asc) — the oracle's ORDER BY
+    val idx = (0 until n).sortWith { (x, y) =>
+      if (vs(x) != vs(y)) vs(x) < vs(y)
+      else java.lang.Long.compareUnsigned(hs(x), hs(y)) < 0
+    }
+    // type-1 pick via the SAME FP ceil the oracle computes (q26's rule:
+    // ceil(n*0.9) in IEEE can exceed the true rational ceil — both engines
+    // must take the identical FP path, so no integer shortcut here)
+    def pick(q: Double): Long = vs(idx(math.ceil(n * q).toInt - 1))
+    InternalRow(n.toLong, pick(0.5), pick(0.9))
+  }
+
+  override def serialize(buffer: KvBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buffer.map.size() * 16)
+    bb.putInt(buffer.map.size())
+    val it = buffer.map.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); bb.putLong(e.getKey); bb.putLong(e.getValue) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KvBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new KvBuffer(k)
+    var i = 0
+    while (i < n) { buf.insert(bb.getLong, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(hashChild = newChildren(0), valueChild = newChildren(1))
 }
 
 /** Shared KMV aggregation machinery: buffer lifecycle, serialization, and

@@ -96,6 +96,29 @@ class KmvSketchSpec extends SparkSpec {
     assert(r.getLong(r.fieldIndex("est_union")) == r.getLong(r.fieldIndex("est_direct")))
   }
 
+  test("quantile sketch: below-fill exactness and merge-tree invariance") {
+    // sf0.001 has ~200 events per type < k=256: the sample IS the data,
+    // so sketch quantiles must equal the exact reference columns
+    val rows = SparkEntry.queries("q65_sketch_quantiles")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("p50_c")) == r.getLong(r.fieldIndex("exact_p50_c")), r)
+      assert(r.getLong(r.fieldIndex("p90_c")) == r.getLong(r.fieldIndex("exact_p90_c")), r)
+    }
+    // above fill: identical output for 1 partition (no merge) vs 16
+    import spark.implicits._
+    val df = (1L to 5000L).map(v => (v % 3, v, (v * 37) % 1000)).toDF("g", "id", "v")
+      .select(col("g"), KmvSketch.splitmix64(col("id")).as("h"), col("v"))
+    def run(p: Int) = df.repartition(p).groupBy("g")
+      .agg(KmvSketch.quantileSketch(col("h"), col("v"), 64).as("qs"))
+      .select(col("g"), col("qs.n_sample"), col("qs.p50"), col("qs.p90"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(run(1) == run(16))
+    // sample quantile tracks truth: p50 of 0..999-uniform within ±25%
+    val p50 = run(16).head._3
+    assert(p50 > 250 && p50 < 750, s"sample p50 $p50 implausible for uniform 0..999")
+  }
+
   test("q63 runs on testdata: estimate equals exact below fill") {
     // sf0.001 has 15 users per event_type < k=64 — the sketch IS the
     // distinct set, so est must equal the exact countDistinct
