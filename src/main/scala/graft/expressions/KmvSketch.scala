@@ -45,6 +45,22 @@ object KmvSketch {
     z ^ (z >>> 31)
   }
 
+  private val Two64 = BigInt(1) << 64
+
+  /** The one estimator definition every KMV surface shares (batch
+    * aggregates and the streaming twin): exact count below fill, else
+    * (floor((k−1)·2⁶⁴ / kth_unsigned), Some(kth)).
+    */
+  def estimate(buffer: KmvBuffer): (Long, Option[Long]) = {
+    val n = buffer.set.size()
+    if (n < buffer.k) (n.toLong, None)
+    else {
+      val kth = buffer.set.last().longValue()
+      val u = (BigInt(kth) & (Two64 - 1)).max(BigInt(1))
+      (((BigInt(buffer.k - 1) * Two64) / u).longValue, Some(kth))
+    }
+  }
+
   def splitmix64(c: Column): Column = ColumnBridge.column(Splitmix64(ColumnBridge.expression(c)))
 
   /** KMV sketch aggregate over a pre-hashed long column. Output struct:
@@ -262,20 +278,10 @@ abstract class KmvAggBase extends TypedImperativeAggregate[KmvBuffer] {
     buffer
   }
 
-  private val Two64 = BigInt(1) << 64
-
-  /** (est, kth) summary row — exact count below fill, floor((k−1)·2⁶⁴/kth)
-    * at fill (BigInt ↔ oracle HUGEINT; max(1) guards the measure-zero
-    * kth == 0).
-    */
+  /** (est, kth) summary row — [[KmvSketch.estimate]] shaped for Catalyst. */
   protected def summary(buffer: KmvBuffer): InternalRow = {
-    val n = buffer.set.size()
-    if (n < k) InternalRow(n.toLong, null)
-    else {
-      val kth = buffer.set.last().longValue()
-      val u = (BigInt(kth) & (Two64 - 1)).max(BigInt(1))
-      InternalRow(((BigInt(k - 1) * Two64) / u).longValue, kth)
-    }
+    val (est, kth) = KmvSketch.estimate(buffer)
+    InternalRow(est, kth.map(Long.box).orNull)
   }
 
   override def serialize(buffer: KmvBuffer): Array[Byte] = {

@@ -135,4 +135,46 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 00:00:00", 2L, 3.0),
       ("2024-01-01 00:01:00", 1L, 3.0)))
   }
+
+  test("streaming KMV sketch: every emitted estimate equals the batch prefix aggregate") {
+    import graft.streaming.{SketchInput, StreamingSketch}
+    import graft.expressions.KmvSketch
+    val k = 32
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => SketchInput(r.getString(0), KmvSketch.mix(r.getLong(1))))
+      .toIndexedSeq
+    val cuts = Seq(rows.length / 3, 2 * rows.length / 3, rows.length)
+    // expected emission for a prefix: per key (est, n_state) from the BATCH
+    // aggregate — the prefix-parity contract
+    def expected(n: Int): Set[(String, Long, Long)] =
+      rows.take(n).toDF("key", "h")
+        .groupBy(col("key"))
+        .agg(KmvSketch.kmvDistinct(col("h"), k).as("kmv"), countDistinct(col("h")).as("nd"))
+        .select(col("key"), col("kmv.est"), col("nd"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), math.min(k.toLong, r.getLong(2)))).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SketchInput]
+    val q = StreamingSketch.distinctEstimates(in.toDS(), k)
+      .writeStream.format("memory").queryName("graft_kmv_stream")
+      .outputMode("append").start()
+    try {
+      var prev = 0
+      var cumulative = Set.empty[(String, Long, Long)]
+      cuts.foreach { c =>
+        in.addData(rows.slice(prev, c)); q.processAllAvailable()
+        cumulative = cumulative ++ expected(c)
+        val emitted = spark.table("graft_kmv_stream").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        assert(emitted == cumulative,
+          s"prefix $c: only-stream=${(emitted -- cumulative).take(3)} only-batch=${(cumulative -- emitted).take(3)}")
+        prev = c
+      }
+      // sketch state stays O(k): the final n_state never exceeds k even
+      // though sf0.001 has fewer users than that would require at scale
+      assert(spark.table("graft_kmv_stream").agg(max("n_state")).head().getLong(0) <= k)
+    } finally q.stop()
+  }
 }
