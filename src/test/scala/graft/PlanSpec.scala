@@ -395,6 +395,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_kmv_distinct"), "no map-side partial sketch:\n" + p)
   }
 
+  test("q65: quantile sketch partial-aggregates map-side like q63") {
+    val p = plan("q65_sketch_quantiles")
+    assert(p.contains("ObjectHashAggregate"), "sketch not object-hash-aggregated:\n" + p)
+    assert(p.contains("partial_quantile_sketch"), "no map-side partial sketch:\n" + p)
+  }
+
   test("s08/s09/s10: generated code compiles — no silent 64 KB fallback") {
     // the unrolled 128-dot expression tree used to exceed Janino's 64 KB
     // method limit inside the Generate consume, and Spark FELL BACK to
