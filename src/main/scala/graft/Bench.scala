@@ -28,7 +28,7 @@ object Bench {
     "q51_triangles", "q52_pagerank", "q53_small_order_revenue", "q54_large_orders",
     "q55_disjunctive_revenue", "q56_top_supplier", "q58_event_pivot", "q59_cube_volume",
     "q60_sole_shipper", "q61_part_variety", "q62_shipmode_priority", "q63_kmv_distinct",
-    "q64_kmv_mergeable", "q65_sketch_quantiles",
+    "q64_kmv_mergeable", "q65_sketch_quantiles", "q66_bfs_depths",
     // s04 re-runs d06's whole candidate+closure pipeline (already benched
     // via d06); m04/m05 are constant-size generators, not SF-scaled —
     // benching them would measure nothing about the data path
@@ -38,6 +38,7 @@ object Bench {
     "d01_dedup_exact", "d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
     "d06_dedup_clusters", "d07_embed_neardup_lsh", "d08_dedup_incremental", "d09_embed_delta",
     "d10_passage_dedup", "d11_semantic_dedup", "d12_dedup_pipeline",
+    "d13_semantic_dedup_trained",
     "s01_ann_brute", "s02_ann_lsh", "s03_ann_ivf", "s05_range_search", "s06_quantize",
     "s07_mmr_diversify", "s08_pq_encode", "s09_adc_search", "s10_ivfpq", "s11_kmeans_train",
     "s12_ann_ivf_trained",

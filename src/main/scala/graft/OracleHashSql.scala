@@ -225,8 +225,12 @@ object OracleHashSql {
     * One oracle proving model TRAINING and model CONSUMPTION agree
     * end-to-end.
     */
-  def s12Sql: String =
-    s"""WITH kc AS (
+  /** s11's three exact-integer Lloyd rounds as CTEs ending in
+    * `cents(ci, cv)` — shared by every trained-quantizer consumer oracle
+    * (s12, d13) so the trained model has ONE SQL definition.
+    */
+  private val lloydCents: String =
+    s"""kc AS (
        |  SELECT vec_id, CAST(i AS BIGINT) AS dim,
        |         CAST(round(CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) * 1000000) AS BIGINT) AS x6
        |  FROM embeddings, range(0, 64) t(i)),
@@ -272,7 +276,10 @@ object OracleHashSql {
        |         FROM c2 p LEFT JOIN upd3 u ON p.ci = u.ci AND p.dim = u.dim),
        |cents AS (
        |  SELECT ci, list(CAST(CAST(c6 AS DOUBLE) / 1000000.0 AS REAL) ORDER BY dim) AS cv
-       |  FROM cfin GROUP BY ci),
+       |  FROM cfin GROUP BY ci)""".stripMargin
+
+  def s12Sql: String =
+    s"""WITH $lloydCents,
        |cscore AS (
        |  SELECT e.vec_id, c.ci, ${cosSql("e.embedding", "c.cv")} AS cos FROM embeddings e, cents c),
        |cells AS (
@@ -288,6 +295,28 @@ object OracleHashSql {
        |  SELECT p.q_id, ce.vec_id AS neighbor_id
        |  FROM probes p JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.q_id),
        |${topKRerank(5)}""".stripMargin
+
+  /** d13: SemDeDup over the s11-TRAINED quantizer — d11's cell-local
+    * keep-min-id pass with the Lloyd centroids ([[lloydCents]]) in place
+    * of the lowest-id stand-ins; the last stand-in consumer closed.
+    */
+  def d13Sql: String =
+    s"""WITH $lloydCents,
+       |score AS (
+       |  SELECT e.vec_id, e.embedding, c.ci, ${cosSql("e.embedding", "c.cv")} AS cos
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT vec_id, embedding, ci AS cell
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ci DESC) AS rn
+       |        FROM score)
+       |  WHERE rn = 1),
+       |rm AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM assign a JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35)
+       |SELECT a.vec_id, a.cell,
+       |       CAST(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM assign a LEFT JOIN rm r ON a.vec_id = r.vec_id""".stripMargin
 
   /** t04: char-8-gram winnowing (window 4). `n_fp`/`fp_min` are
     * order-independent views of the fingerprint set (count-distinct and

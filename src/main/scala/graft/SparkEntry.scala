@@ -599,6 +599,19 @@ object SparkEntry {
       Dedup.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
         eps = 0.35, nCentroids = 32)
     },
+    "d13_semantic_dedup_trained" -> q { (s, dir) =>
+      // SemDeDup over the s11-TRAINED quantizer: the same cell-local
+      // keep-min-id pass as d11, with the exact-integer Lloyd centroids in
+      // place of the lowest-id stand-ins — the final stand-in consumer
+      // closed (s12 did it for IVF search; this does it for the dedup
+      // pipeline's quantizer). Training and pruning verify in ONE oracle:
+      // the SQL re-runs the three Lloyd rounds and the cell-local prune.
+      val emb = Tables.embeddings(s, dir)
+      val trained = Similarity.kmeansCentroidVectors(emb, "vec_id", "embedding",
+        dim = 64, k = 8, iters = 3)
+      Dedup.semanticDedup(emb, "vec_id", "embedding", eps = 0.35,
+        trained = Some(trained))
+    },
     "s05_range_search" -> q { (s, dir) =>
       // range (threshold) similarity search: all corpus vectors within
       // cos >= 0.35 of each query — banded corpus scan + broadcast banded
@@ -1542,6 +1555,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_orders").desc, col("l_suppkey").asc)
         .limit(20)
+    },
+    "q66_bfs_depths" -> q { (s, dir) =>
+      // multi-source BFS over FOLLOWS (GraphOps.bfsDepths): the hop-
+      // distance layer a feed surface ranks by, and the graph-traversal
+      // member of the iterative family (q52 fixpoint ranks, d06 closure,
+      // s11 training). Frontier-driven: per-iteration work ∝ the new
+      // layer, never the graph; depths are exact integers so six
+      // distributed rounds hash-match a recursive-CTE min-depth oracle.
+      val edges = Tables.events(s, dir).select(
+        col("user_id").as("src"),
+        pmod(graft.expressions.JsonKernels.jsonLongField(col("props"), "k"), lit(150)).as("dst"))
+        .where(col("dst").isNotNull)
+      val seeds = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst")))
+        .where(col("node") < 2).distinct()
+      GraphOps.bfsDepths(edges, "src", "dst", seeds, maxDepth = 6)
     },
     "q62_shipmode_priority" -> q { (s, dir) =>
       // TPC-H Q12 shape — priority-class line counts per shipment category
@@ -3022,6 +3051,7 @@ object SparkEntry {
     // expression order (least(256/max, 1.0), then round half-up).
     "t17_bloom_contamination" -> OracleHashSql.t17Sql,
     "s12_ann_ivf_trained" -> OracleHashSql.s12Sql,
+    "d13_semantic_dedup_trained" -> OracleHashSql.d13Sql,
     "q61_part_variety" ->
       """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
         |j AS (
@@ -3060,6 +3090,21 @@ object SparkEntry {
         |WHERE ship_us >= epoch_us(o_orderdate) + 2592000000000
         |GROUP BY 1""".stripMargin,
     "q63_kmv_distinct" -> OracleHashSql.q63Sql,
+    "q66_bfs_depths" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT user_id AS es, CAST(json_extract_string(props, '$.k') AS BIGINT) % 150 AS ed
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |    AND user_id <> CAST(json_extract_string(props, '$.k') AS BIGINT) % 150),
+        |seeds AS (
+        |  SELECT DISTINCT node
+        |  FROM (SELECT es AS node FROM e UNION ALL SELECT ed FROM e)
+        |  WHERE node < 2),
+        |reach(node, depth) AS (
+        |  SELECT node, CAST(0 AS BIGINT) FROM seeds
+        |  UNION
+        |  SELECT e.ed, r.depth + 1 FROM reach r JOIN e ON e.es = r.node WHERE r.depth < 6)
+        |SELECT node AS node_id, min(depth) AS depth FROM reach GROUP BY node""".stripMargin,
     "q64_kmv_mergeable" -> OracleHashSql.q64Sql,
     "q65_sketch_quantiles" -> OracleHashSql.q65Sql,
     "t18_gopher_rules" ->

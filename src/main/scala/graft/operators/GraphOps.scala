@@ -196,4 +196,45 @@ object GraphOps {
       .groupBy(col("role"), col("node_id"))
       .agg(count(lit(1)).as("degree"))
   }
+
+  /** Multi-source BFS depths along edge direction: the distance layer a
+    * feed/recommendation surface ranks by ("how many hops from the seed
+    * accounts"). Frontier expansion — each iteration is one join + one
+    * distinct + one anti-join, all keyed on the node id, and only the
+    * FRONTIER (nodes first reached this round) drives the next join, so
+    * per-iteration work is proportional to the layer, not the graph.
+    * Iterations = reached diameter, bounded by `maxDepth`; lineage cut per
+    * round (the d06 rule). Depths are exact integers and BFS layering is a
+    * pure function of the edge SET — partition- and retry-independent, so
+    * the output hash-matches a recursive-CTE min-depth oracle.
+    */
+  def bfsDepths(
+      edges: DataFrame,
+      src: String,
+      dst: String,
+      seeds: DataFrame,
+      maxDepth: Int = 6): DataFrame = {
+    val e = edges
+      .select(col(src).cast("long").as("es"), col(dst).cast("long").as("ed"))
+      .where(col("es") =!= col("ed")).distinct().localCheckpoint(true)
+    var depths = seeds.select(col(seeds.columns.head).cast("long").as("node"))
+      .distinct().withColumn("depth", lit(0L)).localCheckpoint(true)
+    var frontier = depths
+    var d = 1
+    var done = false
+    while (d <= maxDepth && !done) {
+      val next = frontier.join(e, col("node") === col("es"))
+        .select(col("ed").as("node")).distinct()
+        .join(depths, Seq("node"), "left_anti")
+        .withColumn("depth", lit(d.toLong))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        depths = depths.union(next).localCheckpoint(true)
+        frontier = next
+      }
+      d += 1
+    }
+    depths.select(col("node").as("node_id"), col("depth"))
+  }
 }

@@ -402,6 +402,33 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q66 bfs: seeds at depth 0; every other depth is 1 + min in-neighbor depth") {
+    val out = SparkEntry.queries("q66_bfs_depths")(spark, sfDir)
+    val edges = Tables.events(spark, sfDir).select(
+      col("user_id").as("src"),
+      pmod(graft.expressions.JsonKernels.jsonLongField(col("props"), "k"), lit(150)).as("dst"))
+      .where(col("dst").isNotNull && col("user_id") =!= col("dst"))
+      .distinct()
+    val d = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d.nonEmpty && d.filter(_._2 == 0L).keySet == d.keySet.filter(_ < 2L))
+    // BFS local optimality: depth(v) = 1 + min over in-neighbors u of depth(u)
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    d.filter(_._2 > 0L).foreach { case (v, dep) =>
+      val best = es.collect { case (u, w) if w == v && d.contains(u) => d(u) }.min
+      assert(dep == best + 1, s"node $v depth $dep but best in-neighbor ${best}")
+    }
+  }
+
+  test("d13 trained semantic dedup: keep flags follow the min-id rule within cells") {
+    val out = SparkEntry.queries("d13_semantic_dedup_trained")(spark, sfDir)
+    assert(out.count() == Tables.embeddings(spark, sfDir).count())
+    // the lowest id in every cell always survives
+    val minPerCell = out.groupBy("cell").agg(min("vec_id").as("mn"))
+    val dropped = out.join(minPerCell, Seq("cell"))
+      .where(col("vec_id") === col("mn") && col("keep") === 0L)
+    assert(dropped.count() == 0, "a cell's min id can never have a lower-id peer")
+  }
+
   test("m01 multimodal stats cover all three kinds") {
     val out = SparkEntry.queries("m01_multimodal")(spark, sfDir).collect()
     assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))
