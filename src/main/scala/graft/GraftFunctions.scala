@@ -41,7 +41,15 @@ object GraftFunctions {
     "json_long_field" -> (es => JsonKernels.JsonLongField(es(0), strArg(es(1), "key"))),
     "py_json_normalize" -> (es => PyJsonNormalize(es(0))),
     "winnow_fingerprint" -> (es =>
-      TextKernels.WinnowFingerprint(es(0), intArg(es(1), "k"), intArg(es(2), "window"))))
+      TextKernels.WinnowFingerprint(es(0), intArg(es(1), "k"), intArg(es(2), "window"))),
+    "splitmix64" -> (es => Splitmix64(es(0))),
+    // aggregates: the analyzer wraps a returned AggregateFunction in an
+    // AggregateExpression, exactly as for builtin aggs — SQL users get
+    //   SELECT kmv_distinct(splitmix64(user_id), 64).est FROM events
+    "kmv_distinct" -> (es => KmvDistinct(es(0), intArg(es(1), "k"))),
+    "kmv_state" -> (es => KmvState(es(0), intArg(es(1), "k"))),
+    "kmv_merge" -> (es => KmvMerge(es(0), intArg(es(1), "k"))),
+    "quantile_sketch" -> (es => QuantileSketch(es(0), es(1), intArg(es(2), "k"))))
 
   /** Register every kernel as a temp function on an existing session. */
   def register(spark: SparkSession): Unit =

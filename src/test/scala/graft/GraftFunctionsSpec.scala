@@ -76,4 +76,34 @@ class GraftFunctionsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sqlOut == apiOut)
   }
+
+  test("sketch aggregates are callable from pure SQL and match the Scala API") {
+    import org.apache.spark.sql.functions._
+    import graft.expressions.KmvSketch
+    GraftFunctions.register(spark)
+    Tables.events(spark, sfDir).createOrReplaceTempView("events_v")
+    val sqlOut = spark.sql(
+      """SELECT event_type, kmv_distinct(splitmix64(user_id), 64).est AS est
+        |FROM events_v GROUP BY event_type""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val apiOut = Tables.events(spark, sfDir)
+      .select(col("event_type"), KmvSketch.splitmix64(col("user_id")).as("h"))
+      .groupBy("event_type").agg(KmvSketch.kmvDistinct(col("h"), 64).as("kmv"))
+      .select(col("event_type"), col("kmv.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sqlOut == apiOut && sqlOut.nonEmpty)
+    // quantile sketch + two-level state/merge from SQL
+    val q = spark.sql(
+      """SELECT kmv_merge(state, 64).est AS est FROM (
+        |  SELECT event_type, kmv_state(splitmix64(user_id), 64) AS state
+        |  FROM events_v GROUP BY event_type)""".stripMargin).head().getLong(0)
+    val direct = spark.sql(
+      "SELECT kmv_distinct(splitmix64(user_id), 64).est FROM events_v").head().getLong(0)
+    assert(q == direct)
+    val qs = spark.sql(
+      """SELECT event_type, quantile_sketch(splitmix64(event_id),
+        |         CAST(round(value * 100) AS BIGINT), 256).p50 AS p50
+        |FROM events_v GROUP BY event_type""".stripMargin).collect()
+    assert(qs.nonEmpty && qs.forall(!_.isNullAt(1)))
+  }
 }
