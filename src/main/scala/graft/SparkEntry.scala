@@ -1556,6 +1556,37 @@ object SparkEntry {
         .orderBy(col("n_orders").desc, col("l_suppkey").asc)
         .limit(20)
     },
+    "q67_excess_shippers" -> q { (s, dir) =>
+      // TPC-H Q20 shape with partsupp modeled from shipped volume (the
+      // testdata has no partsupp — same modeling rule as q41's cost):
+      // suppliers holding an EXCESS share (> half) of any bolt-family
+      // part's 1997 volume, with their nations. Scale shape: the part-
+      // family filter broadcast-prunes lineitem BEFORE the first groupBy
+      // (the q53 lesson); the per-part total re-aggregates the per-(part,
+      // supplier) partials instead of rescanning lineitem; the excess
+      // gate is exact integer cross-multiplication; dims broadcast AFTER
+      // the aggregation, when rows are supplier-scale.
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_partkey"), col("l_suppkey"), c2(col("l_quantity")).as("q_c"))
+      val bolts = broadcast(Tables.part(s, dir)
+        .where(col("p_name").contains("bolt")).select(col("p_partkey")))
+      val perPS = li.join(bolts, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("q_c")).as("ps_qty"))
+      val perP = perPS.groupBy(col("l_partkey")).agg(sum(col("ps_qty")).as("p_qty"))
+      val excess = perPS.join(perP, Seq("l_partkey"))
+        .where(col("ps_qty") * 2 > col("p_qty"))
+        .select(col("l_suppkey")).distinct()
+      excess
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    },
     "q66_bfs_depths" -> q { (s, dir) =>
       // multi-source BFS over FOLLOWS (GraphOps.bfsDepths): the hop-
       // distance layer a feed surface ranks by, and the graph-traversal
@@ -3106,6 +3137,19 @@ object SparkEntry {
         |  SELECT e.ed, r.depth + 1 FROM reach r JOIN e ON e.es = r.node WHERE r.depth < 6)
         |SELECT node AS node_id, min(depth) AS depth FROM reach GROUP BY node""".stripMargin,
     "q64_kmv_mergeable" -> OracleHashSql.q64Sql,
+    "q67_excess_shippers" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_suppkey, CAST(round(l_quantity * 100) AS BIGINT) AS q_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')),
+        |ps AS (SELECT l_partkey, l_suppkey, CAST(sum(q_c) AS BIGINT) AS ps_qty FROM li GROUP BY 1, 2),
+        |pp AS (SELECT l_partkey, CAST(sum(ps_qty) AS BIGINT) AS p_qty FROM ps GROUP BY 1),
+        |ex AS (SELECT DISTINCT ps.l_suppkey FROM ps JOIN pp USING (l_partkey)
+        |       WHERE ps.ps_qty * 2 > pp.p_qty)
+        |SELECT s.s_suppkey, s.s_name, n.n_name
+        |FROM ex JOIN supplier s ON s.s_suppkey = ex.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey""".stripMargin,
     "q65_sketch_quantiles" -> OracleHashSql.q65Sql,
     "t18_gopher_rules" ->
       """WITH sp0 AS (

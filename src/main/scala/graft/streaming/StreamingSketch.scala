@@ -3,10 +3,21 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.expressions.{KmvBuffer, KmvSketch}
+import graft.expressions.{KmvBuffer, KmvSketch, KvBuffer}
 
 /** Pre-hashed sketch input: `key` is the group, `h` = splitmix64(member). */
 final case class SketchInput(key: String, h: Long)
+
+/** Quantile-sketch input: `h` = splitmix64(unique row key), `v` the
+  * 1e-2-scaled integer value.
+  */
+final case class QuantileInput(key: String, h: Long, v: Long)
+
+/** Per-batch quantile view: sample size and type-1 p50/p90 picks. */
+final case class QuantileEstimate(key: String, n_sample: Long, p50: Long, p90: Long)
+
+/** Persisted bottom-k (hash, value) sample, parallel arrays. */
+final case class KvStateRow(hashes: Array[Long], values: Array[Long])
 
 /** One estimate row per (key, micro-batch): the sketch's view after that
   * batch. `n_state` is the k-min set size (= exact distinct below fill).
@@ -52,6 +63,47 @@ object StreamingSketch {
           state.update(KmvStateRow(hs))
           val (est, _) = KmvSketch.estimate(buf)
           Iterator(SketchEstimate(key, est, hs.length.toLong))
+        })
+  }
+
+  /** q65's quantile sketch on an unbounded stream — same O(k)-forever
+    * state contract as [[distinctEstimates]], same prefix parity: the
+    * bottom-k (hash, value) sample after batch i is a pure function of
+    * the row set seen so far, so each emitted (p50, p90) equals the batch
+    * `quantileSketch` aggregate over the prefix. Picks mirror the batch
+    * eval exactly (value-asc / unsigned-hash-asc order, FP ceil).
+    */
+  def quantileEstimates(events: Dataset[QuantileInput], k: Int): Dataset[QuantileEstimate] = {
+    implicit val outEnc = Encoders.product[QuantileEstimate]
+    implicit val stEnc = Encoders.product[KvStateRow]
+    implicit val keyEnc = Encoders.STRING
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[QuantileInput], state: GroupState[KvStateRow]) => {
+          val buf = new KvBuffer(k)
+          state.getOption.foreach { st =>
+            var i = 0
+            while (i < st.hashes.length) { buf.insert(st.hashes(i), st.values(i)); i += 1 }
+          }
+          it.foreach(e => buf.insert(e.h, e.v))
+          val n = buf.map.size()
+          val hs = new Array[Long](n)
+          val vs = new Array[Long](n)
+          val iter = buf.map.entrySet().iterator()
+          var i = 0
+          while (iter.hasNext) { val e = iter.next(); hs(i) = e.getKey; vs(i) = e.getValue; i += 1 }
+          state.update(KvStateRow(hs, vs))
+          if (n == 0) Iterator(QuantileEstimate(key, 0L, 0L, 0L))
+          else {
+            // identical pick logic to QuantileSketch.eval
+            val idx = (0 until n).sortWith { (x, y) =>
+              if (vs(x) != vs(y)) vs(x) < vs(y)
+              else java.lang.Long.compareUnsigned(hs(x), hs(y)) < 0
+            }
+            def pick(q: Double): Long = vs(idx(math.ceil(n * q).toInt - 1))
+            Iterator(QuantileEstimate(key, n.toLong, pick(0.5), pick(0.9)))
+          }
         })
   }
 }

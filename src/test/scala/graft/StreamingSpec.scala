@@ -177,4 +177,41 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("graft_kmv_stream").agg(max("n_state")).head().getLong(0) <= k)
     } finally q.stop()
   }
+
+  test("streaming quantile sketch: prefix parity with the batch aggregate") {
+    import graft.streaming.{QuantileInput, StreamingSketch}
+    import graft.expressions.KmvSketch
+    val k = 32
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => QuantileInput(r.getString(0), KmvSketch.mix(r.getLong(1)),
+        math.round(r.getDouble(2) * 100.0)))
+      .toIndexedSeq
+    val cuts = Seq(rows.length / 2, rows.length)
+    def expected(n: Int): Set[(String, Long, Long, Long)] =
+      rows.take(n).toDF("key", "h", "v")
+        .groupBy(col("key"))
+        .agg(KmvSketch.quantileSketch(col("h"), col("v"), k).as("qs"))
+        .select(col("key"), col("qs.n_sample"), col("qs.p50"), col("qs.p90"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[QuantileInput]
+    val q = StreamingSketch.quantileEstimates(in.toDS(), k)
+      .writeStream.format("memory").queryName("graft_qs_stream")
+      .outputMode("append").start()
+    try {
+      var prev = 0
+      var cumulative = Set.empty[(String, Long, Long, Long)]
+      cuts.foreach { c =>
+        in.addData(rows.slice(prev, c)); q.processAllAvailable()
+        cumulative = cumulative ++ expected(c)
+        val emitted = spark.table("graft_qs_stream").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(emitted == cumulative,
+          s"prefix $c: only-stream=${(emitted -- cumulative).take(3)} only-batch=${(cumulative -- emitted).take(3)}")
+        prev = c
+      }
+    } finally q.stop()
+  }
 }
