@@ -43,6 +43,7 @@ object Bench {
     "s07_mmr_diversify", "s08_pq_encode", "s09_adc_search", "s10_ivfpq", "s11_kmeans_train",
     "s12_ann_ivf_trained",
     "m01_multimodal", "m02_frame_sample", "m03_resize_plan", "m06_frame_phash",
+    "m07_frame_neardup",
     "t01_langid", "t02_quality", "t03_tokens", "t04_fingerprint", "t05_normalize",
     "t06_stratified_sample", "t07_cap_per_source", "t08_contamination", "t09_repetition",
     "t10_pii_redact", "t11_curation", "t12_sequence_pack", "t13_url_domains",

@@ -1333,6 +1333,35 @@ object SparkEntry {
       // generator's closed-form pixel model
       Multimodal.frameFingerprints(s, Multimodal.syntheticRawMedia(s, 600))
     },
+    "m07_frame_neardup" -> q { (s, dir) =>
+      // multimodal near-dup END-TO-END: m06's per-frame average-hashes →
+      // d03's 4×16-bit chunk banding (pigeonhole-exact for hamming ≤ 3) →
+      // frame pairs. The dedup machinery applied to the decoded-media
+      // fingerprint — the crossover that makes the multimodal columns
+      // first-class dedup citizens. Testbed caveat, documented: short
+      // payloads yield sub-width fingerprints whose zero chunks form hot
+      // buckets (production quarantines sub-width media like m06
+      // quarantines undecodables); bucket-local joins still bound the
+      // candidate set, and the oracle re-derives EVERY fingerprint bit
+      // from the generator model, then all-pairs hamming.
+      val fps = Multimodal.frameFingerprints(s, Multimodal.syntheticRawMedia(s, 600))
+      val f = fps
+        .select((col("media_id") * 256 + col("frame_idx")).as("id"), col("fingerprint").as("sim"))
+        .repartition(col("id"))
+      val banded = f.withColumn("chunk",
+        explode(array((0 until 4).map(j => struct(lit(j).as("j"),
+          shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)))
+      val left = banded.select(col("id").as("a"), col("sim").as("sim_a"), col("chunk"))
+      val right = banded.select(col("id").as("b"), col("sim").as("sim_b"), col("chunk"))
+      left.join(right, Seq("chunk"))
+        .where(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(first(TextFns.hamming64(col("sim_a"), col("sim_b"))).as("hamming"))
+        .where(col("hamming") <= 3)
+        .select(expr("a div 256").as("a_media"), expr("a % 256").as("a_frame"),
+          expr("b div 256").as("b_media"), expr("b % 256").as("b_frame"),
+          col("hamming"))
+    },
     "m01_multimodal" -> q { (s, dir) =>
       val media = Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
       Multimodal.featureStats(Multimodal.decodeFeatures(s, media))
@@ -2598,6 +2627,32 @@ object SparkEntry {
         |                     ELSE CAST(1 AS BIGINT) << CAST(v.k AS INT) END) AS BIGINT) AS fingerprint
         |FROM v JOIN s ON v.media_id = s.media_id AND v.f = s.f
         |GROUP BY 1, 2""".stripMargin,
+    "m07_frame_neardup" ->
+      """WITH m AS (
+        |  SELECT i AS media_id,
+        |         (i % 7 + 2) * (i % 5 + 2) *
+        |           (CASE WHEN i % 3 = 1 THEN 1 ELSE 3 END) AS n,
+        |         CASE WHEN i % 3 = 2 THEN i % 4 + 1 ELSE 1 END AS frames
+        |  FROM range(0, 600) t(i)),
+        |fr AS (SELECT media_id, n, unnest(generate_series(0, frames - 1)) AS f FROM m),
+        |px AS (SELECT media_id, n, f, unnest(generate_series(0, n - 1)) AS k FROM fr),
+        |v AS (SELECT media_id, f, n, k,
+        |             (media_id * 31 + (f * n + k) * 17) % 251 AS pix
+        |      FROM px),
+        |s AS (SELECT media_id, f, CAST(sum(pix) AS BIGINT) AS psum FROM v GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT v.media_id, CAST(v.f AS BIGINT) AS frame_idx,
+        |         CAST(sum(CASE WHEN v.k >= 64 OR v.pix * v.n <= s.psum THEN 0
+        |                       WHEN v.k = 63 THEN CAST(-9223372036854775807 AS BIGINT) - 1
+        |                       ELSE CAST(1 AS BIGINT) << CAST(v.k AS INT) END) AS BIGINT) AS fp
+        |  FROM v JOIN s ON v.media_id = s.media_id AND v.f = s.f
+        |  GROUP BY 1, 2)
+        |SELECT x.media_id AS a_media, x.frame_idx AS a_frame,
+        |       y.media_id AS b_media, y.frame_idx AS b_frame,
+        |       CAST(bit_count(xor(x.fp, y.fp)) AS INT) AS hamming
+        |FROM sig x JOIN sig y
+        |  ON (x.media_id < y.media_id OR (x.media_id = y.media_id AND x.frame_idx < y.frame_idx))
+        |WHERE bit_count(xor(x.fp, y.fp)) <= 3""".stripMargin,
     "m05_audio_windows" ->
       """SELECT i AS media_id,
         |       CAST(len AS BIGINT) AS n_samples,
