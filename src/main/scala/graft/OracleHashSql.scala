@@ -434,6 +434,45 @@ object OracleHashSql {
        |FROM est, ex""".stripMargin
   }
 
+  /** q69: KMV INTERSECTION estimate from two per-type k-min sets (the
+    * theta-sketch estimator): θ = the union sketch's kth min, c = common
+    * hashes inside the union's k-min set, est = c·est_union/k (exact
+    * integer; c exact below fill). Every term is a pure function of the
+    * two k-min sets, so the estimator re-derives bit-for-bit.
+    */
+  def q69Sql: String = {
+    val k = 64
+    s"""WITH src AS (
+       |  SELECT event_type, ${u64("user_id")} AS h0
+       |  FROM (SELECT DISTINCT event_type, user_id FROM events
+       |        WHERE event_type IN ('click', 'purchase'))),
+       |${mixCtes("src", Seq("event_type"))},
+       |u AS (SELECT DISTINCT hu FROM m4),
+       |r AS (SELECT hu, row_number() OVER (ORDER BY hu) AS rk, count(*) OVER () AS n FROM u),
+       |kk AS (SELECT max(CASE WHEN rk = $k THEN hu END) AS kth, max(n) AS n FROM r),
+       |eu AS (SELECT CASE WHEN n >= $k
+       |              THEN CAST((${k - 1} * CAST(18446744073709551616 AS HUGEINT)) // greatest(kth, 1) AS BIGINT)
+       |              ELSE n END AS est_union, n, kth FROM kk),
+       |ka AS (SELECT hu, row_number() OVER (ORDER BY hu) AS rk
+       |       FROM (SELECT DISTINCT hu FROM m4 WHERE event_type = 'click')),
+       |kb AS (SELECT hu, row_number() OVER (ORDER BY hu) AS rk
+       |       FROM (SELECT DISTINCT hu FROM m4 WHERE event_type = 'purchase')),
+       |commons AS (
+       |  SELECT a.hu FROM (SELECT hu FROM ka WHERE rk <= $k) a
+       |  JOIN (SELECT hu FROM kb WHERE rk <= $k) b USING (hu)),
+       |cc AS (SELECT count(*) AS n_common FROM commons, eu
+       |       WHERE eu.n < $k OR commons.hu <= eu.kth),
+       |ex AS (
+       |  SELECT count(*) AS exact_intersection FROM (
+       |    SELECT DISTINCT user_id FROM events WHERE event_type = 'click') a
+       |  JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') b
+       |  USING (user_id))
+       |SELECT CASE WHEN eu.n < $k THEN cc.n_common
+       |            ELSE (cc.n_common * eu.est_union) // $k END AS est_intersection,
+       |       cc.n_common, eu.est_union, ex.exact_intersection
+       |FROM cc, eu, ex""".stripMargin
+  }
+
   /** q65: sample-quantile sketch — bottom-k rows by unsigned
     * splitmix64(event_id) per group, type-1 quantile picks over the sample
     * ordered by (value, unsigned hash), plus the exact full-data quantiles.

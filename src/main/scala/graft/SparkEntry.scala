@@ -1585,16 +1585,96 @@ object SparkEntry {
         .orderBy(col("n_orders").desc, col("l_suppkey").asc)
         .limit(20)
     },
+    "q68_nation_value" -> q { (s, dir) =>
+      // TPC-H Q11 shape — one nation's stocked-part value distribution
+      // with the scalar-subquery HAVING gate. partsupp value modeled from
+      // shipped volume × retail price (the q41/q67 rule). The gate is
+      // parts above 2× the MEAN share — scale-free where Q11's fixed
+      // fraction is not (the TPC-H spec divides its 0.0001 by SF for the
+      // same reason; a fixed fraction empties as |parts| grows — observed
+      // at sf1). Scale shape: the nation's suppliers broadcast-prune
+      // lineitem BEFORE the per-part aggregate; the (total, count) scalar
+      // broadcasts back as ONE row; the gate is integer cross-
+      // multiplication (value·n > 2·total, zero FP); value4 = 1e-4-scaled
+      // exact integers throughout.
+      val sups = broadcast(Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .where(col("n_name") === "NATION_3").select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey")))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"), c2(col("l_quantity")).as("q_c"))
+        .join(sups, col("l_suppkey") === col("s_suppkey"))
+      val perPart = li
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), c2(col("p_retailprice")).as("price_c"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("q_c") * col("price_c")).as("value4"))
+      val total = perPart.agg(sum(col("value4")).as("total4"), count(lit(1)).as("n_parts"))
+      // value4 stays a scaled integer in the OUTPUT too: value4/1e4 has 4
+      // decimals, so round(·, 2) hits .xx5 ties that the two engines
+      // resolve differently (the q35 gotcha) — emit the exact integer
+      perPart.crossJoin(broadcast(total))
+        .where(col("value4") * col("n_parts") > col("total4") * 2L)
+        .select(col("l_partkey").as("p_partkey"), col("value4"))
+    },
+    "q69_kmv_intersection" -> q { (s, dir) =>
+      // sketch set-algebra completed: INTERSECTION cardinality from two
+      // persisted KMV states (Dasgupta et al.'s theta-sketch estimator —
+      // the rollup answer to "how many users did BOTH X and Y" without
+      // touching raw keys). θ = the union sketch's kth min; the estimate
+      // counts common hashes inside the union's k-min set and rescales:
+      // est = c·est_union/k (exact integer; c exact below fill). Every
+      // term is a pure function of the two k-min SETS, so the whole
+      // estimator — not a tolerance band — hash-matches the oracle; the
+      // exact intersection rides along as the accuracy reference.
+      import graft.expressions.KmvSketch
+      val k = 64
+      val ev = Tables.events(s, dir)
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"), col("user_id"),
+          KmvSketch.splitmix64(col("user_id")).as("h"))
+      val states = ev.groupBy(col("event_type"))
+        .agg(KmvSketch.kmvState(col("h"), k).as("state"))
+      val merged = states.agg(KmvSketch.kmvMerge(col("state"), k).as("kmv"))
+        .select(col("kmv.est").as("est_union"), col("kmv.kth").as("kth"))
+      val ha = states.where(col("event_type") === "click")
+        .select(explode(col("state")).as("h"))
+      val hb = states.where(col("event_type") === "purchase")
+        .select(explode(col("state")).as("h"))
+      // unsigned h <= kth ⟺ h is inside the union's k-min set (xor with
+      // the sign bit maps unsigned order onto signed comparisons)
+      val common = ha.join(hb, Seq("h")).crossJoin(broadcast(merged))
+        .where(col("kth").isNull ||
+          col("h").bitwiseXOR(lit(Long.MinValue)) <= col("kth").bitwiseXOR(lit(Long.MinValue)))
+        .agg(count(lit(1)).as("n_common"))
+      val exact = ev.where(col("event_type") === "click").select(col("user_id")).distinct()
+        .join(ev.where(col("event_type") === "purchase").select(col("user_id")).distinct(),
+          Seq("user_id"))
+        .agg(count(lit(1)).as("exact_intersection"))
+      common.crossJoin(broadcast(merged)).crossJoin(broadcast(exact))
+        .select(
+          // `div`, not `/`: Spark's / on longs yields DOUBLE; div is the
+          // exact integer floor the oracle's // computes on positives
+          when(col("kth").isNull, col("n_common"))
+            .otherwise(expr(s"(n_common * est_union) div $k"))
+            .as("est_intersection"),
+          col("n_common"), col("est_union"), col("exact_intersection"))
+    },
     "q67_excess_shippers" -> q { (s, dir) =>
       // TPC-H Q20 shape with partsupp modeled from shipped volume (the
       // testdata has no partsupp — same modeling rule as q41's cost):
       // suppliers holding an EXCESS share (> half) of any bolt-family
       // part's 1997 volume, with their nations. Scale shape: the part-
       // family filter broadcast-prunes lineitem BEFORE the first groupBy
-      // (the q53 lesson); the per-part total re-aggregates the per-(part,
-      // supplier) partials instead of rescanning lineitem; the excess
-      // gate is exact integer cross-multiplication; dims broadcast AFTER
-      // the aggregation, when rows are supplier-scale.
+      // (the q53 lesson), and the per-part total is a WINDOW over the
+      // per-(part, supplier) aggregate on ONE exchange — the q60 trick:
+      // repartition(l_partkey) satisfies the groupBy's clustering AND the
+      // window's, so there is no self-join and the aggregate evaluates
+      // once (the naive perPS⋈perP form re-ran the whole chain per side —
+      // caught by the plan spec). Excess gate = exact integer cross-
+      // multiplication; dims broadcast AFTER aggregation.
       val li = Tables.lineitem(s, dir)
         .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
@@ -1602,10 +1682,11 @@ object SparkEntry {
       val bolts = broadcast(Tables.part(s, dir)
         .where(col("p_name").contains("bolt")).select(col("p_partkey")))
       val perPS = li.join(bolts, col("l_partkey") === col("p_partkey"))
+        .repartition(col("l_partkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(col("q_c")).as("ps_qty"))
-      val perP = perPS.groupBy(col("l_partkey")).agg(sum(col("ps_qty")).as("p_qty"))
-      val excess = perPS.join(perP, Seq("l_partkey"))
+      val excess = perPS
+        .withColumn("p_qty", sum(col("ps_qty")).over(Window.partitionBy(col("l_partkey"))))
         .where(col("ps_qty") * 2 > col("p_qty"))
         .select(col("l_suppkey")).distinct()
       excess
@@ -3192,6 +3273,21 @@ object SparkEntry {
         |  SELECT e.ed, r.depth + 1 FROM reach r JOIN e ON e.es = r.node WHERE r.depth < 6)
         |SELECT node AS node_id, min(depth) AS depth FROM reach GROUP BY node""".stripMargin,
     "q64_kmv_mergeable" -> OracleHashSql.q64Sql,
+    "q68_nation_value" ->
+      """WITH li AS (
+        |  SELECT l.l_partkey,
+        |         CAST(round(l.l_quantity * 100) AS BIGINT)
+        |           * CAST(round(p.p_retailprice * 100) AS BIGINT) AS v4
+        |  FROM lineitem l
+        |  JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE l.l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |    WHERE n.n_name = 'NATION_3')),
+        |pp AS (SELECT l_partkey, CAST(sum(v4) AS BIGINT) AS value4 FROM li GROUP BY 1),
+        |tot AS (SELECT CAST(sum(value4) AS BIGINT) AS total4, count(*) AS n_parts FROM pp)
+        |SELECT pp.l_partkey AS p_partkey, pp.value4
+        |FROM pp, tot WHERE pp.value4 * tot.n_parts > tot.total4 * 2""".stripMargin,
+    "q69_kmv_intersection" -> OracleHashSql.q69Sql,
     "q67_excess_shippers" ->
       """WITH li AS (
         |  SELECT l_partkey, l_suppkey, CAST(round(l_quantity * 100) AS BIGINT) AS q_c

@@ -401,6 +401,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_quantile_sketch"), "no map-side partial sketch:\n" + p)
   }
 
+  test("q67: family filter prunes lineitem below the first aggregate; dims broadcast") {
+    val p = plan("q67_excess_shippers")
+    // the bolt-part semi join must sit under the per-(part, supplier)
+    // groupBy (the q53 scoping rule): broadcast joins present, and no
+    // SortMergeJoin anywhere (supplier/nation broadcast post-agg)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "unexpected shuffle join:\n" + p)
+    assert(p.contains("partial_sum"), "no map-side partial aggregation:\n" + p)
+  }
+
   test("s08/s09/s10: generated code compiles — no silent 64 KB fallback") {
     // the unrolled 128-dot expression tree used to exceed Janino's 64 KB
     // method limit inside the Generate consume, and Spark FELL BACK to

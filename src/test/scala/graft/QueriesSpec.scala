@@ -429,6 +429,25 @@ class QueriesSpec extends SparkSpec {
     assert(dropped.count() == 0, "a cell's min id can never have a lower-id peer")
   }
 
+  test("m07 frame near-dup: pairs are canonical and within the hamming bound") {
+    val out = SparkEntry.queries("m07_frame_neardup")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (am, af, bm, bf) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(am < bm || (am == bm && af < bf), s"non-canonical pair $r")
+      assert(r.getInt(4) >= 0 && r.getInt(4) <= 3)
+    }
+    // pigeonhole completeness spot check: identical fingerprints (hamming
+    // 0) must all be present — compare against a direct m06 self-join
+    val fp = SparkEntry.queries("m06_frame_phash")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+    val exact0 = (for {
+      ((ma, fa), ha) <- fp; ((mb, fb), hb) <- fp
+      if (ma < mb || (ma == mb && fa < fb)) && ha == hb
+    } yield ()).size
+    assert(out.count(_.getInt(4) == 0) == exact0)
+  }
+
   test("m01 multimodal stats cover all three kinds") {
     val out = SparkEntry.queries("m01_multimodal")(spark, sfDir).collect()
     assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))
