@@ -1585,6 +1585,24 @@ object SparkEntry {
         .orderBy(col("n_orders").desc, col("l_suppkey").asc)
         .limit(20)
     },
+    "q70_decile_bins" -> q { (s, dir) =>
+      // equal-frequency binning (the feature-engineering quantile-bucket
+      // pass): ntile(10) within each priority class. The window is
+      // PARTITIONED — a global ntile is a one-task global sort at 100 TB,
+      // so bucketing always nests under a grouping key (cross-group
+      // global bins come from q65's sketch quantiles instead). The
+      // (price, orderkey) tie key makes bucket membership deterministic;
+      // ntile's size rule (earlier buckets larger by ≤1) is standard in
+      // both engines; per-bin stats in exact scaled integers.
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"), c2(col("o_totalprice")).as("price_c"))
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("price_c").asc, col("o_orderkey").asc)
+      o.withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("o_orderpriority"), col("decile"))
+        .agg(count(lit(1)).as("n_orders"), min(col("price_c")).as("min_c"),
+          max(col("price_c")).as("max_c"), sum(col("price_c")).as("sum_c"))
+    },
     "q68_nation_value" -> q { (s, dir) =>
       // TPC-H Q11 shape — one nation's stocked-part value distribution
       // with the scalar-subquery HAVING gate. partsupp value modeled from
@@ -3273,6 +3291,17 @@ object SparkEntry {
         |  SELECT e.ed, r.depth + 1 FROM reach r JOIN e ON e.es = r.node WHERE r.depth < 6)
         |SELECT node AS node_id, min(depth) AS depth FROM reach GROUP BY node""".stripMargin,
     "q64_kmv_mergeable" -> OracleHashSql.q64Sql,
+    "q70_decile_bins" ->
+      """SELECT o_orderpriority, decile,
+        |       count(*) AS n_orders, min(price_c) AS min_c, max(price_c) AS max_c,
+        |       CAST(sum(price_c) AS BIGINT) AS sum_c
+        |FROM (
+        |  SELECT o_orderpriority,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |         CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+        |                              ORDER BY round(o_totalprice * 100) ASC, o_orderkey ASC) AS BIGINT) AS decile
+        |  FROM orders)
+        |GROUP BY 1, 2""".stripMargin,
     "q68_nation_value" ->
       """WITH li AS (
         |  SELECT l.l_partkey,
