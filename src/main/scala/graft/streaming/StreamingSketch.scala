@@ -19,6 +19,17 @@ final case class QuantileEstimate(key: String, n_sample: Long, p50: Long, p90: L
 /** Persisted bottom-k (hash, value) sample, parallel arrays. */
 final case class KvStateRow(hashes: Array[Long], values: Array[Long])
 
+/** Top-k input: unique row `id`, exact-integer `score`. */
+final case class TopKInput(key: String, id: Long, score: Long)
+
+/** One ranked row per (key, batch, rank 1..k): the top list AFTER that
+  * batch — the leaderboard surface.
+  */
+final case class TopKEntry(key: String, rank: Long, id: Long, score: Long)
+
+/** Persisted per-key top list, ordered (score desc, id asc). */
+final case class TopKState(ids: Array[Long], scores: Array[Long])
+
 /** One estimate row per (key, micro-batch): the sketch's view after that
   * batch. `n_state` is the k-min set size (= exact distinct below fill).
   */
@@ -103,6 +114,36 @@ object StreamingSketch {
             }
             def pick(q: Double): Long = vs(idx(math.ceil(n * q).toInt - 1))
             Iterator(QuantileEstimate(key, n.toLong, pick(0.5), pick(0.9)))
+          }
+        })
+  }
+
+  /** Streaming top-k per key — the q14 leaderboard contract on an
+    * unbounded stream: a bounded per-key top list (score desc, id asc),
+    * merged with each batch and re-emitted, so state is O(k) FOREVER
+    * (the batch form's window sort has no streaming equivalent; a
+    * streaming global rank would be O(stream) state). Prefix parity
+    * (spec-asserted): the list after batch i equals the batch
+    * `row_number() <= k` window over the stream's prefix — top-k of a
+    * union is the top-k of (top-k ∪ new), the same containment argument
+    * as the KMV merge.
+    */
+  def topKPerKey(events: Dataset[TopKInput], k: Int): Dataset[TopKEntry] = {
+    implicit val outEnc = Encoders.product[TopKEntry]
+    implicit val stEnc = Encoders.product[TopKState]
+    implicit val keyEnc = Encoders.STRING
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[TopKInput], state: GroupState[TopKState]) => {
+          val prev = state.getOption.getOrElse(TopKState(Array.empty, Array.empty))
+          val all = (prev.ids.indices.map(i => (prev.ids(i), prev.scores(i))) ++
+            it.map(e => (e.id, e.score)))
+            .sortBy { case (id, sc) => (-sc, id) }
+            .take(k)
+          state.update(TopKState(all.map(_._1).toArray, all.map(_._2).toArray))
+          all.iterator.zipWithIndex.map { case ((id, sc), i) =>
+            TopKEntry(key, (i + 1).toLong, id, sc)
           }
         })
   }

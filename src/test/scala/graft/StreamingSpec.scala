@@ -178,6 +178,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming top-k: the list after each batch equals the batch window over the prefix") {
+    import graft.streaming.{StreamingSketch, TopKInput}
+    val k = 5
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => TopKInput(r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100.0)))
+      .toIndexedSeq
+    val cuts = Seq(rows.length / 3, 2 * rows.length / 3, rows.length)
+    def expected(n: Int): Set[(String, Long, Long, Long)] =
+      rows.take(n).groupBy(_.key).flatMap { case (key, es) =>
+        es.sortBy(e => (-e.score, e.id)).take(k).zipWithIndex.map { case (e, i) =>
+          (key, (i + 1).toLong, e.id, e.score)
+        }
+      }.toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TopKInput]
+    val q = StreamingSketch.topKPerKey(in.toDS(), k)
+      .writeStream.format("memory").queryName("graft_topk_stream")
+      .outputMode("append").start()
+    try {
+      var prev = 0
+      var cumulative = Set.empty[(String, Long, Long, Long)]
+      cuts.foreach { c =>
+        in.addData(rows.slice(prev, c)); q.processAllAvailable()
+        cumulative = cumulative ++ expected(c)
+        val emitted = spark.table("graft_topk_stream").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(emitted == cumulative,
+          s"prefix $c: only-stream=${(emitted -- cumulative).take(3)} only-batch=${(cumulative -- emitted).take(3)}")
+        prev = c
+      }
+    } finally q.stop()
+  }
+
   test("streaming quantile sketch: prefix parity with the batch aggregate") {
     import graft.streaming.{QuantileInput, StreamingSketch}
     import graft.expressions.KmvSketch
