@@ -398,15 +398,13 @@ object OracleHashSql {
        |             count(*) OVER (PARTITION BY event_type) AS n
        |      FROM m4),
        |kk AS (SELECT event_type, max(CASE WHEN rk = $k THEN hu END) AS kth, max(n) AS n
-       |       FROM r GROUP BY 1),
-       |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users FROM events GROUP BY 1)
+       |       FROM r GROUP BY 1)
        |SELECT kk.event_type,
        |  CASE WHEN n >= $k
        |       THEN CAST((${k - 1} * CAST(18446744073709551616 AS HUGEINT)) // greatest(kth, 1) AS BIGINT)
        |       ELSE n END AS est_users,
-       |  CASE WHEN n >= $k THEN ${s64("kth")} ELSE NULL END AS kth_hash,
-       |  ex.exact_users
-       |FROM kk JOIN ex USING (event_type)""".stripMargin
+       |  CASE WHEN n >= $k THEN ${s64("kth")} ELSE NULL END AS kth_hash
+       |FROM kk""".stripMargin
   }
 
   /** q64: the GLOBAL sketch — one k-min set over all distinct user hashes.
@@ -423,15 +421,14 @@ object OracleHashSql {
        |${mixCtes("src", Seq("h0"))},
        |r AS (SELECT hu, row_number() OVER (ORDER BY hu) AS rk, count(*) OVER () AS n FROM m4),
        |kk AS (SELECT max(CASE WHEN rk = $k THEN hu END) AS kth, max(n) AS n FROM r),
-       |ex AS (SELECT count(DISTINCT user_id) AS exact_users FROM events),
        |est AS (
        |  SELECT CASE WHEN n >= $k
        |         THEN CAST((${k - 1} * CAST(18446744073709551616 AS HUGEINT)) // greatest(kth, 1) AS BIGINT)
        |         ELSE n END AS e,
        |         CASE WHEN n >= $k THEN ${s64("kth")} ELSE NULL END AS kth_s
        |  FROM kk)
-       |SELECT est.e AS est_union, est.kth_s AS kth_union, est.e AS est_direct, ex.exact_users
-       |FROM est, ex""".stripMargin
+       |SELECT est.e AS est_union, est.kth_s AS kth_union, est.e AS est_direct
+       |FROM est""".stripMargin
   }
 
   /** q69: KMV INTERSECTION estimate from two per-type k-min sets (the
@@ -461,30 +458,28 @@ object OracleHashSql {
        |  SELECT a.hu FROM (SELECT hu FROM ka WHERE rk <= $k) a
        |  JOIN (SELECT hu FROM kb WHERE rk <= $k) b USING (hu)),
        |cc AS (SELECT count(*) AS n_common FROM commons, eu
-       |       WHERE eu.n < $k OR commons.hu <= eu.kth),
-       |ex AS (
-       |  SELECT count(*) AS exact_intersection FROM (
-       |    SELECT DISTINCT user_id FROM events WHERE event_type = 'click') a
-       |  JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') b
-       |  USING (user_id))
+       |       WHERE eu.n < $k OR commons.hu <= eu.kth)
        |SELECT CASE WHEN eu.n < $k THEN cc.n_common
        |            ELSE (cc.n_common * eu.est_union) // $k END AS est_intersection,
-       |       cc.n_common, eu.est_union, ex.exact_intersection
-       |FROM cc, eu, ex""".stripMargin
+       |       cc.n_common, eu.est_union
+       |FROM cc, eu""".stripMargin
   }
 
   /** q65: sample-quantile sketch — bottom-k rows by unsigned
     * splitmix64(event_id) per group, type-1 quantile picks over the sample
-    * ordered by (value, unsigned hash), plus the exact full-data quantiles.
-    * `ceil(n*q)` stays in FP on both engines (q26's rule — ceil(9·n/10) in
-    * exact rationals can differ from IEEE when 10 | 9n).
+    * ordered by (value, unsigned hash). `ceil(n*q)` stays in FP on both
+    * engines (q26's rule — ceil(9·n/10) in exact rationals can differ from
+    * IEEE when 10 | 9n). NULL values are filtered to match the sketch's
+    * skip-null update contract (ADVICE r7); the exact full-data quantiles
+    * moved to the spec layer (sketch-only output, VERDICT r7).
     */
   def q65Sql: String = {
     val k = 256
     s"""WITH src AS (
        |  SELECT event_type, ${u64("event_id")} AS h0,
        |         CAST(round(value * 100) AS BIGINT) AS v_c
-       |  FROM events),
+       |  FROM events
+       |  WHERE value IS NOT NULL),
        |${mixCtes("src", Seq("event_type", "v_c"))},
        |r AS (SELECT event_type, v_c, hu,
        |             row_number() OVER (PARTITION BY event_type ORDER BY hu) AS hrk
@@ -493,20 +488,10 @@ object OracleHashSql {
        |sq AS (SELECT event_type, v_c,
        |              row_number() OVER (PARTITION BY event_type ORDER BY v_c ASC, hu ASC) AS rn,
        |              count(*) OVER (PARTITION BY event_type) AS n
-       |       FROM samp),
-       |sk AS (SELECT event_type, max(n) AS n_sample,
-       |              max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN v_c END) AS p50_c,
-       |              max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN v_c END) AS p90_c
-       |       FROM sq GROUP BY 1),
-       |eq AS (SELECT event_type, v_c,
-       |              row_number() OVER (PARTITION BY event_type ORDER BY v_c ASC, hu ASC) AS rn,
-       |              count(*) OVER (PARTITION BY event_type) AS n
-       |       FROM m4),
-       |ex AS (SELECT event_type,
-       |              max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN v_c END) AS exact_p50_c,
-       |              max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN v_c END) AS exact_p90_c
-       |       FROM eq GROUP BY 1)
-       |SELECT sk.event_type, sk.n_sample, sk.p50_c, sk.p90_c, ex.exact_p50_c, ex.exact_p90_c
-       |FROM sk JOIN ex USING (event_type)""".stripMargin
+       |       FROM samp)
+       |SELECT event_type, max(n) AS n_sample,
+       |       max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN v_c END) AS p50_c,
+       |       max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN v_c END) AS p90_c
+       |FROM sq GROUP BY 1""".stripMargin
   }
 }

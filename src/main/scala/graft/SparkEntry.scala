@@ -1645,13 +1645,15 @@ object SparkEntry {
       // counts common hashes inside the union's k-min set and rescales:
       // est = c·est_union/k (exact integer; c exact below fill). Every
       // term is a pure function of the two k-min SETS, so the whole
-      // estimator — not a tolerance band — hash-matches the oracle; the
-      // exact intersection rides along as the accuracy reference.
+      // estimator — not a tolerance band — hash-matches the oracle.
+      // Sketch-only output: the exact intersection (two distincts + a
+      // key join — the full-shuffle cost the estimator replaces) moved to
+      // KmvSketchSpec's accuracy check (VERDICT r7's q63 rule family-wide).
       import graft.expressions.KmvSketch
       val k = 64
       val ev = Tables.events(s, dir)
         .where(col("event_type").isin("click", "purchase"))
-        .select(col("event_type"), col("user_id"),
+        .select(col("event_type"),
           KmvSketch.splitmix64(col("user_id")).as("h"))
       val states = ev.groupBy(col("event_type"))
         .agg(KmvSketch.kmvState(col("h"), k).as("state"))
@@ -1667,18 +1669,14 @@ object SparkEntry {
         .where(col("kth").isNull ||
           col("h").bitwiseXOR(lit(Long.MinValue)) <= col("kth").bitwiseXOR(lit(Long.MinValue)))
         .agg(count(lit(1)).as("n_common"))
-      val exact = ev.where(col("event_type") === "click").select(col("user_id")).distinct()
-        .join(ev.where(col("event_type") === "purchase").select(col("user_id")).distinct(),
-          Seq("user_id"))
-        .agg(count(lit(1)).as("exact_intersection"))
-      common.crossJoin(broadcast(merged)).crossJoin(broadcast(exact))
+      common.crossJoin(broadcast(merged))
         .select(
           // `div`, not `/`: Spark's / on longs yields DOUBLE; div is the
           // exact integer floor the oracle's // computes on positives
           when(col("kth").isNull, col("n_common"))
             .otherwise(expr(s"(n_common * est_union) div $k"))
             .as("est_intersection"),
-          col("n_common"), col("est_union"), col("exact_intersection"))
+          col("n_common"), col("est_union"))
     },
     "q67_excess_shippers" -> q { (s, dir) =>
       // TPC-H Q20 shape with partsupp modeled from shipped volume (the
@@ -1722,10 +1720,16 @@ object SparkEntry {
       // s11 training). Frontier-driven: per-iteration work ∝ the new
       // layer, never the graph; depths are exact integers so six
       // distributed rounds hash-match a recursive-CTE min-depth oracle.
+      // seeds derive from the SAME self-loop-filtered distinct edge set the
+      // traversal walks (bfsDepths re-applies the filter idempotently): a
+      // node appearing only in self-loop rows must not seed the BFS, or the
+      // engine would emit a depth-0 row the oracle's seeds CTE (reading the
+      // filtered edge set e) never sees
       val edges = Tables.events(s, dir).select(
         col("user_id").as("src"),
         pmod(graft.expressions.JsonKernels.jsonLongField(col("props"), "k"), lit(150)).as("dst"))
-        .where(col("dst").isNotNull)
+        .where(col("dst").isNotNull && col("src") =!= col("dst"))
+        .distinct()
       val seeds = edges.select(col("src").as("node"))
         .union(edges.select(col("dst")))
         .where(col("node") < 2).distinct()
@@ -1768,19 +1772,20 @@ object SparkEntry {
       // re-touching keys. Sketch inputs are splitmix64 hashes (codegen,
       // same constants as the shingle kernel) and the estimate is exact
       // integer floor-div of the k-th smallest UNSIGNED hash — an
-      // approximate operator with a hash-exact oracle (the exact
-      // countDistinct rides along as the accuracy reference: at k=64 the
-      // estimator's relative error is ~1/√(k−2) ≈ 13%).
+      // approximate operator with a hash-exact oracle. SKETCH-ONLY output:
+      // the exact countDistinct lives in the SPEC (KmvSketchSpec's accuracy
+      // check — at k=64 relative error ~1/√(k−2) ≈ 13%), not in the shipped
+      // query — at 100 TB the exact rider IS the every-distinct-key shuffle
+      // the sketch exists to avoid, and a rider would dominate the
+      // operator's measured cost profile (VERDICT r7).
       import graft.expressions.KmvSketch
       Tables.events(s, dir)
-        .select(col("event_type"), col("user_id"),
+        .select(col("event_type"),
           KmvSketch.splitmix64(col("user_id")).as("h"))
         .groupBy(col("event_type"))
-        .agg(
-          KmvSketch.kmvDistinct(col("h"), 64).as("kmv"),
-          countDistinct(col("user_id")).as("exact_users"))
+        .agg(KmvSketch.kmvDistinct(col("h"), 64).as("kmv"))
         .select(col("event_type"), col("kmv.est").as("est_users"),
-          col("kmv.kth").as("kth_hash"), col("exact_users"))
+          col("kmv.kth").as("kth_hash"))
     },
     "q65_sketch_quantiles" -> q { (s, dir) =>
       // quantile SKETCH: the k rows with the smallest unsigned
@@ -1789,33 +1794,26 @@ object SparkEntry {
       // row set, so unlike KLL/t-digest it is order-, partition- and
       // merge-tree-independent and therefore hash-exactly oracle-able).
       // Quantiles are q26's type-1 picks over the sample, values as exact
-      // 1e-2-scaled integers; the exact full-data quantiles ride along as
-      // the accuracy reference. Below fill (sf0.001) the sample IS the
-      // data and sketch == exact — spec-asserted. O(k) state per group,
-      // map-side partial merges: the quantile member of the q63/q64
-      // mergeable-sketch family.
+      // 1e-2-scaled integers. SKETCH-ONLY output: the exact full-data
+      // quantiles live in the SPEC (below fill the sample IS the data and
+      // sketch == exact; above fill the spec bounds the rank error) — the
+      // exact branch was a per-class window sort over ALL rows, the very
+      // full-shuffle cost profile the sketch replaces (VERDICT r7). O(k)
+      // state per group, map-side partial merges: the quantile member of
+      // the q63/q64 mergeable-sketch family. Null contract: the sketch
+      // skips NULL values; the oracle filters them identically (the
+      // testdata's value column is non-null, but parity must not rely on
+      // it — ADVICE r7).
       import graft.expressions.KmvSketch
       val k = 256
-      val base = Tables.events(s, dir)
+      Tables.events(s, dir)
         .select(col("event_type"),
           KmvSketch.splitmix64(col("event_id")).as("h"),
           c2(col("value")).as("v_c"))
-      val sk = base.groupBy(col("event_type"))
+        .groupBy(col("event_type"))
         .agg(KmvSketch.quantileSketch(col("h"), col("v_c"), k).as("qs"))
         .select(col("event_type"), col("qs.n_sample").as("n_sample"),
           col("qs.p50").as("p50_c"), col("qs.p90").as("p90_c"))
-      // exact reference (q26's pattern); tie-break by the hash in UNSIGNED
-      // order — xor with the sign bit makes signed ordering equal unsigned
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("v_c").asc, col("h").bitwiseXOR(lit(Long.MinValue)).asc)
-      val wn = Window.partitionBy(col("event_type"))
-      val ex = base.withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(wn))
-        .groupBy(col("event_type"))
-        .agg(
-          max(when(col("rn") === ceil(col("n") * lit(0.5)), col("v_c"))).as("exact_p50_c"),
-          max(when(col("rn") === ceil(col("n") * lit(0.9)), col("v_c"))).as("exact_p90_c"))
-      sk.join(ex, Seq("event_type"))
     },
     "q64_kmv_mergeable" -> q { (s, dir) =>
       // sketch ALGEBRA (the rollup contract): per-group sketch STATES
@@ -1825,20 +1823,21 @@ object SparkEntry {
       // IDENTICAL to sketching the raw union — est_union must equal
       // est_direct exactly, and the oracle checks equality, not closeness.
       // At 100 TB this is how distinct-count rollups actually run: days
-      // keep k longs each, months merge days, nothing re-scans.
+      // keep k longs each, months merge days, nothing re-scans. Sketch-only
+      // output (the exact countDistinct rider moved to KmvSketchSpec —
+      // VERDICT r7's q63 rule applied family-wide).
       import graft.expressions.KmvSketch
       val k = 64
       val ev = Tables.events(s, dir)
-        .select(col("event_type"), col("user_id"),
+        .select(col("event_type"),
           KmvSketch.splitmix64(col("user_id")).as("h"))
       val merged = ev.groupBy(col("event_type"))
         .agg(KmvSketch.kmvState(col("h"), k).as("state"))
         .agg(KmvSketch.kmvMerge(col("state"), k).as("kmv"))
         .select(col("kmv.est").as("est_union"), col("kmv.kth").as("kth_union"))
       val direct = ev
-        .agg(KmvSketch.kmvDistinct(col("h"), k).as("kmv"),
-          countDistinct(col("user_id")).as("exact_users"))
-        .select(col("kmv.est").as("est_direct"), col("exact_users"))
+        .agg(KmvSketch.kmvDistinct(col("h"), k).as("kmv"))
+        .select(col("kmv.est").as("est_direct"))
       merged.crossJoin(direct)
     },
     "t18_gopher_rules" -> q { (s, dir) =>
@@ -3277,10 +3276,14 @@ object SparkEntry {
     "q63_kmv_distinct" -> OracleHashSql.q63Sql,
     "q66_bfs_depths" ->
       """WITH RECURSIVE e AS (
-        |  SELECT DISTINCT user_id AS es, CAST(json_extract_string(props, '$.k') AS BIGINT) % 150 AS ed
+        |  -- ((x % m) + m) % m: non-negative modulus matching the engine's
+        |  -- pmod (DuckDB's % keeps the dividend's sign; the json field is
+        |  -- non-negative in the testdata, but the parity must not rely on it)
+        |  SELECT DISTINCT user_id AS es,
+        |         ((CAST(json_extract_string(props, '$.k') AS BIGINT) % 150) + 150) % 150 AS ed
         |  FROM events
         |  WHERE json_extract_string(props, '$.k') IS NOT NULL
-        |    AND user_id <> CAST(json_extract_string(props, '$.k') AS BIGINT) % 150),
+        |    AND user_id <> ((CAST(json_extract_string(props, '$.k') AS BIGINT) % 150) + 150) % 150),
         |seeds AS (
         |  SELECT DISTINCT node
         |  FROM (SELECT es AS node FROM e UNION ALL SELECT ed FROM e)

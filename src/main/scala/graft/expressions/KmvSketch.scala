@@ -57,7 +57,13 @@ object KmvSketch {
     else {
       val kth = buffer.set.last().longValue()
       val u = (BigInt(kth) & (Two64 - 1)).max(BigInt(1))
-      (((BigInt(buffer.k - 1) * Two64) / u).longValue, Some(kth))
+      // Clamp instead of truncating: a pathologically small unsigned kth
+      // (all k minima below ~2k — needs ~2⁶⁰ distinct inputs at k=64 to
+      // arise by chance) would push the BigInt quotient past Long range,
+      // and BigInt.longValue silently wraps where the oracle's
+      // CAST(.. AS BIGINT) errors. Long.MaxValue is the defined saturation
+      // for "more distinct values than a BIGINT can count".
+      (((BigInt(buffer.k - 1) * Two64) / u).min(BigInt(Long.MaxValue)).longValue, Some(kth))
     }
   }
 
@@ -96,6 +102,10 @@ object KmvSketch {
     * family). Quantiles are q26's type-1 picks over the sample, sorted by
     * (value, hash). Output struct: (n_sample, p50, p90) — exact quantiles
     * below fill, sample quantiles (±~1/√k) above.
+    *
+    * Null contract: rows whose VALUE is null are skipped (never sampled,
+    * never counted in n_sample) — any cross-engine re-derivation must
+    * filter nulls before sampling or the sampled sets diverge (ADVICE r7).
     */
   def quantileSketch(hashCol: Column, valueCol: Column, k: Int): Column =
     ColumnBridge.column(QuantileSketch(

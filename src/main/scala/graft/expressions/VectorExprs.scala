@@ -193,8 +193,16 @@ case class PqSegBest(
     containsNull = false)
   override def prettyName: String = "pq_seg_best"
 
+  // Nullable by contract: a vector shorter than nSeg·segDim has no PQ code
+  // (the slice/dotFF tree this kernel replaced tolerated short arrays via
+  // array-function null semantics; reading past numElements here would be
+  // undefined data or an AIOOBE at execution time). NULL rows are the
+  // caller's quarantine signal — same contract as m06's undecodables.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() < nSeg * segDim) return null
     val out = new Array[Any](nSeg)
     var s = 0
     while (s < nSeg) {
@@ -244,7 +252,11 @@ case class PqSegBest(
       val m = ctx.freshName("m")
       val c = ctx.freshName("c")
       s"""
-         |Object[] $out = new Object[$nSeg];
+         |Object[] $out = null;
+         |if ($v.numElements() < ${nSeg * segDim}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |$out = new Object[$nSeg];
          |for (int $s = 0; $s < $nSeg; $s++) {
          |  int $base = $s * $segDim;
          |  double $x2 = 0.0;
@@ -267,6 +279,7 @@ case class PqSegBest(
          |    new Object[]{ $bm, $bj, $x2 });
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
        """.stripMargin
     })
 

@@ -137,8 +137,18 @@ object StreamingSketch {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (key: String, it: Iterator[TopKInput], state: GroupState[TopKState]) => {
           val prev = state.getOption.getOrElse(TopKState(Array.empty, Array.empty))
+          // Dedupe by id, keep the max score: an id re-sent in a later batch
+          // (a re-scored leaderboard entry) must REPLACE its previous entry,
+          // not occupy two ranks. The containment argument still holds under
+          // per-id max — an id evicted from the state was beaten by k
+          // distinct ids whose scores only ever grow, so its stale score can
+          // never re-enter the true top-k — which makes the emitted list the
+          // batch `row_number() <= k` over per-id max(score) of the whole
+          // prefix (and identical to before under the unique-id contract).
           val all = (prev.ids.indices.map(i => (prev.ids(i), prev.scores(i))) ++
             it.map(e => (e.id, e.score)))
+            .groupMapReduce(_._1)(_._2)(math.max)
+            .toSeq
             .sortBy { case (id, sc) => (-sc, id) }
             .take(k)
           state.update(TopKState(all.map(_._1).toArray, all.map(_._2).toArray))

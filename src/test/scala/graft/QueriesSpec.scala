@@ -214,6 +214,30 @@ class QueriesSpec extends SparkSpec {
       "codebook member has nonzero reconstruction error")
   }
 
+  test("pq_seg_best: a vector shorter than nSeg*segDim yields NULL, not garbage") {
+    // the ADVICE r7 guard: the kernel reads nSeg*segDim positions — a short
+    // (malformed) embedding must surface as NULL (the caller's quarantine
+    // signal), never an AIOOBE or invalid reads; checked in BOTH execution
+    // modes since the guard exists separately in eval and codegen
+    import spark.implicits._
+    import graft.expressions.VectorExprs
+    val codewords = Array(Seq.fill(8)(1.0f), Seq.fill(8)(2.0f))
+    val df = Seq(
+      (1L, Seq.fill(8)(1.0f)), // full length: encodes
+      (2L, Seq.fill(3)(1.0f)), // short: NULL
+      (3L, Seq.empty[Float])   // empty: NULL
+    ).toDF("id", "v")
+    val key = "spark.sql.codegen.wholeStage"
+    val saved = spark.conf.get(key)
+    try Seq("true", "false").foreach { codegen =>
+      spark.conf.set(key, codegen)
+      val out = df.select(col("id"),
+        VectorExprs.pqSegBest(col("v"), codewords, nSeg = 4, segDim = 2).as("best"))
+        .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+      assert(out == Map(1L -> false, 2L -> true, 3L -> true), s"codegen=$codegen: $out")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("q51 triangles: census row is consistent (wedges >= triangles >= 0)") {
     val r = SparkEntry.queries("q51_triangles")(spark, sfDir).collect()(0)
     val (e, w, t) = (r.getAs[Long]("n_edges"), r.getAs[Long]("n_wedges"),

@@ -213,6 +213,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming top-k: a re-scored id replaces its entry instead of holding two ranks") {
+    import graft.streaming.{StreamingSketch, TopKInput}
+    // id 10 is re-sent across batches with a higher score: the leaderboard
+    // must hold per-id MAX scores (one rank per id), i.e. the batch
+    // row_number() <= k over groupBy(id).max(score) of the whole prefix
+    val b1 = Seq(TopKInput("t", 10L, 100L), TopKInput("t", 11L, 90L), TopKInput("t", 12L, 80L))
+    val b2 = Seq(TopKInput("t", 10L, 150L), TopKInput("t", 13L, 95L))
+    def expected(batches: Seq[Seq[TopKInput]]): Set[(String, Long, Long, Long)] =
+      batches.flatten.groupBy(_.id).map { case (id, es) => (id, es.map(_.score).max) }
+        .toSeq.sortBy { case (id, sc) => (-sc, id) }.take(3).zipWithIndex
+        .map { case ((id, sc), i) => ("t", (i + 1).toLong, id, sc) }.toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TopKInput]
+    val q = StreamingSketch.topKPerKey(in.toDS(), 3)
+      .writeStream.format("memory").queryName("graft_topk_rescore")
+      .outputMode("append").start()
+    try {
+      var cumulative = Set.empty[(String, Long, Long, Long)]
+      Seq(Seq(b1), Seq(b1, b2)).foreach { prefix =>
+        in.addData(prefix.last); q.processAllAvailable()
+        cumulative = cumulative ++ expected(prefix)
+        val emitted = spark.table("graft_topk_rescore").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(emitted == cumulative,
+          s"re-score parity: only-stream=${emitted -- cumulative} only-batch=${cumulative -- emitted}")
+      }
+      // id 10 appears exactly once in the final emission set at score 150
+      val finalRows = spark.table("graft_topk_rescore").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(finalRows.count { case (_, id, sc) => id == 10L && sc == 150L } == 1)
+    } finally q.stop()
+  }
+
   test("streaming quantile sketch: prefix parity with the batch aggregate") {
     import graft.streaming.{QuantileInput, StreamingSketch}
     import graft.expressions.KmvSketch
