@@ -421,14 +421,15 @@ object SparkEntry {
           col("n_common"), col("rnk").as("rank"))
     },
     "q26_price_percentiles" -> q { (s, dir) =>
-      // discrete (type-1) quantiles via row_number selection: integer row
-      // picks, no interpolation float math to drift between engines
+      // discrete (type-1) quantiles via rank selection: integer row picks,
+      // no interpolation float math to drift between engines. The rank
+      // comes from Binning.rankInClass (two-pass range-partitioned rank),
+      // NOT a per-class window sort — 5 priority classes would otherwise
+      // be 5 single-task sorts at 100 TB (VERDICT r7); ceil(n*q) stays in
+      // FP on both engines (the q65 rule).
       val o = Tables.orders(s, dir)
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-      val wn = Window.partitionBy(col("o_orderpriority"))
-      o.withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(wn))
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      Binning.rankInClass(o, "o_orderpriority", "o_totalprice", "o_orderkey")
         .groupBy(col("o_orderpriority"))
         .agg(
           max(when(col("rn") === ceil(col("n") * lit(0.5)), col("o_totalprice"))).as("p50"),
@@ -1587,18 +1588,20 @@ object SparkEntry {
     },
     "q70_decile_bins" -> q { (s, dir) =>
       // equal-frequency binning (the feature-engineering quantile-bucket
-      // pass): ntile(10) within each priority class. The window is
-      // PARTITIONED — a global ntile is a one-task global sort at 100 TB,
-      // so bucketing always nests under a grouping key (cross-group
-      // global bins come from q65's sketch quantiles instead). The
-      // (price, orderkey) tie key makes bucket membership deterministic;
-      // ntile's size rule (earlier buckets larger by ≤1) is standard in
-      // both engines; per-bin stats in exact scaled integers.
+      // pass): ntile(10) within each priority class — computed WITHOUT the
+      // per-class window sort. `PARTITION BY class` with 5 classes is five
+      // single-task external sorts of |orders|/5 each at 100 TB (VERDICT
+      // r7): Binning.rankInClass range-partitions on (class, price, key)
+      // and reconstructs the global per-class rank from range-chunk-local
+      // ranks + broadcast count offsets, so the sort work spreads over the
+      // full parallelism; the decile is then pure integer arithmetic on
+      // (rn, n) — bit-identical to the oracle's ntile. The (price,
+      // orderkey) tie key makes membership deterministic; per-bin stats in
+      // exact scaled integers.
       val o = Tables.orders(s, dir)
         .select(col("o_orderpriority"), col("o_orderkey"), c2(col("o_totalprice")).as("price_c"))
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("price_c").asc, col("o_orderkey").asc)
-      o.withColumn("decile", ntile(10).over(w).cast("long"))
+      Binning.rankInClass(o, "o_orderpriority", "price_c", "o_orderkey")
+        .withColumn("decile", Binning.ntileFromRank("rn", "n", 10))
         .groupBy(col("o_orderpriority"), col("decile"))
         .agg(count(lit(1)).as("n_orders"), min(col("price_c")).as("min_c"),
           max(col("price_c")).as("max_c"), sum(col("price_c")).as("sum_c"))

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Binning
+
+/** Two-pass distributed rank (operators/Binning.scala): must equal the
+  * per-class window row_number exactly, for any input partitioning — the
+  * determinism contract that lets q26/q70 drop the per-class sort task.
+  */
+class BinningSpec extends SparkSpec {
+
+  test("rankInClass equals the window row_number, for any input partitioning") {
+    import spark.implicits._
+    // 3 classes, skewed sizes, duplicate order values (the tie column
+    // decides), class sizes straddling the partition count
+    val rows = (1L to 997L).map { i =>
+      (s"c${i % 3}", (i * 37) % 50, i)
+    }
+    val df = rows.toDF("cls", "v", "id")
+    val w = Window.partitionBy(col("cls")).orderBy(col("v").asc, col("id").asc)
+    val expected = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("cls"))))
+      .select(col("cls"), col("id"), col("rn"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    Seq(1, 4, 32).foreach { parts =>
+      val got = Binning.rankInClass(df.repartition(parts), "cls", "v", "id")
+        .select(col("cls"), col("id"), col("rn"), col("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(got == expected, s"parts=$parts: rank mismatch, e.g. " +
+        (got.toSet -- expected.toSet).take(3))
+    }
+  }
+
+  test("ntileFromRank reproduces SQL NTILE bucket sizes, including n < b") {
+    import spark.implicits._
+    // n = 43, b = 10: first 3 buckets of 5, then 7 of 4; n = 7 < b = 10:
+    // each row its own bucket
+    Seq((43, 10), (7, 10), (100, 10), (10, 10)).foreach { case (n, b) =>
+      val df = (1L to n.toLong).toDF("id").withColumn("cls", lit("x"))
+      val w = Window.partitionBy(col("cls")).orderBy(col("id").asc)
+      val viaWindow = df.withColumn("t", ntile(b).over(w).cast("long"))
+        .select(col("id"), col("t"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaRank = df
+        .withColumn("rn", col("id")).withColumn("n", lit(n.toLong))
+        .withColumn("t", Binning.ntileFromRank("rn", "n", b))
+        .select(col("id"), col("t"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaRank == viaWindow, s"n=$n b=$b")
+    }
+  }
+}

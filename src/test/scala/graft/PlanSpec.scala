@@ -411,6 +411,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), "no map-side partial aggregation:\n" + p)
   }
 
+  test("q26/q70: no window sort partitioned by the low-cardinality class alone") {
+    // the VERDICT r7 scale-killer: `PARTITION BY o_orderpriority ORDER BY
+    // price` is a one-task external sort per class (5 classes ⇒ 5 tasks
+    // sorting |orders|/5 each at 100 TB). Binning.rankInClass must instead
+    // (a) range-partition the data (the RangePartitioning exchange is the
+    // signature of the two-pass rank), and (b) sort only within windows
+    // whose partition spec includes the range-chunk id `_pid` — every
+    // data-bearing window group is bounded by a range chunk, independent of
+    // the class cardinality. Windows WITHOUT _pid may only order by _pid
+    // itself (the P×|class| offset statistics, never row data).
+    Seq("q26_price_percentiles", "q70_decile_bins").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+        s"$name: two-pass rank must range-partition:\n" + p)
+      val windowSpecs = "Window \\[[^\\n]*".r.findAllIn(p).toList
+      assert(windowSpecs.nonEmpty, s"$name: expected window nodes:\n" + p)
+      windowSpecs.foreach { w =>
+        // `_cnt` marks the offset/total windows over the P×|class| counts
+        // aggregate (statistics, not row data); everything else must carry
+        // the range-chunk id
+        assert(w.contains("_pid") || w.contains("_cnt"),
+          s"$name: window without the range-chunk id in its spec (a per-class sort):\n$w")
+      }
+    }
+  }
+
   test("s08/s09/s10: generated code compiles — no silent 64 KB fallback") {
     // the unrolled 128-dot expression tree used to exceed Janino's 64 KB
     // method limit inside the Generate consume, and Spark FELL BACK to
