@@ -1733,6 +1733,10 @@ object SparkEntry {
         pmod(graft.expressions.JsonKernels.jsonLongField(col("props"), "k"), lit(150)).as("dst"))
         .where(col("dst").isNotNull && col("src") =!= col("dst"))
         .distinct()
+        // materialized ONCE: seeds and the traversal both consume the
+        // filtered distinct edge set (without the cut, the scan+distinct
+        // evaluates once per consumer)
+        .localCheckpoint(true)
       val seeds = edges.select(col("src").as("node"))
         .union(edges.select(col("dst")))
         .where(col("node") < 2).distinct()

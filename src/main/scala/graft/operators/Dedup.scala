@@ -84,9 +84,15 @@ object Dedup {
     // plan twice, doubling the cost of the whole operator
     val p = ckpt(pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")), true)
+    // advisory repartition on v — the per-iteration neighbor join's key
+    // (the pageRank rule): the loop's parallelism is independent of how
+    // the pair generator's last stage was laid out (a single-task
+    // upstream otherwise pins every iteration to one partition), and AQE
+    // sizes the width to the pair graph's actual volume
     val sym = ckpt(p
       .union(p.select(col("v").as("u"), col("u").as("v")))
-      .distinct(), true)
+      .distinct()
+      .repartition(col("v")), true)
     release(p)
     // initial labels FUSE the first propagation step: label₀(u) =
     // min(u, min neighbor) comes out of the same one-shuffle aggregate

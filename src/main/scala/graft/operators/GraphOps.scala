@@ -131,10 +131,16 @@ object GraphOps {
     * is dropped (ranks need not sum to `scale`), the standard simplest
     * variant.
     *
-    * Each iteration is one join + one grouped integer sum (map-side
-    * partials), all keyed on node ids; `localCheckpoint` cuts lineage per
-    * iteration (the d06 rule). Driver sees one scalar (N) up front and
-    * loop control — never data.
+    * Loop shape (round-8 restructure): the out-degree joins into the edge
+    * set ONCE before the loop — per iteration only ranks ⋈ (es, ed,
+    * outdeg) remains, then one grouped integer sum (map-side partials) and
+    * the dangling-node left join. The edge set passes through an ADVISORY
+    * `repartition(es)` (no explicit count — AQE sizes the width to data
+    * VOLUME) before its checkpoint: the loop's parallelism is then
+    * independent of the input layout (a one-row-group parquet file scans
+    * as a single task, and without the exchange every iteration inherits
+    * that single partition — the r7 bench regression), while small graphs
+    * coalesce instead of paying a fixed 32-way overhead per round.
     */
   def pageRank(
       edges: DataFrame,
@@ -149,12 +155,15 @@ object GraphOps {
       .union(e.select(col("ed"))).distinct().localCheckpoint(true)
     val n = nodes.count()
     val base = (scale * 15L / 100L) / n
-    val outdeg = e.groupBy(col("es").as("node")).agg(count(lit(1)).as("outdeg"))
+    // the degree aggregation runs ONCE here; the loop never touches it
+    val outdeg = e.groupBy(col("es")).agg(count(lit(1)).as("outdeg"))
+    val e2 = e.join(outdeg, "es")
+      .repartition(col("es")).localCheckpoint(true)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistLocalCheckpoint(e)
     var ranks = nodes.withColumn("rank", lit(scale / n))
     for (_ <- 1 to iters) {
-      val contrib = ranks.join(outdeg, "node")
-        .select(col("node"), expr("rank div outdeg").as("c"))
-      val sums = contrib.join(e, col("node") === col("es"))
+      val sums = ranks.join(e2, col("node") === col("es"))
+        .select(col("ed"), expr("rank div outdeg").as("c"))
         .groupBy(col("ed").as("node")).agg(sum(col("c")).as("cs"))
       ranks = nodes.join(sums, Seq("node"), "left")
         .select(col("node"),
@@ -214,9 +223,13 @@ object GraphOps {
       dst: String,
       seeds: DataFrame,
       maxDepth: Int = 6): DataFrame = {
+    // the edge set passes through an advisory repartition(es) (the
+    // pageRank rule): loop parallelism independent of the input layout,
+    // AQE sizes the width to the graph's actual volume
     val e = edges
       .select(col(src).cast("long").as("es"), col(dst).cast("long").as("ed"))
-      .where(col("es") =!= col("ed")).distinct().localCheckpoint(true)
+      .where(col("es") =!= col("ed")).distinct()
+      .repartition(col("es")).localCheckpoint(true)
     var depths = seeds.select(col(seeds.columns.head).cast("long").as("node"))
       .distinct().withColumn("depth", lit(0L)).localCheckpoint(true)
     var frontier = depths
