@@ -128,7 +128,18 @@ object Bench {
     val qJson = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's BENCH_r{N}.json keeps only the last 2,000 chars of
+    // output — the first ~40 query timings fall off every round. Persist
+    // the COMPLETE line (full runs only — a filtered dev run must not
+    // overwrite the round artifact) so round-over-round comparison covers
+    // every entry; committed as BENCH_LOCAL.json.
+    if (args.isEmpty) {
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+      catch { case e: Exception => System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e") }
+    }
     spark.stop()
   }
 }

@@ -1333,32 +1333,24 @@ object SparkEntry {
       // pix*n > sum, bit per sample); oracle recomputes every bit from the
       // generator's closed-form pixel model
       Multimodal.frameFingerprints(s, Multimodal.syntheticRawMedia(s, 600))
+        .select(col("media_id"), col("frame_idx"), col("fingerprint"))
     },
     "m07_frame_neardup" -> q { (s, dir) =>
       // multimodal near-dup END-TO-END: m06's per-frame average-hashes →
       // d03's 4×16-bit chunk banding (pigeonhole-exact for hamming ≤ 3) →
-      // frame pairs. The dedup machinery applied to the decoded-media
-      // fingerprint — the crossover that makes the multimodal columns
-      // first-class dedup citizens. Testbed caveat, documented: short
-      // payloads yield sub-width fingerprints whose zero chunks form hot
-      // buckets (production quarantines sub-width media like m06
-      // quarantines undecodables); bucket-local joins still bound the
-      // candidate set, and the oracle re-derives EVERY fingerprint bit
-      // from the generator model, then all-pairs hamming.
+      // frame pairs, with the SUB-WIDTH QUARANTINE in the plan (see
+      // Multimodal.phashNearDupPairs: short payloads band separately via
+      // |quarantine|-bounded broadcast paths, so padding zero chunks can
+      // never form a hot bucket; the three pair paths partition the pair
+      // space, so the all-pairs oracle is unchanged). The dedup machinery
+      // applied to the decoded-media fingerprint — the crossover that
+      // makes the multimodal columns first-class dedup citizens. The
+      // oracle re-derives EVERY fingerprint bit from the generator model,
+      // then all-pairs hamming.
       val fps = Multimodal.frameFingerprints(s, Multimodal.syntheticRawMedia(s, 600))
-      val f = fps
-        .select((col("media_id") * 256 + col("frame_idx")).as("id"), col("fingerprint").as("sim"))
-        .repartition(col("id"))
-      val banded = f.withColumn("chunk",
-        explode(array((0 until 4).map(j => struct(lit(j).as("j"),
-          shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)))
-      val left = banded.select(col("id").as("a"), col("sim").as("sim_a"), col("chunk"))
-      val right = banded.select(col("id").as("b"), col("sim").as("sim_b"), col("chunk"))
-      left.join(right, Seq("chunk"))
-        .where(col("a") < col("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(first(TextFns.hamming64(col("sim_a"), col("sim_b"))).as("hamming"))
-        .where(col("hamming") <= 3)
+        .select((col("media_id") * 256 + col("frame_idx")).as("id"),
+          col("fingerprint"), col("width"))
+      Multimodal.phashNearDupPairs(fps, "id", "fingerprint", "width")
         .select(expr("a div 256").as("a_media"), expr("a % 256").as("a_frame"),
           expr("b div 256").as("b_media"), expr("b % 256").as("b_frame"),
           col("hamming"))

@@ -193,7 +193,11 @@ object Multimodal {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("frame_idx", LongType, nullable = false),
-      StructField("fingerprint", LongType, nullable = false)))
+      StructField("fingerprint", LongType, nullable = false),
+      // significant hash width = min(64, samples/frame): bits ≥ width are
+      // structurally zero — the banding quarantine keys off this (a
+      // sub-width fingerprint's zero chunks are padding, not signal)
+      StructField("width", IntegerType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     val schema = media.schema
     require(schema.fieldNames.sameElements(mediaSchema.fieldNames),
@@ -221,11 +225,67 @@ object Multimodal {
                 if ((payload(base + k) & 0xFF).toLong * n > sum) fp |= (1L << k)
                 k += 1
               }
-              Row(id, f.toLong, fp)
+              Row(id, f.toLong, fp, bits)
             }
         }
       }
     }(enc)
+  }
+
+  /** Near-dup frame pairs from 64-bit aHash fingerprints: d03's 16-bit
+    * chunk banding (pigeonhole-exact for hamming ≤ 3: three flips cannot
+    * touch all four chunks) with the SUB-WIDTH QUARANTINE implemented in
+    * the plan (VERDICT r7 — previously prose):
+    *
+    *  - FULL-WIDTH fingerprints (width = 64) band over the 4 chunks and
+    *    bucket-join — every zero chunk in a bucket key is then SIGNAL
+    *    (samples below the frame mean), not padding, so bucket sizes stay
+    *    bounded by genuine hash collisions.
+    *  - SUB-WIDTH fingerprints (width < 64 — short payloads: thumbnails,
+    *    truncated media; rare in a production corpus, the same class m06's
+    *    decode quarantines) are FILTERED OUT of the banding: their padding
+    *    zero chunks would otherwise all land in one (chunk, 0) bucket and
+    *    the bucket join would go quadratic in the quarantine size. They
+    *    pair through two broadcast paths instead — quarantine×quarantine
+    *    and quarantine×corpus exact hamming — whose cost is |quarantine|-
+    *    proportional per corpus row: bounded by the quarantine's
+    *    smallness, never by a bucket blow-up.
+    *
+    * The three paths partition the pair space (full×full, quar×quar,
+    * quar×full), so the union equals all-pairs hamming ≤ 3 exactly — the
+    * m07 oracle is unchanged by the quarantine.
+    */
+  def phashNearDupPairs(
+      fps: DataFrame,
+      idCol: String,
+      fpCol: String,
+      widthCol: String): DataFrame = {
+    import graft.functions.TextFns
+    val f = fps.select(col(idCol).as("id"), col(fpCol).as("sim"), col(widthCol).as("w"))
+    val full = f.where(col("w") >= 64).select(col("id"), col("sim"))
+      .repartition(col("id"))
+    val banded = full.withColumn("chunk",
+      explode(array((0 until 4).map(j => struct(lit(j).as("j"),
+        shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)))
+    val left = banded.select(col("id").as("a"), col("sim").as("sim_a"), col("chunk"))
+    val right = banded.select(col("id").as("b"), col("sim").as("sim_b"), col("chunk"))
+    val ff = left.join(right, Seq("chunk"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(first(TextFns.hamming64(col("sim_a"), col("sim_b"))).as("hamming"))
+      .where(col("hamming") <= 3)
+    val quar = f.where(col("w") < 64).select(col("id"), col("sim"))
+    val qq = quar.select(col("id").as("a"), col("sim").as("sim_a"))
+      .crossJoin(broadcast(quar.select(col("id").as("b"), col("sim").as("sim_b"))))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), TextFns.hamming64(col("sim_a"), col("sim_b")).as("hamming"))
+      .where(col("hamming") <= 3)
+    val qf = full.select(col("id").as("fa"), col("sim").as("sim_a"))
+      .crossJoin(broadcast(quar.select(col("id").as("qb"), col("sim").as("sim_b"))))
+      .select(least(col("fa"), col("qb")).as("a"), greatest(col("fa"), col("qb")).as("b"),
+        TextFns.hamming64(col("sim_a"), col("sim_b")).as("hamming"))
+      .where(col("hamming") <= 3)
+    ff.unionByName(qq).unionByName(qf)
   }
 
   /** STUB decode: in production this would call an image/audio codec on each

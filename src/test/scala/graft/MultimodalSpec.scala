@@ -105,4 +105,38 @@ class MultimodalSpec extends SparkSpec {
       .agg(sum(col("n_frames").cast("long"))).collect()(0).getLong(0)
     assert(fp.length.toLong == frames && frames > 0)
   }
+
+  test("m07 quarantine: sub-width fingerprints never band, pairs still equal all-pairs") {
+    import spark.implicits._
+    // a short-payload-heavy batch: 200 sub-width fingerprints (width 40 —
+    // bits 40..63 are structural zero padding) + 40 full-width. Without
+    // the quarantine every sub-width frame lands in the (chunk 3, 0)
+    // bucket: one bucket of 200+ members, a quadratic hot spot.
+    val sub = (0L until 200L).map(i => (i, (i % 16) | ((i % 8) << 20), 40))
+    val fullW = (1000L until 1040L).map(i => (i, i * 0x9E3779B97F4A7C15L | (1L << 63), 64))
+    val fps = (sub ++ fullW).toDF("id", "fp", "width")
+    val pairs = Multimodal.phashNearDupPairs(fps, "id", "fp", "width")
+      .select(col("a"), col("b"), col("hamming")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force all-pairs reference
+    val all = (sub ++ fullW).map { case (id, fp, _) => (id, fp) }
+    val expected = (for {
+      (ia, fa) <- all; (ib, fb) <- all if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(pairs == expected,
+      s"quarantine split lost/invented pairs: only-got=${(pairs -- expected).take(3)} " +
+        s"only-expected=${(expected -- pairs).take(3)}")
+    // bounded buckets: the BANDED set (width >= 64 only) has no hot
+    // bucket, while naive banding of the same batch would put all 200
+    // sub-width frames into the zero chunk-3 bucket
+    def bucketSizes(rows: Seq[(Long, Long)]): Map[(Int, Long), Int] =
+      rows.flatMap { case (_, fp) =>
+        (0 until 4).map(j => (j, (fp >>> (j * 16)) & 0xFFFFL))
+      }.groupBy(identity).view.mapValues(_.size).toMap
+    val bandedMax = bucketSizes(fullW.map(t => (t._1, t._2))).values.max
+    val naiveMax = bucketSizes(all).values.max
+    assert(naiveMax >= 200, s"testbed must exhibit the hot bucket naively (got $naiveMax)")
+    assert(bandedMax <= 40, s"banded path bucket sizes must stay bounded (got $bandedMax)")
+  }
 }
