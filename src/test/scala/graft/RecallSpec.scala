@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{BandLsh, Dedup, Similarity}
 import graft.expressions.HashExprs
 
 /** Quantifies the hash-inherent ("weak") operators against their exact
@@ -289,5 +289,40 @@ class RecallSpec extends SparkSpec {
     println(f"RECALL d07-planted candidates=$nCand ratio=$ratio%.4f recall=$r%.3f")
     assert(r >= 0.95, f"planted recall $r%.3f")
     assert(ratio <= 0.15, f"candidate ratio $ratio%.4f — banding isn't pruning")
+  }
+
+  test("d07 cost floor at cos >= 0.35: the candidate set IS the pair space (measured)") {
+    // The SURVEY §8 negative result, pinned as a measurement: at the loose
+    // d07/d06 operating point (t = 0.35, random-geometry corpus — the
+    // embedding cosine bulk is a ~N(0, 1/√64) concentration, measured in
+    // DuckDB over sf0.1), a random pair survives a 2-bit hyperplane band
+    // with p ≈ 0.25, so P(candidate) = 1 − (1 − 0.25)³² ≈ 0.9999: the
+    // band join yields essentially ALL pairs, each from ~8 of 32 bands
+    // (the first-matching-band filter dedups them statelessly). No
+    // recall-1.0 prune exists here: ball/centroid bounds die by distance
+    // concentration (cell radius ≈ 1 ≈ inter-centroid distance in
+    // normalized space, so every lower bound is ≤ 0), per-segment
+    // Cauchy–Schwarz bounds evaluate to ≈ |a||b| (never below t), and
+    // under the 64-bit signature packing constraint no (bands × bits)
+    // config reaches miss ≤ 1e-6 with less join volume than 32×2 (20×2
+    // bands: volume 5/pair but miss 9e-5 — fails the hash gate at sf1's
+    // 5·10⁵ true pairs). If this fraction ever drops materially, the
+    // operating point changed — revisit the §8 ranking.
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val allPairs = n * (n - 1) / 2
+    val nCand = Dedup.hyperplaneCandidates(
+      emb, "vec_id", "embedding", dim = 64, bandBits = 2, nBands = 32).count()
+    // join volume BEFORE the first-matching-band dedup: the ~8× constant
+    val banded = BandLsh.banded(emb, "vec_id", "embedding", "id", "sig",
+      dim = 64, bandBits = 2, nBands = 32, barrier = false)
+    val joinVolume = banded.select(col("id").as("a"), col("band"))
+      .join(banded.select(col("id").as("b"), col("band")), Seq("band"))
+      .where(col("a") < col("b")).count()
+    val frac = nCand.toDouble / allPairs
+    val dupFactor = joinVolume.toDouble / allPairs
+    info(f"floor: candidates=$nCand/$allPairs (${frac * 100}%.2f%%), join volume $dupFactor%.1f rows/pair")
+    println(f"RECALL d07-floor frac=$frac%.4f joinVolumePerPair=$dupFactor%.2f")
+    assert(frac > 0.9, f"candidate fraction $frac%.3f — the operating point changed, revisit SURVEY §8")
   }
 }
