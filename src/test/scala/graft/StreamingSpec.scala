@@ -247,6 +247,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup gate: prefix parity with batch banding, horizon exact, no double emission") {
+    import graft.streaming.{SimDocEvent, StreamingDedup}
+    val horizonMs = 10000L
+    val sigA = 0x123456789ABCDEF0L
+    val sigB = 0x0F1E2D3C4B5A6978L
+    // base offset keeps every event above the initial zero watermark (a
+    // ts-0 event sits AT the boundary and is dropped as late)
+    def ev(id: Long, tMs: Long, sig: Long) =
+      SimDocEvent(id, new java.sql.Timestamp(86400000L + tMs), sig)
+    val b1 = Seq(ev(1, 0L, sigA), ev(2, 4000L, sigA ^ 7L)) // h=3, in horizon
+    val b2 = Seq(ev(3, 20000L, sigA ^ 1L), ev(4, 21000L, sigA)) // (3,4) h=1; (1,3)/(1,4)/(2,3)/(2,4) beyond horizon
+    val b3 = Seq(ev(5, 22000L, sigB), ev(6, 23000L, sigB ^ (1L << 63)),
+      ev(7, 24000L, sigB)) // (5,7) h=0 matches in ALL four bands: must emit once
+    val batches = Seq(b1, b2, b3)
+    def expected(prefix: Seq[SimDocEvent]): Set[(Long, Long, Int)] =
+      (for {
+        a <- prefix; b <- prefix
+        if a.doc_id < b.doc_id &&
+          math.abs(a.ts.getTime - b.ts.getTime) <= horizonMs
+        h = java.lang.Long.bitCount(a.sig ^ b.sig) if h <= 3
+      } yield (a.doc_id, b.doc_id, h)).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SimDocEvent]
+    val q = StreamingDedup.nearDupPairsWithinHorizon(
+      in.toDS().withWatermark("ts", "0 seconds"), horizonMs)
+      .writeStream.format("memory").queryName("graft_neardup_stream")
+      .outputMode("append").start()
+    try {
+      var fed = Seq.empty[SimDocEvent]
+      batches.foreach { b =>
+        in.addData(b); q.processAllAvailable()
+        fed = fed ++ b
+        val rows = spark.table("graft_neardup_stream").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        // exactly-once: no pair may be emitted from two buckets
+        assert(rows.length == rows.toSet.size, s"duplicate emissions: ${rows.toSeq}")
+        assert(rows.toSet == expected(fed),
+          s"prefix parity: only-stream=${rows.toSet -- expected(fed)} " +
+            s"only-batch=${expected(fed) -- rows.toSet}")
+      }
+      // the beyond-horizon near-dup (1,3) at hamming 1 must NOT appear
+      assert(!spark.table("graft_neardup_stream").collect()
+        .exists(r => r.getLong(0) == 1L && r.getLong(1) == 3L))
+    } finally q.stop()
+  }
+
   test("streaming quantile sketch: prefix parity with the batch aggregate") {
     import graft.streaming.{QuantileInput, StreamingSketch}
     import graft.expressions.KmvSketch
