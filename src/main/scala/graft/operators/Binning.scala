@@ -37,30 +37,52 @@ object Binning {
     * classCol) and `n` (class row count) to `df` — the building block for
     * equal-frequency binning (q70) and type-1 quantile picks (q26).
     * All input columns pass through.
+    *
+    * ONE row-data exchange total: the range repartition. Local ranks come
+    * from a per-partition running counter over the partition-sorted rows —
+    * the canonical justified `mapPartitions` (a window over (chunk-id,
+    * class) computes the same thing but EnsureRequirements cannot see that
+    * every (chunk, class) group is already co-located, so it would
+    * re-exchange 100% of the rows a second time). The rank scan runs once
+    * per consumer branch over the REUSED exchange; only P×|class| count
+    * rows and the broadcast offsets move after the range shuffle.
     */
   def rankInClass(df: DataFrame, classCol: String, orderCol: String, tieCol: String): DataFrame = {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df
       .repartitionByRange(p, col(classCol).asc, col(orderCol).asc, col(tieCol).asc)
-      .withColumn("_pid", spark_partition_id().cast("long"))
-    // P×|class| rank offsets: counts over the SAME range exchange (the
-    // branch re-uses the exchange — no second scan), cumulative-summed in
-    // range order. The offset window partitions by class over P rows per
-    // class — statistics, not data.
-    val counts = ranged.groupBy(col("_pid"), col(classCol)).agg(count(lit(1)).as("_cnt"))
+      .sortWithinPartitions(col(classCol).asc, col(orderCol).asc, col(tieCol).asc)
+    val outSchema = org.apache.spark.sql.types.StructType(ranged.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_pid", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_lrn", org.apache.spark.sql.types.LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val clsIdx = ranged.schema.fieldIndex(classCol)
+    // running (class → counter) over the sorted partition: rows arrive
+    // grouped by class (the sort's leading key), so one counter + one
+    // "current class" cell suffice — O(1) state, no materialization
+    val withRank = ranged.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      var cur: Any = null
+      var started = false
+      var lrn = 0L
+      rows.map { r =>
+        val cls = r.get(clsIdx)
+        if (!started || cls != cur) { cur = cls; started = true; lrn = 0L }
+        lrn += 1
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid :+ lrn)
+      }
+    }(enc)
+    // P×|class| rank offsets: per-(chunk, class) sizes are each chunk's
+    // MAX local rank (no second count pass), cumulative-summed in range
+    // order; the offset windows run over statistics rows, never data
+    val counts = withRank.groupBy(col("_pid"), col(classCol)).agg(max(col("_lrn")).as("_cnt"))
     val wOff = Window.partitionBy(col(classCol)).orderBy(col("_pid").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts
       .withColumn("_off", coalesce(sum(col("_cnt")).over(wOff), lit(0L)))
       .withColumn("n", sum(col("_cnt")).over(Window.partitionBy(col(classCol))))
       .select(col("_pid"), col(classCol), col("_off"), col("n"))
-    // local rank: each (range-chunk, class) group sorts ≤ chunk-size rows —
-    // the partition spec includes _pid BY CONSTRUCTION, so no window group
-    // can exceed a range chunk no matter how few classes exist
-    val wLocal = Window.partitionBy(col("_pid"), col(classCol))
-      .orderBy(col(orderCol).asc, col(tieCol).asc)
-    ranged
-      .withColumn("_lrn", row_number().over(wLocal).cast("long"))
+    withRank
       .join(broadcast(offsets), Seq("_pid", classCol))
       .withColumn("rn", col("_lrn") + col("_off"))
       .drop("_pid", "_lrn", "_off")
