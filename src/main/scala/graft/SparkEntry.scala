@@ -1376,7 +1376,7 @@ object SparkEntry {
       val toks = Tables.documents(s, dir).select(
         col("doc_id"), col("source"),
         size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
-      Sampling.packSequences(toks, col("source"), col("doc_id"), col("n_tokens"), budget = 512L)
+      Sampling.packSequences(toks, "source", "doc_id", "n_tokens", budget = 512L)
         .groupBy(col("source"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))

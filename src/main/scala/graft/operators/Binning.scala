@@ -48,30 +48,7 @@ object Binning {
     * rows and the broadcast offsets move after the range shuffle.
     */
   def rankInClass(df: DataFrame, classCol: String, orderCol: String, tieCol: String): DataFrame = {
-    val p = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df
-      .repartitionByRange(p, col(classCol).asc, col(orderCol).asc, col(tieCol).asc)
-      .sortWithinPartitions(col(classCol).asc, col(orderCol).asc, col(tieCol).asc)
-    val outSchema = org.apache.spark.sql.types.StructType(ranged.schema.fields ++ Seq(
-      org.apache.spark.sql.types.StructField("_pid", org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("_lrn", org.apache.spark.sql.types.LongType, nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    val clsIdx = ranged.schema.fieldIndex(classCol)
-    // running (class → counter) over the sorted partition: rows arrive
-    // grouped by class (the sort's leading key), so one counter + one
-    // "current class" cell suffice — O(1) state, no materialization
-    val withRank = ranged.mapPartitions { rows =>
-      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
-      var cur: Any = null
-      var started = false
-      var lrn = 0L
-      rows.map { r =>
-        val cls = r.get(clsIdx)
-        if (!started || cls != cur) { cur = cls; started = true; lrn = 0L }
-        lrn += 1
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid :+ lrn)
-      }
-    }(enc)
+    val withRank = localRunning(df, classCol, orderCol, tieCol, None)
     // P×|class| rank offsets: per-(chunk, class) sizes are each chunk's
     // MAX local rank (no second count pass), cumulative-summed in range
     // order; the offset windows run over statistics rows, never data
@@ -86,6 +63,82 @@ object Binning {
       .join(broadcast(offsets), Seq("_pid", classCol))
       .withColumn("rn", col("_lrn") + col("_off"))
       .drop("_pid", "_lrn", "_off")
+  }
+
+  /** Adds `cum` — the inclusive per-class prefix sum of `valueCol` (long)
+    * in (orderCol, tieCol) order — with the same one-exchange two-pass
+    * shape as [[rankInClass]]: range partition, per-partition running sum,
+    * P×|class| chunk totals broadcast back as offsets. The running-sum
+    * twin that fixes the OTHER low-cardinality window-sort shape
+    * (packSequences' per-source token accumulation): a window
+    * `PARTITION BY source ORDER BY ord` is a one-task sort per source at
+    * scale; here the sort work spreads over the full parallelism and
+    * only statistics move after the range shuffle.
+    */
+  def prefixSumInClass(
+      df: DataFrame,
+      classCol: String,
+      orderCol: String,
+      tieCol: String,
+      valueCol: String): DataFrame = {
+    val withCum = localRunning(df, classCol, orderCol, tieCol, Some(valueCol))
+    // per-(chunk, class) value totals (sum, not max — sign-safe),
+    // cumulative-summed in range order as the chunk offsets
+    val totals = withCum.groupBy(col("_pid"), col(classCol))
+      .agg(sum(col(valueCol).cast("long")).as("_tot"))
+    val wOff = Window.partitionBy(col(classCol)).orderBy(col("_pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("_off", coalesce(sum(col("_tot")).over(wOff), lit(0L)))
+      .select(col("_pid"), col(classCol), col("_off"))
+    withCum
+      .join(broadcast(offsets), Seq("_pid", classCol))
+      .withColumn("cum", col("_lrn") + col("_off"))
+      .drop("_pid", "_lrn", "_off")
+  }
+
+  /** Shared first pass: range-partition + partition-sort on (class, order,
+    * tie), then a per-partition running accumulator — rank when `valueCol`
+    * is None, inclusive value sum otherwise — emitted as `_lrn` next to
+    * the chunk id `_pid`. The canonical justified `mapPartitions`: a
+    * window over (chunk-id, class) computes the same thing, but
+    * EnsureRequirements cannot see that every (chunk, class) group is
+    * already co-located and would re-exchange 100% of the rows a second
+    * time. Rows arrive grouped by class (the sort's leading key), so the
+    * accumulator is O(1) state; the result is a pure function of the row
+    * set for any partitioning (the tie column makes the sort total).
+    */
+  private def localRunning(
+      df: DataFrame,
+      classCol: String,
+      orderCol: String,
+      tieCol: String,
+      valueCol: Option[String]): DataFrame = {
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(p, col(classCol).asc, col(orderCol).asc, col(tieCol).asc)
+      .sortWithinPartitions(col(classCol).asc, col(orderCol).asc, col(tieCol).asc)
+    val outSchema = org.apache.spark.sql.types.StructType(ranged.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_pid", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_lrn", org.apache.spark.sql.types.LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val clsIdx = ranged.schema.fieldIndex(classCol)
+    val valIdx = valueCol.map(ranged.schema.fieldIndex)
+    ranged.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      var cur: Any = null
+      var started = false
+      var acc = 0L
+      rows.map { r =>
+        val cls = r.get(clsIdx)
+        if (!started || cls != cur) { cur = cls; started = true; acc = 0L }
+        acc += (valIdx match {
+          case Some(i) => r.getAs[Number](i).longValue()
+          case None => 1L
+        })
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid :+ acc)
+      }
+    }(enc)
   }
 
   /** SQL-standard NTILE(b) from a global rank: with n rows the first

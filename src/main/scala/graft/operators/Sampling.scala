@@ -56,26 +56,28 @@ object Sampling {
     * token lands in (packs may overflow by at most one document's tail,
     * which the trainer truncates or wraps).
     *
-    * Scale shape: the window partitions by `groupCol` (source/shard), so
-    * no global total order exists anywhere — each shard packs
-    * independently, exactly how a 1000-executor packing job must run (a
-    * global order would serialize the corpus through one task). One
-    * shuffle+sort per shard, arithmetic all integer → oracle-exact: the
-    * pack index is long `div` long (never a double round-trip, which
-    * loses exactness past 2^53 of cumulative tokens).
+    * Scale shape (r8): the running token count comes from
+    * `Binning.prefixSumInClass`'s two-pass range-partitioned sum, NOT a
+    * `PARTITION BY source` window — with a handful of sources that window
+    * is a one-task external sort per source (the q26/q70 scale-killer,
+    * just wearing a running-sum hat). The two-pass form spreads the sort
+    * over the full parallelism and still never materializes a global
+    * order. All-integer arithmetic → oracle-exact: the pack index is long
+    * `div` long (never a double round-trip, which loses exactness past
+    * 2^53 of cumulative tokens). `ordCol` must be unique within a group.
     */
   def packSequences(
       df: DataFrame,
-      groupCol: Column,
-      ord: Column,
-      tokensCol: Column,
+      groupCol: String,
+      ordCol: String,
+      tokensCol: String,
       budget: Long): DataFrame = {
     require(budget > 0)
-    val w = Window.partitionBy(groupCol).orderBy(ord)
-    df.withColumn("_tok", tokensCol.cast("long"))
-      .withColumn("_cum", sum(col("_tok")).over(w))
-      .withColumn("pack_id", expr(s"(_cum - _tok) div ${budget}L"))
-      .drop("_cum", "_tok")
+    Binning.prefixSumInClass(
+      df.withColumn("_tok", col(tokensCol).cast("long")),
+      groupCol, ordCol, ordCol, "_tok")
+      .withColumn("pack_id", expr(s"(cum - _tok) div ${budget}L"))
+      .drop("cum", "_tok")
   }
 
   /** Mixture rebalancing: select per-source quotas PROPORTIONAL to target
@@ -86,12 +88,12 @@ object Sampling {
     * All-integer arithmetic → quota decisions are engine-exact.
     *
     * This is the QUOTA-EXACT variant (a mixture must hit its proportions,
-    * so ranks are materialized: one per-source window sort). When expected
+    * so ranks are materialized — via `Binning.rankInClass`'s two-pass
+    * range-partitioned rank, r8: a `PARTITION BY source` window rank is a
+    * one-task sort per source at scale, the q26/q70 shape). When expected
     * rates suffice, [[stratifiedSample]]'s hash-filter form is the pure
     * scan alternative. Per-source stats and quotas are broadcast
-    * (|sources| rows); the corpus shuffles once, keyed by source — at
-    * scale the window benefits from the same per-shard independence as
-    * [[packSequences]] (no global order anywhere).
+    * (|sources| rows); no global order exists anywhere.
     */
   def mixtureSample(
       docs: DataFrame,
@@ -106,10 +108,9 @@ object Sampling {
     val lam = stats.agg(min(col("_ratio")).as("_lam"))
     val keeps = stats.crossJoin(broadcast(lam))
       .select(col("_src"), expr("(_lam * _w2) div 10000").as("_keep"))
-    val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol).asc)
-    d.withColumn("_rn", row_number().over(w))
+    Binning.rankInClass(d, sourceCol, idCol, idCol)
       .join(broadcast(keeps), col(sourceCol) === col("_src"))
-      .where(col("_rn") <= col("_keep"))
-      .drop("_src", "_keep", "_rn", "_wt")
+      .where(col("rn") <= col("_keep"))
+      .drop("_src", "_keep", "rn", "n", "_wt")
   }
 }

@@ -421,7 +421,11 @@ class PlanSpec extends SparkSpec {
     // data-bearing window group is bounded by a range chunk, independent of
     // the class cardinality. Windows WITHOUT _pid may only order by _pid
     // itself (the P×|class| offset statistics, never row data).
-    Seq("q26_price_percentiles", "q70_decile_bins").foreach { name =>
+    // t12/t14 carry the same contract through Sampling: the per-source
+    // running sum (packSequences) and quota rank (mixtureSample) also run
+    // on the two-pass range-partitioned shape
+    Seq("q26_price_percentiles", "q70_decile_bins",
+      "t12_sequence_pack", "t14_mixture_sample").foreach { name =>
       val p = plan(name)
       assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
         s"$name: two-pass rank must range-partition:\n" + p)

@@ -53,12 +53,12 @@ class SamplingSpec extends SparkSpec {
       (1L, "a", 4L), (2L, "a", 4L), (3L, "a", 4L), (4L, "a", 4L),
       (10L, "b", 12L), (11L, "b", 5L))
       .toDF("doc_id", "source", "n_tokens")
-    val out = Sampling.packSequences(docs, col("source"), col("doc_id"), col("n_tokens"), budget = 10L)
+    val out = Sampling.packSequences(docs, "source", "doc_id", "n_tokens", budget = 10L)
       .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 10L -> 0L, 11L -> 1L))
     // packs are contiguous doc ranges and pack overflow is bounded by one
     // document: pack_tokens < budget + that pack's largest doc
-    val packs = Sampling.packSequences(docs, col("source"), col("doc_id"), col("n_tokens"), budget = 10L)
+    val packs = Sampling.packSequences(docs, "source", "doc_id", "n_tokens", budget = 10L)
       .groupBy(col("source"), col("pack_id"))
       .agg(org.apache.spark.sql.functions.sum(col("n_tokens")).as("t"),
         org.apache.spark.sql.functions.max(col("n_tokens")).as("m"))
