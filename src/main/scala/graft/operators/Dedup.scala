@@ -42,43 +42,11 @@ object Dedup {
       bCol: String,
       maxIter: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
-    // Iterative plans MUST cut lineage each pass: persist() caches data but
-    // the logical plan still nests — by iteration n the plan TREE (and every
-    // explain/UI string Spark renders of it) grows exponentially, and the
-    // driver burns minutes stringifying plans before running 100ms jobs.
-    // localCheckpoint(eager) materializes AND truncates the plan to a leaf.
-    //
-    // `checkpointDir` selects the cluster-prod variant: RELIABLE
-    // checkpoints against a real (HDFS/object-store) directory. A local
-    // checkpoint pins blocks to the executors that computed them — lose one
-    // executor mid-loop at 100 TB and the whole job dies; a reliable
-    // checkpoint survives executor loss at the cost of a distributed-FS
-    // write per iteration. Same loop either way (checkpoint files are
-    // reclaimed by Spark's ContextCleaner with
-    // spark.cleaner.referenceTracking.cleanCheckpoints=true, else at app
-    // end).
-    val useReliable = checkpointDir.isDefined
-    checkpointDir.foreach { d =>
-      val sc = pairs.sparkSession.sparkContext
-      // setCheckpointDir appends a UUID subdir, so the stored value never
-      // equals the argument — only set when the application hasn't set one
-      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
-    }
-    def ckpt(df: DataFrame, eager: Boolean): DataFrame =
-      if (useReliable) {
-        // Dataset.checkpoint writes the checkpoint files in a SECOND job
-        // that re-runs the full lineage; cache first so that job reads the
-        // cached blocks instead of re-evaluating an expensive upstream
-        // (always eager here — the lazy variant is a local-mode-only saving)
-        val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val ck = cached.checkpoint(true)
-        cached.unpersist(false)
-        ck
-      } else df.localCheckpoint(eager)
-    // reliable checkpoints hold no block-manager blocks; only local ones
-    // need the explicit release
-    def release(df: DataFrame): Unit =
-      if (!useReliable) org.apache.spark.sql.graft.ColumnBridge.unpersistLocalCheckpoint(df)
+    // lineage cutting + the local-vs-reliable cluster-prod choice live in
+    // IterCkpt (one policy shared by every fixpoint operator)
+    val ic = IterCkpt(pairs, checkpointDir)
+    def ckpt(df: DataFrame, eager: Boolean): DataFrame = ic(df, eager)
+    def release(df: DataFrame): Unit = ic.release(df)
     // materialize the pair generator ONCE: the symmetrization union would
     // otherwise evaluate the (possibly expensive — LSH band join) upstream
     // plan twice, doubling the cost of the whole operator

@@ -147,28 +147,33 @@ object GraphOps {
       src: String,
       dst: String,
       iters: Int = 5,
-      scale: Long = 1000000000000L): DataFrame = {
-    val e = edges
+      scale: Long = 1000000000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // checkpointDir selects RELIABLE checkpoints (survive executor loss
+    // mid-loop — the 100 TB deployment contract; see IterCkpt)
+    val ic = IterCkpt(edges, checkpointDir)
+    val e = ic(edges
       .select(col(src).cast("long").as("es"), col(dst).cast("long").as("ed"))
-      .where(col("es") =!= col("ed")).distinct().localCheckpoint(true)
-    val nodes = e.select(col("es").as("node"))
-      .union(e.select(col("ed"))).distinct().localCheckpoint(true)
+      .where(col("es") =!= col("ed")).distinct())
+    val nodes = ic(e.select(col("es").as("node"))
+      .union(e.select(col("ed"))).distinct())
     val n = nodes.count()
     val base = (scale * 15L / 100L) / n
     // the degree aggregation runs ONCE here; the loop never touches it
     val outdeg = e.groupBy(col("es")).agg(count(lit(1)).as("outdeg"))
-    val e2 = e.join(outdeg, "es")
-      .repartition(col("es")).localCheckpoint(true)
-    org.apache.spark.sql.graft.ColumnBridge.unpersistLocalCheckpoint(e)
+    val e2 = ic(e.join(outdeg, "es").repartition(col("es")))
+    ic.release(e)
     var ranks = nodes.withColumn("rank", lit(scale / n))
+    var prev: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       val sums = ranks.join(e2, col("node") === col("es"))
         .select(col("ed"), expr("rank div outdeg").as("c"))
         .groupBy(col("ed").as("node")).agg(sum(col("c")).as("cs"))
-      ranks = nodes.join(sums, Seq("node"), "left")
+      ranks = ic(nodes.join(sums, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) + expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) div 100")).as("rank"))
-        .localCheckpoint(true)
+          (lit(base) + expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) div 100")).as("rank")))
+      prev.foreach(ic.release)
+      prev = Some(ranks)
     }
     ranks.select(col("node").as("node_id"), col("rank").as("rank_scaled"))
   }
@@ -222,28 +227,34 @@ object GraphOps {
       src: String,
       dst: String,
       seeds: DataFrame,
-      maxDepth: Int = 6): DataFrame = {
+      maxDepth: Int = 6,
+      checkpointDir: Option[String] = None): DataFrame = {
     // the edge set passes through an advisory repartition(es) (the
     // pageRank rule): loop parallelism independent of the input layout,
-    // AQE sizes the width to the graph's actual volume
-    val e = edges
+    // AQE sizes the width to the graph's actual volume. checkpointDir
+    // selects RELIABLE checkpoints (survive executor loss — IterCkpt).
+    val ic = IterCkpt(edges, checkpointDir)
+    val e = ic(edges
       .select(col(src).cast("long").as("es"), col(dst).cast("long").as("ed"))
       .where(col("es") =!= col("ed")).distinct()
-      .repartition(col("es")).localCheckpoint(true)
-    var depths = seeds.select(col(seeds.columns.head).cast("long").as("node"))
-      .distinct().withColumn("depth", lit(0L)).localCheckpoint(true)
+      .repartition(col("es")))
+    var depths = ic(seeds.select(col(seeds.columns.head).cast("long").as("node"))
+      .distinct().withColumn("depth", lit(0L)))
     var frontier = depths
     var d = 1
     var done = false
     while (d <= maxDepth && !done) {
-      val next = frontier.join(e, col("node") === col("es"))
+      val next = ic(frontier.join(e, col("node") === col("es"))
         .select(col("ed").as("node")).distinct()
         .join(depths, Seq("node"), "left_anti")
-        .withColumn("depth", lit(d.toLong))
-        .localCheckpoint(true)
+        .withColumn("depth", lit(d.toLong)))
       if (next.isEmpty) done = true
       else {
-        depths = depths.union(next).localCheckpoint(true)
+        val grown = ic(depths.union(next))
+        // the superseded cumulative frame is dead; the frontier must NOT
+        // be released (it drives the next round's join)
+        ic.release(depths)
+        depths = grown
         frontier = next
       }
       d += 1

@@ -153,6 +153,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(anyFile(new java.io.File(dir)), "reliable mode must checkpoint to the real dir")
   }
 
+  test("pageRank/bfsDepths: reliable-checkpoint mode yields identical results") {
+    // same IterCkpt contract as connectedComponents: the cluster-prod
+    // variant is the SAME algorithm — exact-integer ranks and depths make
+    // the comparison bitwise. (The checkpoint dir is session-global and
+    // already set by the connectedComponents test when it runs first; the
+    // parity assertions are the contract here.)
+    import graft.operators.GraphOps
+    val dir = java.nio.file.Files.createTempDirectory("graft-graph-ckpt").toString
+    val edges = (0L until 60L).map(i => (i % 20, (i * 7) % 20)).toDF("s", "d")
+    val prLocal = GraphOps.pageRank(edges, "s", "d", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val prReliable = GraphOps.pageRank(edges, "s", "d", iters = 3, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(prReliable == prLocal)
+    val seeds = Seq(0L).toDF("node")
+    val bfsLocal = GraphOps.bfsDepths(edges, "s", "d", seeds)
+      .as[(Long, Long)].collect().toMap
+    val bfsReliable = GraphOps.bfsDepths(edges, "s", "d", seeds, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(bfsReliable == bfsLocal)
+  }
+
   test("mergeNodes keeps the latest property write per (label, key)") {
     import graft.operators.GraphOps
     val nodes = Seq(
