@@ -1650,8 +1650,13 @@ object SparkEntry {
         .where(col("event_type").isin("click", "purchase"))
         .select(col("event_type"),
           KmvSketch.splitmix64(col("user_id")).as("h"))
+      // materialized ONCE: the two-row states frame feeds THREE branches
+      // (merge, ha, hb) — without the cut each branch re-runs the events
+      // scan + sketch aggregation (3 scans for one query; at 100 TB, the
+      // whole corpus three times)
       val states = ev.groupBy(col("event_type"))
         .agg(KmvSketch.kmvState(col("h"), k).as("state"))
+        .localCheckpoint(true)
       val merged = states.agg(KmvSketch.kmvMerge(col("state"), k).as("kmv"))
         .select(col("kmv.est").as("est_union"), col("kmv.kth").as("kth"))
       val ha = states.where(col("event_type") === "click")
