@@ -29,7 +29,7 @@ object Bench {
     "q55_disjunctive_revenue", "q56_top_supplier", "q58_event_pivot", "q59_cube_volume",
     "q60_sole_shipper", "q61_part_variety", "q62_shipmode_priority", "q63_kmv_distinct",
     "q64_kmv_mergeable", "q65_sketch_quantiles", "q66_bfs_depths", "q67_excess_shippers",
-    "q68_nation_value", "q69_kmv_intersection", "q70_decile_bins",
+    "q68_nation_value", "q69_kmv_intersection", "q70_decile_bins", "q71_sketch_bins",
     // s04 re-runs d06's whole candidate+closure pipeline (already benched
     // via d06); m04/m05 are constant-size generators, not SF-scaled —
     // benching them would measure nothing about the data path

@@ -379,6 +379,44 @@ object OracleHashSql {
        |    AND ((lo + 3 * hi) % 65536) IN (SELECT p FROM evp))
        |SELECT doc_id, count(*) AS n_flagged FROM flag GROUP BY doc_id""".stripMargin
 
+  /** q71: global sketch-boundary equal-frequency bins — the bottom-256
+    * orders by unsigned splitmix64(o_orderkey) form the deterministic
+    * sample (q65's contract), decile boundaries are type-1 picks over it
+    * (ceil in FP — the q65 rule; the i/10.0 literals match the engine's
+    * once-rounded doubles), and membership is the 9-comparison sum. The
+    * whole chain is a pure function of the order set, so bins and their
+    * exact per-bin stats hash-match.
+    */
+  def q71Sql: String = {
+    val k = 256
+    val bounds = (1 until 10).map { i =>
+      s"max(CASE WHEN rn = CAST(ceil(ns * ${i / 10.0}) AS BIGINT) THEN price_c END) AS b$i"
+    }.mkString(",\n       |  ")
+    val binSum = (1 until 10).map(i =>
+      s"(CASE WHEN o.price_c >= b.b$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH src AS (
+       |  SELECT ${u64("o_orderkey")} AS h0,
+       |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+       |  FROM orders),
+       |${mixCtes("src", Seq("price_c"))},
+       |r AS (SELECT price_c, hu, row_number() OVER (ORDER BY hu) AS hrk FROM m4),
+       |samp AS (SELECT price_c, hu FROM r WHERE hrk <= $k),
+       |sq AS (SELECT price_c,
+       |              row_number() OVER (ORDER BY price_c ASC, hu ASC) AS rn,
+       |              count(*) OVER () AS ns
+       |       FROM samp),
+       |b AS (SELECT
+       |  $bounds
+       |  FROM sq),
+       |binned AS (
+       |  SELECT o.price_c, 1 + $binSum AS bin
+       |  FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders) o, b)
+       |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_orders,
+       |       min(price_c) AS min_c, max(price_c) AS max_c,
+       |       CAST(sum(price_c) AS BIGINT) AS sum_c
+       |FROM binned GROUP BY 1""".stripMargin
+  }
+
   /** q63: KMV distinct sketch — per event_type, the k smallest distinct
     * splitmix64(user_id) hashes in UNSIGNED order, estimate = exact
     * integer floor((k−1)·2⁶⁴ / kth). splitmix64 is a bijection on 64 bits,

@@ -1598,6 +1598,45 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), min(col("price_c")).as("min_c"),
           max(col("price_c")).as("max_c"), sum(col("price_c")).as("sum_c"))
     },
+    "q71_sketch_bins" -> q { (s, dir) =>
+      // GLOBAL equal-frequency binning via sketch boundaries — the
+      // cross-class complement of q70 (whose scaladoc sends global bins
+      // here): a global ntile is a one-task global sort at 100 TB, so the
+      // decile boundaries come from q65's deterministic bottom-k-by-hash
+      // sample instead — `orderBy(unsigned h).limit(k)` is a bounded
+      // TakeOrdered (map-side partial top-k, never a sort shuffle), the
+      // boundary picks are q26's type-1 selections over the 256-row
+      // sample (windows over the SAMPLE — statistics, not data), and bin
+      // assignment is a pure codegen scan against the ONE broadcast
+      // boundary row. Approximate bin sizes (±~n/√k), exact everything
+      // else: the sample is a pure function of the row set (splitmix64 of
+      // the unique order key), so boundaries, memberships and per-bin
+      // stats are all engine-exact — an approximate operator with a
+      // hash-exact oracle, the sketch-family contract.
+      import graft.expressions.KmvSketch
+      val k = 256
+      val nBins = 10
+      val o = Tables.orders(s, dir).select(
+        c2(col("o_totalprice")).as("price_c"),
+        KmvSketch.splitmix64(col("o_orderkey")).as("h"))
+      val uh = col("h").bitwiseXOR(lit(Long.MinValue))
+      val samp = o.orderBy(uh.asc).limit(k)
+      val sq = samp
+        .withColumn("rn", row_number().over(Window.orderBy(col("price_c").asc, uh.asc)).cast("long"))
+        .withColumn("ns", count(lit(1)).over(Window.partitionBy()))
+      // i/10.0 rounds ONCE to the same double DuckDB parses from "0.i"
+      // (0.1*i would round twice and drift at i=3 — the s07 weight rule)
+      val bCols = (1 until nBins).map(i =>
+        max(when(col("rn") === ceil(col("ns") * lit(i / 10.0)), col("price_c"))).as(s"b$i"))
+      val bounds = sq.agg(bCols.head, bCols.tail: _*)
+      o.crossJoin(broadcast(bounds))
+        .select(col("price_c"),
+          (1 until nBins).map(i => when(col("price_c") >= col(s"b$i"), 1L).otherwise(0L))
+            .reduce(_ + _).plus(lit(1L)).as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_orders"), min(col("price_c")).as("min_c"),
+          max(col("price_c")).as("max_c"), sum(col("price_c")).as("sum_c"))
+    },
     "q68_nation_value" -> q { (s, dir) =>
       // TPC-H Q11 shape — one nation's stocked-part value distribution
       // with the scalar-subquery HAVING gate. partsupp value modeled from
@@ -3324,6 +3363,7 @@ object SparkEntry {
         |SELECT pp.l_partkey AS p_partkey, pp.value4
         |FROM pp, tot WHERE pp.value4 * tot.n_parts > tot.total4 * 2""".stripMargin,
     "q69_kmv_intersection" -> OracleHashSql.q69Sql,
+    "q71_sketch_bins" -> OracleHashSql.q71Sql,
     "q67_excess_shippers" ->
       """WITH li AS (
         |  SELECT l_partkey, l_suppkey, CAST(round(l_quantity * 100) AS BIGINT) AS q_c

@@ -33,6 +33,25 @@ class BinningSpec extends SparkSpec {
     }
   }
 
+  test("q71 sketch bins: near-uniform sizes, exhaustive coverage, partition-invariant") {
+    val rows = SparkEntry.queries("q71_sketch_bins")(spark, sfDir).collect()
+      .map(r => r.getLong(r.fieldIndex("bin")) -> r.getLong(r.fieldIndex("n_orders"))).toMap
+    val n = rows.values.sum
+    // every order lands in exactly one bin; boundaries come from a
+    // 256-point sample so sizes are near-uniform (±~n/√k), not exact —
+    // a loose band documents the contract without flaking
+    assert(rows.keys.forall(b => b >= 1 && b <= 10))
+    assert(n > 0)
+    rows.values.foreach(c => assert(c > n / 50 && c < n / 3,
+      s"bin size $c implausible for n=$n: $rows"))
+    // determinism: the sample is a pure function of the row set (partition
+    // invariance of the TakeOrdered bottom-k is covered by the oracle
+    // hash-match at two SFs); a re-run must be bit-stable
+    val again = SparkEntry.queries("q71_sketch_bins")(spark, sfDir).collect()
+      .map(r => r.getLong(r.fieldIndex("bin")) -> r.getLong(r.fieldIndex("n_orders"))).toMap
+    assert(again == rows)
+  }
+
   test("ntileFromRank reproduces SQL NTILE bucket sizes, including n < b") {
     import spark.implicits._
     // n = 43, b = 10: first 3 buckets of 5, then 7 of 4; n = 7 < b = 10:
