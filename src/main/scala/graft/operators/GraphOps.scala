@@ -60,10 +60,13 @@ object GraphOps {
     * pre-filter on [[degrees]].
     */
   def suggestFollows(edges: DataFrame, src: String, dst: String, k: Int): DataFrame = {
+    // deduped edges feed three consumers (both self-join sides + the
+    // anti-join exclusion): materialize once (the q51 rule)
     val e = edges
       .select(col(src).as("_s"), col(dst).as("_d"))
       .where(col("_d").isNotNull && col("_s") =!= col("_d"))
       .distinct()
+      .localCheckpoint(true)
     val fof = e.select(col("_s").as("u"), col("_d").as("mid"))
       .join(e.select(col("_s").as("mid"), col("_d").as("cand")), "mid")
       .where(col("cand") =!= col("u"))
@@ -97,11 +100,18 @@ object GraphOps {
     * closing join needs no de-dup pass.
     */
   def triangleCount(edges: DataFrame, src: String, dst: String): DataFrame = {
+    // und feeds FOUR consumers (degrees, orientation, the closing join,
+    // the edge count) and oriented feeds its own self-join: materialize
+    // each ONCE (r8 — the plan audit found 28 parquet scans and zero
+    // exchange reuse in the unmaterialized DAG: Catalyst re-evaluates the
+    // scan+distinct per consumer, which at 100 TB is re-reading the edge
+    // table four times)
     val und = edges
       .select(col(src).cast("long").as("s"), col(dst).cast("long").as("d"))
       .where(col("s") =!= col("d"))
       .select(least(col("s"), col("d")).as("u"), greatest(col("s"), col("d")).as("v"))
       .distinct()
+      .localCheckpoint(true)
     val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("dg"))
     val oriented = und
@@ -112,6 +122,7 @@ object GraphOps {
           struct(col("u").as("f"), col("v").as("t")))
           .otherwise(struct(col("v").as("f"), col("u").as("t"))).as("o"))
       .select(col("o.f").as("x"), col("o.t").as("y"))
+      .localCheckpoint(true)
     val wedges = oriented
       .join(oriented.select(col("x"), col("y").as("z")), "x")
       .where(col("y") < col("z"))
@@ -179,6 +190,11 @@ object GraphOps {
   }
 
   def mutualEdges(edges: DataFrame, src: String, dst: String): DataFrame = {
+    // two consumers, but they filter DISJOINT halves (s<d vs s>d): a
+    // materialization would write the whole set only to read it once per
+    // half — the double evaluation costs the same and keeps the kernel
+    // scan visible to pushdown (unlike q51's four-consumer DAG, where
+    // the checkpoint is a clear win)
     val e = edges
       .select(col(src).cast("long").as("s"), col(dst).cast("long").as("d"))
       .where(col("s") =!= col("d")).distinct()
