@@ -40,12 +40,12 @@ class ExchangeBudgetSpec extends SparkSpec {
     "q25_mutual_edges" -> 4, "q26_price_percentiles" -> 10, "q27_age_metrics" -> 4,
     "q28_asof_native" -> 4, "q29_salted_join" -> 2, "q30_incremental_agg" -> 8,
     "q32_ship_priority" -> 2, "q34_nation_trade" -> 1, "q35_returned_items" -> 4,
-    "q36_cheapest_supplier" -> 2, "q37_follow_suggest" -> 10, "q38_cu_accounting" -> 8,
+    "q36_cheapest_supplier" -> 2, "q37_follow_suggest" -> 4, "q38_cu_accounting" -> 8,
     "q57_sync_checksum" -> 4, "q40_market_share" -> 6, "q41_product_profit" -> 2,
     "q42_cust_order_dist" -> 4, "q43_idle_customers" -> 6, "q44_rolling_metrics" -> 2,
     "q45_funnel" -> 4, "q46_retention_cohorts" -> 6, "q47_gap_fill" -> 4,
     "q48_revenue_forecast" -> 2, "q49_promo_share" -> 2, "q50_rolling_active" -> 10,
-    "q51_triangles" -> 36, "q52_pagerank" -> 0, "q53_small_order_revenue" -> 4,
+    "q51_triangles" -> 6, "q52_pagerank" -> 0, "q53_small_order_revenue" -> 4,
     "q54_large_orders" -> 2, "q55_disjunctive_revenue" -> 2, "q56_top_supplier" -> 2,
     "q58_event_pivot" -> 4, "q59_cube_volume" -> 2, "q60_sole_shipper" -> 4,
     "q61_part_variety" -> 6, "q62_shipmode_priority" -> 2, "q63_kmv_distinct" -> 2,
