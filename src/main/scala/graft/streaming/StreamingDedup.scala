@@ -41,8 +41,10 @@ final case class DedupBucketState(ids: Array[Long], tsMs: Array[Long], sigs: Arr
   *
   * Bounded state is the contract (the SURVEY rule: no streaming state may
   * grow with the stream): each bucket holds only docs within `horizonMs`
-  * of its newest member — O(arrival-rate × horizon) total, never
-  * O(stream) — and idle buckets are cleared by event-time timeout once
+  * behind the WATERMARK — O(arrival-rate × (horizon + allowed lateness))
+  * total, never O(stream); any on-time arrival (ts ≥ watermark) therefore
+  * still sees every in-horizon partner — and idle buckets are cleared by
+  * event-time timeout once
   * the watermark passes their horizon. A pair is emitted iff the two
   * docs' event times differ by ≤ `horizonMs` (the emission filter makes
   * the horizon EXACT; state pruning merely bounds memory). This is
@@ -137,18 +139,23 @@ object StreamingDedup {
               }
               entries += ((n.doc_id, nTs, n.sig))
             }
-            // prune to the horizon behind the bucket's newest member (the
-            // emission filter above keeps the horizon exact regardless)
+            // prune on the WATERMARK, not the newest member: a still-on-time
+            // doc in a later batch has ts >= wm, so only entries older than
+            // wm - horizonMs can never pair again. Pruning behind the newest
+            // member instead would drop entries an out-of-order (but on-time)
+            // arrival may still reach back to — silently missing pairs and
+            // breaking the scaladoc contract. State stays bounded by
+            // arrival-rate × (horizon + allowed lateness).
             val maxTs = entries.iterator.map(_._2).max
-            val kept = entries.filter(_._2 >= maxTs - horizonMs)
+            val wm0 = state.getCurrentWatermarkMs()
+            val kept = entries.filter(_._2 >= wm0 - horizonMs)
             state.update(DedupBucketState(
               kept.map(_._1).toArray, kept.map(_._2).toArray, kept.map(_._3).toArray))
             // idle-bucket clearing: once the watermark passes the horizon
             // after the newest member, nothing here can pair again (the
             // guard keeps the timestamp legal if the watermark already
             // advanced past it — the timeout then fires on the next batch)
-            val wm = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(math.max(maxTs + horizonMs, wm + 1L))
+            state.setTimeoutTimestamp(math.max(maxTs + horizonMs, wm0 + 1L))
             out.result().iterator
           }
         })

@@ -294,6 +294,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup gate: an out-of-order but on-time doc still pairs (watermark-based pruning)") {
+    import graft.streaming.{SimDocEvent, StreamingDedup}
+    // Pruning must follow the WATERMARK, not the bucket's newest member:
+    // doc 2 arrives 2× the horizon after doc 1 (newest-member pruning would
+    // evict doc 1), then doc 3 arrives OUT OF ORDER — older than doc 2 but
+    // still >= the watermark (15 s delay) and within the horizon of doc 1.
+    // The contract says only docs arriving after the watermark passed the
+    // horizon may miss pairs, so (1,3) MUST be emitted.
+    val horizonMs = 5000L
+    val sigA = 0x123456789ABCDEF0L
+    def ev(id: Long, tMs: Long, sig: Long) =
+      SimDocEvent(id, new java.sql.Timestamp(86400000L + tMs), sig)
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SimDocEvent]
+    val q = StreamingDedup.nearDupPairsWithinHorizon(
+      in.toDS().withWatermark("ts", "15 seconds"), horizonMs)
+      .writeStream.format("memory").queryName("graft_neardup_ooo")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq(ev(1, 20000L, sigA))); q.processAllAvailable()
+      in.addData(Seq(ev(2, 30000L, sigA))); q.processAllAvailable() // wm -> 15000
+      in.addData(Seq(ev(3, 24000L, sigA ^ 1L))); q.processAllAvailable() // on-time (>= wm), in horizon of doc 1
+      val rows = spark.table("graft_neardup_ooo").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // (1,2) and (2,3) are beyond the horizon; (1,3) is the contract case
+      assert(rows == Set((1L, 3L, 1)),
+        s"watermark-pruning contract: got $rows, want exactly (1,3,h=1)")
+    } finally q.stop()
+  }
+
   test("streaming quantile sketch: prefix parity with the batch aggregate") {
     import graft.streaming.{QuantileInput, StreamingSketch}
     import graft.expressions.KmvSketch
