@@ -267,9 +267,12 @@ object GraphOps {
       if (next.isEmpty) done = true
       else {
         val grown = ic(depths.union(next))
-        // the superseded cumulative frame is dead; the frontier must NOT
-        // be released (it drives the next round's join)
+        // once `next` and `grown` are eagerly materialized, BOTH superseded
+        // frames are dead: the old cumulative depths AND the frontier that
+        // drove this round's join. (Round 1's frontier IS the initial depths
+        // frame — the second release is a no-op on an already-dropped RDD.)
         ic.release(depths)
+        if (frontier ne depths) ic.release(frontier)
         depths = grown
         frontier = next
       }

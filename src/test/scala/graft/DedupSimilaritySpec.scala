@@ -175,6 +175,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(bfsReliable == bfsLocal)
   }
 
+  test("bfsDepths releases superseded frames: pinned RDD count stays bounded across rounds") {
+    // every round local-checkpoints `next` and `grown`; without the
+    // explicit releases the superseded cumulative depths AND every old
+    // frontier stay pinned until app end — O(diameter) dead frames. A
+    // 12-hop chain forces 12 rounds; the live set at exit must be O(1)
+    // (edge set + final depths + final frontier), not O(rounds).
+    import graft.operators.GraphOps
+    val sc = spark.sparkContext
+    def pinned(): Int = sc.getRDDStorageInfo.count(_.numCachedPartitions > 0)
+    val before = pinned()
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("s", "d")
+    val depths = GraphOps.bfsDepths(chain, "s", "d", Seq(0L).toDF("node"), maxDepth = 12)
+    assert(depths.count() == 13)
+    // unpersist is async: poll briefly before judging the watermark
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var after = pinned()
+    while (after - before > 5 && System.nanoTime() < deadline) {
+      Thread.sleep(200); after = pinned()
+    }
+    assert(after - before <= 5,
+      s"bfsDepths leaked checkpoint frames: $before pinned before, $after after 12 rounds")
+  }
+
   test("mergeNodes keeps the latest property write per (label, key)") {
     import graft.operators.GraphOps
     val nodes = Seq(
