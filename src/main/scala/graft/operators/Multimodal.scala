@@ -269,10 +269,14 @@ object Multimodal {
         shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)))
     val left = banded.select(col("id").as("a"), col("sim").as("sim_a"), col("chunk"))
     val right = banded.select(col("id").as("b"), col("sim").as("sim_b"), col("chunk"))
+    // band-collision duplicates are dropped by the stateless
+    // first-matching-band XOR filter (the d03/d07 rule) — ownership is a
+    // pure function of the two signatures already on the row, so no
+    // groupBy(a, b) exchange ever carries the collision volume
     val ff = left.join(right, Seq("chunk"))
       .where(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(first(TextFns.hamming64(col("sim_a"), col("sim_b"))).as("hamming"))
+      .where(BandLsh.firstMatchingBand(col("sim_a"), col("sim_b"), col("chunk"), 16, 4))
+      .select(col("a"), col("b"), TextFns.hamming64(col("sim_a"), col("sim_b")).as("hamming"))
       .where(col("hamming") <= 3)
     val quar = f.where(col("w") < 64).select(col("id"), col("sim"))
     val qq = quar.select(col("id").as("a"), col("sim").as("sim_a"))

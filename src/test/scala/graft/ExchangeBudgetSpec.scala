@@ -7,78 +7,101 @@ package graft
   * shuffled bytes at 100 TB long before it shows up in a local bench —
   * the plan property is the early warning.
   *
-  * The unit is "ShuffleExchange matches in the executed-plan string",
-  * which under AQE includes both the initial and final plan renderings —
-  * roughly 2× the logical shuffle count, but DETERMINISTIC at spec scale
-  * (fixed sizes → fixed AQE decisions). Budgets are the exact round-8
-  * measurements used as upper bounds: AQE replacing a shuffle join with a
-  * broadcast only lowers the count, so an increase means a plan gained a
-  * shuffle. Raising a budget is a deliberate design decision that belongs
-  * in the diff alongside the plan change that caused it.
+  * The unit is "ShuffleExchangeLike NODES in the adaptive-FINAL executed
+  * plan tree" (round 9 — previously a regex over the plan string, which
+  * double-counted AQE's initial+final renderings and would silently
+  * rescale every budget on a plan-string format change). Reused
+  * exchanges count zero (no second shuffle runs); broadcast exchanges
+  * are excluded (they move dims, not data volume) but their subtrees are
+  * traversed. Budgets are exact round-9 measurements used as upper
+  * bounds: AQE replacing a shuffle join with a broadcast only lowers the
+  * count, so an increase means a plan gained a shuffle. Raising a budget
+  * is a deliberate design decision that belongs in the diff alongside
+  * the plan change that caused it.
   */
 class ExchangeBudgetSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+
+  /** Shuffle nodes actually present in the final (post-AQE) physical plan,
+    * recursing through adaptive wrappers, materialized query stages, and
+    * subquery plans.
+    */
+  private def countShuffles(p: SparkPlan): Int = {
+    val own = p match {
+      case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
+      case q: QueryStageExec => q.plan match {
+        case _: ReusedExchangeExec => 0
+        case materialized => countShuffles(materialized)
+      }
+      case _: ReusedExchangeExec => 0
+      case s: ShuffleExchangeLike => 1 + s.children.map(countShuffles).sum
+      case other => other.children.map(countShuffles).sum
+    }
+    own + p.subqueries.map(countShuffles).sum
+  }
 
   private def exchanges(name: String): Int = {
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    // ShuffleExchange only: broadcasts move dims, not data volume
-    "(?<!Broadcast|Reused)Exchange".r.findAllIn(p).length
+    countShuffles(df.queryExecution.executedPlan)
   }
 
-  /** Round-8 measured counts (record mode below regenerates them). */
+  /** Round-9 measured node counts, max of two record passes (record mode
+    * below regenerates them).
+    */
   private val budget: Map[String, Int] = Map(
-    "q01_latest_wins" -> 2, "q02_snapshot_merge" -> 4, "q03_rowfilter" -> 0,
-    "q04_backfill_range" -> 0, "q05_pk_dedup" -> 2, "q06_json_extract" -> 0,
-    "q07_tracking" -> 2, "q08_profiles_view" -> 2, "q09_graph_degree" -> 4,
-    "q10_edge_merge" -> 2, "q11_salted_agg" -> 4, "q17_priority_counts" -> 2,
-    "q19_registry_sync" -> 20, "q20_json_struct" -> 2, "q23_tumbling_daily" -> 2,
-    "q31_profile" -> 4, "q33_node_merge" -> 2, "q39_typed_sync" -> 2,
-    "q12_pricing_summary" -> 2, "q13_region_revenue" -> 2, "q14_top_customers" -> 2,
-    "q15_event_sessions" -> 2, "q16_brand_volume" -> 2, "q18_nation_rollup" -> 2,
-    "q21_asof_join" -> 2, "q22_range_join" -> 2, "q24_scd2_intervals" -> 2,
-    "q25_mutual_edges" -> 4, "q26_price_percentiles" -> 10, "q27_age_metrics" -> 4,
-    "q28_asof_native" -> 4, "q29_salted_join" -> 2, "q30_incremental_agg" -> 8,
-    "q32_ship_priority" -> 2, "q34_nation_trade" -> 1, "q35_returned_items" -> 4,
-    "q36_cheapest_supplier" -> 2, "q37_follow_suggest" -> 4, "q38_cu_accounting" -> 8,
-    "q57_sync_checksum" -> 4, "q40_market_share" -> 6, "q41_product_profit" -> 2,
-    "q42_cust_order_dist" -> 4, "q43_idle_customers" -> 6, "q44_rolling_metrics" -> 2,
-    "q45_funnel" -> 4, "q46_retention_cohorts" -> 6, "q47_gap_fill" -> 4,
-    "q48_revenue_forecast" -> 2, "q49_promo_share" -> 2, "q50_rolling_active" -> 10,
-    "q51_triangles" -> 6, "q52_pagerank" -> 0, "q53_small_order_revenue" -> 4,
-    "q54_large_orders" -> 2, "q55_disjunctive_revenue" -> 2, "q56_top_supplier" -> 2,
-    "q58_event_pivot" -> 4, "q59_cube_volume" -> 2, "q60_sole_shipper" -> 4,
-    "q61_part_variety" -> 6, "q62_shipmode_priority" -> 2, "q63_kmv_distinct" -> 2,
-    "q64_kmv_mergeable" -> 6, "q65_sketch_quantiles" -> 2, "q66_bfs_depths" -> 0,
-    "q67_excess_shippers" -> 4, "q68_nation_value" -> 6, "q69_kmv_intersection" -> 6,
-    "q70_decile_bins" -> 10, "q71_sketch_bins" -> 2,
-    "d01_dedup_exact" -> 2, "d02_dedup_minhash" -> 4, "d03_dedup_simhash" -> 4,
-    "d04_ngram_jaccard" -> 4, "d06_dedup_clusters" -> 0, "d07_embed_neardup_lsh" -> 4,
-    "d08_dedup_incremental" -> 6, "d09_embed_delta" -> 6, "d10_passage_dedup" -> 6,
-    "d11_semantic_dedup" -> 8, "d12_dedup_pipeline" -> 4, "d13_semantic_dedup_trained" -> 8,
-    "s01_ann_brute" -> 2, "s02_ann_lsh" -> 2, "s03_ann_ivf" -> 2, "s05_range_search" -> 0,
-    "s06_quantize" -> 4, "s07_mmr_diversify" -> 32, "s08_pq_encode" -> 0,
-    "s09_adc_search" -> 2, "s10_ivfpq" -> 2, "s11_kmeans_train" -> 2,
-    "s12_ann_ivf_trained" -> 2,
-    "m01_multimodal" -> 2, "m02_frame_sample" -> 2, "m03_resize_plan" -> 0,
-    "m06_frame_phash" -> 0, "m07_frame_neardup" -> 6,
-    "t01_langid" -> 0, "t02_quality" -> 0, "t03_tokens" -> 0, "t04_fingerprint" -> 0,
-    "t05_normalize" -> 0, "t06_stratified_sample" -> 2, "t07_cap_per_source" -> 2,
-    "t08_contamination" -> 6, "t09_repetition" -> 4, "t10_pii_redact" -> 0,
-    "t11_curation" -> 2, "t12_sequence_pack" -> 10, "t13_url_domains" -> 4,
-    "t14_mixture_sample" -> 16, "t15_chunk_plan" -> 0, "t16_vocab_top" -> 2,
-    "t17_bloom_contamination" -> 6, "t18_gopher_rules" -> 0)
+    "q01_latest_wins" -> 1, "q02_snapshot_merge" -> 2, "q03_rowfilter" -> 0,
+    "q04_backfill_range" -> 0, "q05_pk_dedup" -> 1, "q06_json_extract" -> 0,
+    "q07_tracking" -> 1, "q08_profiles_view" -> 1, "q09_graph_degree" -> 2,
+    "q10_edge_merge" -> 1, "q11_salted_agg" -> 2, "q17_priority_counts" -> 1,
+    "q19_registry_sync" -> 10, "q20_json_struct" -> 1, "q23_tumbling_daily" -> 1,
+    "q31_profile" -> 2, "q33_node_merge" -> 1, "q39_typed_sync" -> 1,
+    "q12_pricing_summary" -> 1, "q13_region_revenue" -> 1, "q14_top_customers" -> 1,
+    "q15_event_sessions" -> 1, "q16_brand_volume" -> 1, "q18_nation_rollup" -> 1,
+    "q21_asof_join" -> 1, "q22_range_join" -> 1, "q24_scd2_intervals" -> 1,
+    "q25_mutual_edges" -> 2, "q26_price_percentiles" -> 4, "q27_age_metrics" -> 2,
+    "q28_asof_native" -> 2, "q29_salted_join" -> 1, "q30_incremental_agg" -> 4,
+    "q32_ship_priority" -> 1, "q34_nation_trade" -> 0, "q35_returned_items" -> 2,
+    "q36_cheapest_supplier" -> 1, "q37_follow_suggest" -> 2, "q38_cu_accounting" -> 4,
+    "q57_sync_checksum" -> 2, "q40_market_share" -> 3, "q41_product_profit" -> 1,
+    "q42_cust_order_dist" -> 2, "q43_idle_customers" -> 3, "q44_rolling_metrics" -> 1,
+    "q45_funnel" -> 2, "q46_retention_cohorts" -> 3, "q47_gap_fill" -> 2,
+    "q48_revenue_forecast" -> 1, "q49_promo_share" -> 1, "q50_rolling_active" -> 5,
+    "q51_triangles" -> 3, "q52_pagerank" -> 0, "q53_small_order_revenue" -> 2,
+    "q54_large_orders" -> 1, "q55_disjunctive_revenue" -> 1, "q56_top_supplier" -> 1,
+    "q58_event_pivot" -> 2, "q59_cube_volume" -> 1, "q60_sole_shipper" -> 2,
+    "q61_part_variety" -> 3, "q62_shipmode_priority" -> 1, "q63_kmv_distinct" -> 1,
+    "q64_kmv_mergeable" -> 3, "q65_sketch_quantiles" -> 1, "q66_bfs_depths" -> 0,
+    "q67_excess_shippers" -> 2, "q68_nation_value" -> 2, "q69_kmv_intersection" -> 2,
+    "q70_decile_bins" -> 4, "q71_sketch_bins" -> 1, "d01_dedup_exact" -> 1,
+    "d02_dedup_minhash" -> 1, "d03_dedup_simhash" -> 1, "d04_ngram_jaccard" -> 1,
+    "d06_dedup_clusters" -> 0, "d07_embed_neardup_lsh" -> 1, "d08_dedup_incremental" -> 2,
+    "d09_embed_delta" -> 2, "d10_passage_dedup" -> 3, "d11_semantic_dedup" -> 3,
+    "d12_dedup_pipeline" -> 2, "d13_semantic_dedup_trained" -> 3, "s01_ann_brute" -> 1,
+    "s02_ann_lsh" -> 1, "s03_ann_ivf" -> 1, "s05_range_search" -> 0,
+    "s06_quantize" -> 2, "s07_mmr_diversify" -> 4, "s08_pq_encode" -> 0,
+    "s09_adc_search" -> 1, "s10_ivfpq" -> 1, "s11_kmeans_train" -> 1,
+    "s12_ann_ivf_trained" -> 1, "m01_multimodal" -> 1, "m02_frame_sample" -> 1,
+    "m03_resize_plan" -> 0, "m06_frame_phash" -> 0, "m07_frame_neardup" -> 1,
+    "t01_langid" -> 0, "t02_quality" -> 0, "t03_tokens" -> 0,
+    "t04_fingerprint" -> 0, "t05_normalize" -> 0, "t06_stratified_sample" -> 1,
+    "t07_cap_per_source" -> 1, "t08_contamination" -> 3, "t09_repetition" -> 2,
+    "t10_pii_redact" -> 0, "t11_curation" -> 1, "t12_sequence_pack" -> 4,
+    "t13_url_domains" -> 2, "t14_mixture_sample" -> 7, "t15_chunk_plan" -> 0,
+    "t16_vocab_top" -> 1, "t17_bloom_contamination" -> 3, "t18_gopher_rules" -> 0)
 
   test("headline plans stay within their shuffle budgets") {
     val missing = Bench.headline.filterNot(budget.contains)
     assert(missing.isEmpty, s"new headliners need a recorded budget: $missing")
-    // ±1 tolerance: AQE's replan occasionally renders one more or fewer
-    // exchange for the same logical plan across sessions (observed on
-    // q40); a REAL added shuffle shows as +2 because the plan string
-    // holds both the initial and final renderings
+    // zero tolerance: budgets are the MAX node count over recorded passes,
+    // and AQE variance only moves the count DOWN (a shuffle join replaced
+    // by broadcast — observed on q40, whose budget holds the higher run);
+    // any count above budget is a plan that genuinely gained a shuffle
     val over = Bench.headline.flatMap { n =>
       val got = exchanges(n)
-      if (got > budget(n) + 1) Some(s"$n: $got > ${budget(n)} + 1") else None
+      if (got > budget(n)) Some(s"$n: $got > ${budget(n)}") else None
     }
     assert(over.isEmpty,
       "plans gained shuffles (raise the budget ONLY with the design change that justifies it):\n" +
