@@ -59,10 +59,14 @@ object Binning {
       .withColumn("_off", coalesce(sum(col("_cnt")).over(wOff), lit(0L)))
       .withColumn("n", sum(col("_cnt")).over(Window.partitionBy(col(classCol))))
       .select(col("_pid"), col(classCol), col("_off"), col("n"))
+    // null-safe class equality (<=>): a window PARTITION BY ranks null-class
+    // rows as their own group, and an equi-join here would silently drop them
     withRank
-      .join(broadcast(offsets), Seq("_pid", classCol))
+      .join(broadcast(offsets
+          .withColumnRenamed("_pid", "_opid").withColumnRenamed(classCol, "_ocls")),
+        col("_pid") === col("_opid") && col(classCol) <=> col("_ocls"))
       .withColumn("rn", col("_lrn") + col("_off"))
-      .drop("_pid", "_lrn", "_off")
+      .drop("_pid", "_opid", "_ocls", "_lrn", "_off")
   }
 
   /** Adds `cum` — the inclusive per-class prefix sum of `valueCol` (long)
@@ -91,10 +95,13 @@ object Binning {
     val offsets = totals
       .withColumn("_off", coalesce(sum(col("_tot")).over(wOff), lit(0L)))
       .select(col("_pid"), col(classCol), col("_off"))
+    // null-safe class equality — same contract as rankInClass
     withCum
-      .join(broadcast(offsets), Seq("_pid", classCol))
+      .join(broadcast(offsets
+          .withColumnRenamed("_pid", "_opid").withColumnRenamed(classCol, "_ocls")),
+        col("_pid") === col("_opid") && col(classCol) <=> col("_ocls"))
       .withColumn("cum", col("_lrn") + col("_off"))
-      .drop("_pid", "_lrn", "_off")
+      .drop("_pid", "_opid", "_ocls", "_lrn", "_off")
   }
 
   /** Shared first pass: range-partition + partition-sort on (class, order,
@@ -133,7 +140,9 @@ object Binning {
         val cls = r.get(clsIdx)
         if (!started || cls != cur) { cur = cls; started = true; acc = 0L }
         acc += (valIdx match {
-          case Some(i) => r.getAs[Number](i).longValue()
+          // null values contribute 0 — the window sum(...) this replaces
+          // skips nulls; getAs would NPE on them
+          case Some(i) => if (r.isNullAt(i)) 0L else r.getAs[Number](i).longValue()
           case None => 1L
         })
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid :+ acc)

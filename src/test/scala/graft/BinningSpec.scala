@@ -33,6 +33,43 @@ class BinningSpec extends SparkSpec {
     }
   }
 
+  test("rankInClass ranks null-class rows as their own group (window parity)") {
+    import spark.implicits._
+    // the window PARTITION BY groups nulls together; the offsets join must
+    // be null-safe (<=>) or these rows vanish from the output
+    val rows: Seq[(Option[String], Long, Long)] =
+      (1L to 200L).map(i => (if (i % 5 == 0) None else Some(s"c${i % 3}"), (i * 37) % 50, i))
+    val df = rows.toDF("cls", "v", "id")
+    val w = Window.partitionBy(col("cls")).orderBy(col("v").asc, col("id").asc)
+    val expected = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("cls"))))
+      .select(col("id"), col("rn"), col("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = Binning.rankInClass(df.repartition(7), "cls", "v", "id")
+      .select(col("id"), col("rn"), col("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size == 200, s"null-class rows dropped: ${got.size} of 200 survive")
+    assert(got == expected)
+  }
+
+  test("prefixSumInClass treats null values as 0 (window-sum parity)") {
+    import spark.implicits._
+    val rows: Seq[(String, Long, Long, Option[Long])] =
+      (1L to 100L).map(i => (s"s${i % 2}", i, i, if (i % 7 == 0) None else Some(i % 13)))
+    val df = rows.toDF("src", "ord", "id", "tok")
+    val w = Window.partitionBy(col("src")).orderBy(col("ord").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df
+      .withColumn("cum", coalesce(sum(col("tok")).over(w), lit(0L)))
+      .select(col("id"), col("cum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Binning.prefixSumInClass(df.repartition(5), "src", "ord", "id", "tok")
+      .select(col("id"), col("cum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("q71 sketch bins: near-uniform sizes, exhaustive coverage, partition-invariant") {
     val rows = SparkEntry.queries("q71_sketch_bins")(spark, sfDir).collect()
       .map(r => r.getLong(r.fieldIndex("bin")) -> r.getLong(r.fieldIndex("n_orders"))).toMap
