@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.OverflowAudit
+
+/** The scaled-integer overflow audit (operators/OverflowAudit.scala): the
+  * SURVEY §4 ceilings as a runnable deployment check. Green on the test
+  * data (nothing within 10% of 2⁶³), red on a constructed table that
+  * crosses the line — so a 100 TB deployment DETECTS the "flip the
+  * documented widening switch" moment instead of remembering it.
+  */
+class OverflowAuditSpec extends SparkSpec {
+
+  test("audit: every family has ample headroom on the test data") {
+    val hs = OverflowAudit.audit(spark, sfDir)
+    assert(hs.map(_.family).toSet == Set("revenue_sum", "qty_sum", "gate_cross_mult"))
+    hs.foreach { h =>
+      assert(h.ok, s"family past the 10% alarm line: $h")
+      // the documented margin: nothing in the verified range is within
+      // 500× of a ceiling, so the test-SF fraction must be far below
+      // even the alarm line
+      assert(h.fraction < 0.002, s"unexpectedly little headroom at test SF: $h")
+      assert(h.worst > 0, s"audit computed an empty worst case: $h")
+    }
+  }
+
+  test("audit: a constructed near-ceiling table trips the alarm") {
+    import spark.implicits._
+    // sums: ~200 rows of 2⁶⁰-sized terms ⇒ Σ ≈ 2.3·10²⁰ ≫ 10% of 2⁶³
+    val big = (1L to 200L).map(_ => 1L << 60).toDF("term")
+    val s = OverflowAudit.sumHeadroom("constructed_sum", big, col("term"))
+    assert(!s.ok, s"a 200×2^60 sum must trip the 10% line: $s")
+    // cross-mult: max|a|·max|b| = 2³²·2³² = 2⁶⁴ > ceiling
+    val pairs = Seq((1L << 32, 4L), (8L, 1L << 32)).toDF("a", "b")
+    val x = OverflowAudit.crossMultHeadroom("constructed_gate", pairs, col("a"), col("b"))
+    assert(!x.ok, s"a 2^64 cross-multiplication must trip the line: $x")
+    // and a safely small frame stays green — the alarm is not always-on
+    val small = Seq((10L, 10L)).toDF("a", "b")
+    assert(OverflowAudit.crossMultHeadroom("small", small, col("a"), col("b")).ok)
+    assert(OverflowAudit.sumHeadroom("small", small, col("a")).ok)
+  }
+
+  test("auditDf: one row per family with the ok verdict") {
+    val rows = OverflowAudit.auditDf(spark, sfDir).collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getBoolean(3)))
+  }
+}
