@@ -102,10 +102,12 @@ object Bench {
     // three full timed passes, per-query min: interleaving means a transient
     // host slow window can't poison every sample of the same query, and the
     // third pass covers the 1-2.5s band where two samples proved too few
-    // (r3: q08 recorded 2.32s vs a true ~1s)
-    val pass1 = names.map(n => n -> once(n, 1)).toMap
-    val pass2 = names.map(n => n -> math.min(pass1(n), once(n, 2))).toMap
-    val pass3 = names.map(n => n -> math.min(pass2(n), once(n, 3))).toMap
+    // (r3: q08 recorded 2.32s vs a true ~1s). EVERY sample is retained so
+    // the artifact self-describes the dispersion (VERDICT r8: quote
+    // reproducible medians/spread, not just the favorable min).
+    val samples = scala.collection.mutable.LinkedHashMap(
+      names.map(n => n -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
+    for (pass <- 1 to 3; n <- names) samples(n) += once(n, pass)
     // the host occasionally throttles for tens of seconds (CPU steal /
     // disk-burst windows, sometimes spanning several back-to-back samples);
     // an outlier keeps re-sampling until its min stops improving — two
@@ -113,23 +115,37 @@ object Bench {
     // so a bad window can't masquerade as a slow operator in the artifact.
     // best is the unconditional min of all samples; the 10% rule only
     // drives the staleness counter (r3 discarded an observed 7.88s min).
-    val results = names.map { n =>
-      var best = pass3(n)
+    names.foreach { n =>
+      var best = samples(n).min
       var extra = 0
       var stale = 0
       while (best > 1.0 && extra < 6 && stale < 2) {
         extra += 1
         val t = once(n, 3 + extra)
+        samples(n) += t
         if (t < best * 0.9) stale = 0 else stale += 1
         best = math.min(best, t)
       }
-      n -> best
     }
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val results = names.map(n => n -> samples(n).min)
     val qJson = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
+    // per-query dispersion record: sample count, min, median, max — the
+    // protocol's full observability lands in the artifact itself
+    val sJson = names.map { n =>
+      val xs = samples(n).toSeq
+      "\"" + n + f"""\":{"n":${xs.length},"min":${xs.min}%.3f,"med":${med(xs)}%.3f,"max":${xs.max}%.3f}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val protocol = "untimed sf0.001 warmup; 3 interleaved full passes; " +
+      ">1s outliers re-sampled until 2 consecutive samples within 10% of best (max +6); " +
+      "queries=per-query min over all samples; stats=per-query n/min/med/max"
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":"$protocol","queries":$qJson,"stats":$sJson,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r{N}.json keeps only the last 2,000 chars of
     // output — the first ~40 query timings fall off every round. Persist
