@@ -105,9 +105,15 @@ object Bench {
     // (r3: q08 recorded 2.32s vs a true ~1s). EVERY sample is retained so
     // the artifact self-describes the dispersion (VERDICT r8: quote
     // reproducible medians/spread, not just the favorable min).
+    // sf1-scale runs dial the protocol down via env (fewer passes, higher
+    // outlier threshold — at sf1 every query is >1s and the adaptive loop
+    // would multiply an already-long suite) and redirect the artifact
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val outlierSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUTLIER_SEC", "1.0").toDouble
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val samples = scala.collection.mutable.LinkedHashMap(
       names.map(n => n -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
-    for (pass <- 1 to 3; n <- names) samples(n) += once(n, pass)
+    for (pass <- 1 to passes; n <- names) samples(n) += once(n, pass)
     // the host occasionally throttles for tens of seconds (CPU steal /
     // disk-burst windows, sometimes spanning several back-to-back samples);
     // an outlier keeps re-sampling until its min stops improving — two
@@ -119,9 +125,9 @@ object Bench {
       var best = samples(n).min
       var extra = 0
       var stale = 0
-      while (best > 1.0 && extra < 6 && stale < 2) {
+      while (best > outlierSec && extra < 6 && stale < 2) {
         extra += 1
-        val t = once(n, 3 + extra)
+        val t = once(n, passes + extra)
         samples(n) += t
         if (t < best * 0.9) stale = 0 else stale += 1
         best = math.min(best, t)
@@ -141,8 +147,8 @@ object Bench {
       "\"" + n + f"""\":{"n":${xs.length},"min":${xs.min}%.3f,"med":${med(xs)}%.3f,"max":${xs.max}%.3f}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val protocol = "untimed sf0.001 warmup; 3 interleaved full passes; " +
-      ">1s outliers re-sampled until 2 consecutive samples within 10% of best (max +6); " +
+    val protocol = s"untimed sf0.001 warmup; $passes interleaved full passes; " +
+      s">${outlierSec}s outliers re-sampled until 2 consecutive samples within 10% of best (max +6); " +
       "queries=per-query min over all samples; stats=per-query n/min/med/max"
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":"$protocol","queries":$qJson,"stats":$sJson,"sf":"$sfDir"}"""
@@ -153,8 +159,8 @@ object Bench {
     // overwrite the round artifact) so round-over-round comparison covers
     // every entry; committed as BENCH_LOCAL.json.
     if (args.isEmpty) {
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
-      catch { case e: Exception => System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e") }
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+      catch { case e: Exception => System.err.println(s"[bench] $outPath write failed: $e") }
     }
     spark.stop()
   }
