@@ -53,6 +53,18 @@ flagged = sorted(
 out = {
     "what": "sf1 (10x sf0.1, 32 row-groups/table) headline bench vs a "
             "same-code sf0.1 run; ratio = sf1/sf0.1 per-query-min seconds",
+    "config": "local[32], shuffle.partitions=32, prep default "
+              "maxPartitionBytes=128m on BOTH scales (layout-consistent: "
+              "every file fits one split at both scales, so ratios measure "
+              "plan scaling, not scan-parallelism differences)",
+    "interpretation": "data volume scales 10x; scan-bound plans should land "
+                      "<= ~12x (10x rows + constant overheads); > 20x flags "
+                      "a superlinear plan for diagnosis. The recall-1.0 "
+                      "embedding dedup family (d06/d07, and cell-local d11) "
+                      "is quadratic-by-contract in candidate pairs at its "
+                      "cos>=0.35 operating point (SURVEY par-8 cost floor) — "
+                      "expected to lead the table, watched against the 20x "
+                      "line rather than the scan-bound 12x line",
     "protocol_sf1": sf1.get("protocol"),
     "protocol_sf0.1": sf01.get("protocol"),
     "sf1_total_sec": round(sum(q1[n] for n in shared), 3),
