@@ -136,6 +136,29 @@ object Dedup {
     * recompute of the codegen'd signature inside that stage for zero
     * exchange.
     */
+  /** `(id, sig)` minhash signature projection — the one definition the
+    * self-join ([[minhashLsh]]) and delta ([[ngramJaccardDelta]] via
+    * [[bandedSignatures]]) paths both band from.
+    */
+  private def minhashSigs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int,
+      numHashes: Int): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      HashExprs
+        .minhashSignature(HashExprs.tokenShingleHashes(col(textCol), shingleK), numHashes)
+        .as("sig"))
+
+  /** The shared banding expression over a `sig` column (see
+    * [[minhashSigs]]): band hash mixes the band index via the xxhash64
+    * seed, so a band hash alone is a sufficient join key.
+    */
+  private def bandsOfSig(numHashes: Int, bands: Int) =
+    TextFns.lshBands(col("sig"), bands, numHashes / bands)
+
   private def bandedSignatures(
       docs: DataFrame,
       idCol: String,
@@ -144,14 +167,9 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       barrier: Boolean): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val sigs = docs.select(
-      col(idCol).as("id"),
-      HashExprs
-        .minhashSignature(HashExprs.tokenShingleHashes(col(textCol), shingleK), numHashes)
-        .as("sig"))
+    val sigs = minhashSigs(docs, idCol, textCol, shingleK, numHashes)
     (if (barrier) sigs.repartition(col("id")) else sigs)
-      .withColumn("band", explode(TextFns.lshBands(col("sig"), bands, rowsPerBand)))
+      .withColumn("band", explode(bandsOfSig(numHashes, bands)))
   }
 
   /** Exact n-gram Jaccard scoring of candidate (a, b) pairs: shingle sets
@@ -164,10 +182,22 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleK: Int,
-      minJaccard: Double): DataFrame = {
-    val sets = docs.select(
+      minJaccard: Double,
+      barrierSets: Boolean = true): DataFrame = {
+    // barrierSets = true (the self-join/full path): an id-keyed advisory
+    // exchange materializes each doc's shingle array ONCE and serves BOTH
+    // pair-side fetches off one reused exchange. Without it the shingle
+    // arrays inflate the scan ~15× over the parquet estimate, so a
+    // planner working from static file sizes happily broadcasts the whole
+    // corpus's shingle sets (the d02 banded-broadcast bug's shape, caught
+    // by the decade-2 bench check) — and the kernel re-tokenizes a doc
+    // once per matched pair. false = the delta contract: candidates are
+    // delta-bounded (AQE broadcasts them from truthful post-shuffle
+    // stats) and the corpus's sets stream through their scan stage.
+    val sets0 = docs.select(
       col(idCol).as("id"),
       HashExprs.tokenShingleHashes(col(textCol), shingleK).as("sh"))
+    val sets = if (barrierSets) sets0.repartition(col("id")) else sets0
     candidates
       .join(sets.withColumnRenamed("id", "a").withColumnRenamed("sh", "sh_a"), Seq("a"))
       .join(sets.withColumnRenamed("id", "b").withColumnRenamed("sh", "sh_b"), Seq("b"))
@@ -184,17 +214,36 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       minEstJaccard: Double = 0.5): DataFrame = {
-    val sigs = bandedSignatures(docs, idCol, textCol, shingleK, numHashes, bands, barrier = true)
-    // the band hash mixes the band index in via the xxhash64 seed, so
-    // joining on the band hash alone is sufficient
-    val left = sigs.select(col("id").as("a"), col("sig").as("sig_a"), col("band"))
-    val right = sigs.select(col("id").as("b"), col("sig").as("sig_b"), col("band"))
-    left
-      .join(right, Seq("band"))
+    // Signatures materialize ONCE behind an id-keyed advisory exchange;
+    // the band self-join then moves (band, id) keys ONLY — the 64-long
+    // signature array never rides the 16-way band explode (the
+    // hyperplaneCandidates rule, which matters ~64× more here: banded
+    // signature rows inflate the scan ~130× over the parquet file size,
+    // so a planner working from the static scan estimate chose to
+    // BROADCAST the exploded side — 8.1 GiB at sf10, found by the
+    // decade-2 bench check. With only narrow keys in the join and the
+    // signature fetch behind the id exchange, every join side's size is
+    // either truthfully observed (AQE, post-exchange) or genuinely
+    // narrow). The band hash mixes the band index in via the xxhash64
+    // seed, so joining on the band hash alone is sufficient.
+    val sigs = minhashSigs(docs, idCol, textCol, shingleK, numHashes)
+      .repartition(col("id"))
+    val banded = sigs
+      .withColumn("band", explode(bandsOfSig(numHashes, bands)))
+      .select(col("id"), col("band"))
+    val pairs = banded.select(col("id").as("a"), col("band"))
+      .join(banded.select(col("id").as("b"), col("band")), Seq("band"))
       .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    // est_jaccard is band-independent (a pure function of the two
+    // signatures), so scoring once per DISTINCT pair after the dedup is
+    // bit-identical to the old per-collision max — and strictly cheaper.
+    // The two signature fetches ride the id exchange above (ReuseExchange).
+    pairs
+      .join(sigs.select(col("id").as("a"), col("sig").as("sig_a")), Seq("a"))
+      .join(sigs.select(col("id").as("b"), col("sig").as("sig_b")), Seq("b"))
       .select(col("a"), col("b"), HashExprs.arrayMatchFraction(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .groupBy(col("a"), col("b"))
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
       .where(col("est_jaccard") >= lit(minEstJaccard))
   }
 
@@ -216,11 +265,18 @@ object Dedup {
         struct(lit(j).as("j"), shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)))
     val left = banded.select(col("id").as("a"), col("sim").as("sim_a"), col("chunk"))
     val right = banded.select(col("id").as("b"), col("sim").as("sim_b"), col("chunk"))
+    // band-collision duplicates drop via the stateless first-matching-band
+    // XOR filter (the m07/d07 rule — identical 16-bit × 4 geometry): pair
+    // ownership is a pure function of the two signatures already on the
+    // row, so no groupBy(a, b) exchange ever carries the collision volume.
+    // That exchange was the decade-2 scale bill: near-dup replica clusters
+    // make collision rows grow ~quadratically per decade (109× measured
+    // pair growth sf1→sf10), and every one of them rode the shuffle.
     left
       .join(right, Seq("chunk"))
       .where(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(first(TextFns.hamming64(col("sim_a"), col("sim_b"))).as("hamming"))
+      .where(BandLsh.firstMatchingBand(col("sim_a"), col("sim_b"), col("chunk"), 16, 4))
+      .select(col("a"), col("b"), TextFns.hamming64(col("sim_a"), col("sim_b")).as("hamming"))
       .where(col("hamming") <= lit(maxHamming))
   }
 
@@ -297,7 +353,8 @@ object Dedup {
       .agg(max(col("est")).as("est"))
       .where(col("est") >= lit(NgramMinEstJaccard))
       .select(col("a"), col("b"))
-    exactJaccardOnCandidates(cand, existing.unionByName(newDocs), idCol, textCol, shingleK, minJaccard)
+    exactJaccardOnCandidates(cand, existing.unionByName(newDocs), idCol, textCol, shingleK, minJaccard,
+      barrierSets = false)
   }
 
   /** Candidate pairs sharing at least one hyperplane-signature band.

@@ -76,7 +76,11 @@ class ExchangeBudgetSpec extends SparkSpec {
     "q64_kmv_mergeable" -> 3, "q65_sketch_quantiles" -> 1, "q66_bfs_depths" -> 0,
     "q67_excess_shippers" -> 2, "q68_nation_value" -> 2, "q69_kmv_intersection" -> 2,
     "q70_decile_bins" -> 4, "q71_sketch_bins" -> 1, "d01_dedup_exact" -> 1,
-    "d02_dedup_minhash" -> 1, "d03_dedup_simhash" -> 1, "d04_ngram_jaccard" -> 1,
+    // d04: +1 round 9 — exactJaccardOnCandidates' shingle sets moved
+    // behind an id-keyed barrier exchange (materialize-once + truthful
+    // AQE sizing; kills the planner's corpus-sets broadcast that the
+    // static scan estimate invited — the d02 decade-2 bug's shape)
+    "d02_dedup_minhash" -> 1, "d03_dedup_simhash" -> 1, "d04_ngram_jaccard" -> 2,
     "d06_dedup_clusters" -> 0, "d07_embed_neardup_lsh" -> 1, "d08_dedup_incremental" -> 2,
     "d09_embed_delta" -> 2, "d10_passage_dedup" -> 3, "d11_semantic_dedup" -> 3,
     "d12_dedup_pipeline" -> 2, "d13_semantic_dedup_trained" -> 3, "s01_ann_brute" -> 1,
