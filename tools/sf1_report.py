@@ -1,25 +1,37 @@
 #!/usr/bin/env python3
-"""Build BENCH_SF1.json: the sf1 bench run plus per-query and per-family
-sf0.1 -> sf1 scaling ratios against a same-code sf0.1 run.
+"""Build a scale-ratio bench artifact: a bigger-SF run joined against a
+smaller-SF run of the same code, as per-query and per-family wall-clock
+scaling ratios.
 
 The scale check VERDICT r8 asked for: correctness is proven at sf1
 (121/121 hash-exact) but wall-time was only ever measured at sf0.1 — a
-superlinear plan passes every existing gate. Data volume scales 10x, so a
-scan-bound family should scale <= ~12x (10x rows + constant overheads);
-anything > 20x gets a plan diagnosis before it ships.
+superlinear plan passes every existing gate. Data volume scales `factor`x
+per decade, so a scan-bound family should scale <= ~1.2*factor (factor x
+rows + constant overheads); anything > 2*factor gets a plan diagnosis.
 
-Usage: sf1_report.py <sf1_raw.json> <sf01_raw.json> <out.json>
+Usage: sf1_report.py <big_raw.json> <small_raw.json> <out.json>
+                     [big_label small_label factor [notes.json]]
+Defaults reproduce the round-9 sf1-vs-sf0.1 artifact (factor 10).
+notes.json (if given) is merged into the output verbatim — the place for
+per-run flag diagnoses (e.g. measured output-volume growth behind a >flag
+ratio) so the artifact carries its own reading.
 """
 import json
 import sys
 from collections import defaultdict
 
-sf1_path, sf01_path, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
-sf1 = json.load(open(sf1_path))
-sf01 = json.load(open(sf01_path))
+big_path, small_path, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
+big_label = sys.argv[4] if len(sys.argv) > 4 else "sf1"
+small_label = sys.argv[5] if len(sys.argv) > 5 else "sf0.1"
+factor = int(sys.argv[6]) if len(sys.argv) > 6 else 10
+flag_at = 2 * factor
 
-q1, q01 = sf1["queries"], sf01["queries"]
-shared = sorted(set(q1) & set(q01))
+big = json.load(open(big_path))
+small = json.load(open(small_path))
+
+qb, qs = big["queries"], small["queries"]
+shared = sorted(set(qb) & set(qs))
+kb, ks = f"{big_label}_sec", f"{small_label}_sec"
 
 FAMILY = {
     "q": "etl+analytics", "d": "dedup", "s": "similarity",
@@ -29,54 +41,60 @@ FAMILY = {
 per_query = {}
 fam_sums = defaultdict(lambda: [0.0, 0.0])
 for name in shared:
-    a, b = q01[name], q1[name]
+    a, b = qs[name], qb[name]
     ratio = round(b / a, 2) if a > 0 else None
-    per_query[name] = {"sf0.1_sec": a, "sf1_sec": b, "ratio": ratio}
+    per_query[name] = {ks: a, kb: b, "ratio": ratio}
     fam = FAMILY.get(name[0], "other")
     fam_sums[fam][0] += a
     fam_sums[fam][1] += b
 
 families = {
     fam: {
-        "sf0.1_total_sec": round(a, 3),
-        "sf1_total_sec": round(b, 3),
+        f"{small_label}_total_sec": round(a, 3),
+        f"{big_label}_total_sec": round(b, 3),
         "ratio": round(b / a, 2),
     }
     for fam, (a, b) in sorted(fam_sums.items())
 }
 
 flagged = sorted(
-    (n for n, v in per_query.items() if v["ratio"] and v["ratio"] > 20),
+    (n for n, v in per_query.items() if v["ratio"] and v["ratio"] > flag_at),
     key=lambda n: -per_query[n]["ratio"],
 )
 
 out = {
-    "what": "sf1 (10x sf0.1, 32 row-groups/table) headline bench vs a "
-            "same-code sf0.1 run; ratio = sf1/sf0.1 per-query-min seconds",
+    "what": f"{big_label} ({factor}x {small_label}) headline bench vs a "
+            f"same-code {small_label} run; ratio = {big_label}/{small_label} "
+            "per-query-min seconds",
     "config": "local[32], shuffle.partitions=32, prep default "
-              "maxPartitionBytes=128m on BOTH scales (layout-consistent: "
-              "every file fits one split at both scales, so ratios measure "
-              "plan scaling, not scan-parallelism differences)",
-    "interpretation": "data volume scales 10x; scan-bound plans should land "
-                      "<= ~12x (10x rows + constant overheads); > 20x flags "
-                      "a superlinear plan for diagnosis. The recall-1.0 "
+              "maxPartitionBytes=128m on BOTH scales (layout-consistent "
+              "config, so ratios measure plan scaling; scan parallelism "
+              "differs only where a file outgrows one split)",
+    "interpretation": f"data volume scales {factor}x; scan-bound plans "
+                      f"should land <= ~{round(1.2 * factor)}x ({factor}x "
+                      f"rows + constant overheads); > {flag_at}x flags a "
+                      "superlinear plan for diagnosis. The recall-1.0 "
                       "embedding dedup family (d06/d07, and cell-local d11) "
                       "is quadratic-by-contract in candidate pairs at its "
                       "cos>=0.35 operating point (SURVEY par-8 cost floor) — "
-                      "expected to lead the table, watched against the 20x "
-                      "line rather than the scan-bound 12x line",
-    "protocol_sf1": sf1.get("protocol"),
-    "protocol_sf0.1": sf01.get("protocol"),
-    "sf1_total_sec": round(sum(q1[n] for n in shared), 3),
-    "sf0.1_total_sec": round(sum(q01[n] for n in shared), 3),
-    "total_ratio": round(sum(q1[n] for n in shared) / sum(q01[n] for n in shared), 2),
+                      "expected to lead the table when present, watched "
+                      f"against the {flag_at}x line rather than the "
+                      "scan-bound line",
+    f"protocol_{big_label}": big.get("protocol"),
+    f"protocol_{small_label}": small.get("protocol"),
+    f"{big_label}_total_sec": round(sum(qb[n] for n in shared), 3),
+    f"{small_label}_total_sec": round(sum(qs[n] for n in shared), 3),
+    "total_ratio": round(sum(qb[n] for n in shared) / sum(qs[n] for n in shared), 2),
     "families": families,
-    "flagged_over_20x": flagged,
+    f"flagged_over_{flag_at}x": flagged,
     "queries": per_query,
-    "stats_sf1": sf1.get("stats"),
+    f"stats_{big_label}": big.get("stats"),
 }
+if len(sys.argv) > 7:
+    out.update(json.load(open(sys.argv[7])))
 json.dump(out, open(out_path, "w"), indent=1)
 print(f"wrote {out_path}: total ratio {out['total_ratio']}x, "
-      f"{len(flagged)} queries over 20x: {flagged[:10]}")
+      f"{len(flagged)} queries over {flag_at}x: {flagged[:10]}")
 for fam, v in families.items():
-    print(f"  {fam}: {v['sf0.1_total_sec']}s -> {v['sf1_total_sec']}s ({v['ratio']}x)")
+    print(f"  {fam}: {v[f'{small_label}_total_sec']}s -> "
+          f"{v[f'{big_label}_total_sec']}s ({v['ratio']}x)")
