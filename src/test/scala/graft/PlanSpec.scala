@@ -465,4 +465,58 @@ class PlanSpec extends SparkSpec {
     assert(joinPos >= 0 && sigPos > joinPos,
       "signature should be computed in the leaf projections (printed below joins)")
   }
+
+  test("d02/d04: signature arrays ride only the id exchange (decade-2 broadcast guard)") {
+    // The sf10 failure class: a join side sized from the static scan
+    // estimate but inflated ~130x by explode + a 64-long signature array
+    // got BROADCAST (8.1 GiB at sf10). The fixed shape moves (band, id)
+    // keys through the band join and fetches signatures per survivor off
+    // the one id-keyed exchange. Pin the property, not the plan string:
+    // any SHUFFLE carrying an ARRAY column must be the designed id-hash
+    // exchange — never a band/chunk exchange (the wide explode would ride
+    // it 16x over) — and any BROADCAST must be sized from a MATERIALIZED
+    // stage (its subtree crosses a query-stage boundary before reaching a
+    // scan). A broadcast planned straight over scan+derivation is sized
+    // by the static file estimate — exactly the bug; one planned over a
+    // finished shuffle stage is AQE working from truthful runtime sizes
+    // and cannot repeat it at scale.
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, Exchange, ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.types.ArrayType
+    def exchanges(p: SparkPlan): Seq[Exchange] = p match {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case q: QueryStageExec => exchanges(q.plan)
+      case _: ReusedExchangeExec => Nil
+      case e: Exchange => e +: e.children.flatMap(exchanges)
+      case other => other.children.flatMap(exchanges) ++ other.subqueries.flatMap(exchanges)
+    }
+    // true iff every path from p to a leaf crosses a materialized stage
+    // (QueryStageExec / ReusedExchangeExec) — i.e. p is runtime-sized
+    def runtimeSized(p: SparkPlan): Boolean = p match {
+      case _: QueryStageExec | _: ReusedExchangeExec => true
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(runtimeSized)
+    }
+    for (name <- Seq("d02_dedup_minhash", "d04_ngram_jaccard")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val wide = exchanges(df.queryExecution.executedPlan)
+        .filter(_.output.exists(_.dataType.isInstanceOf[ArrayType]))
+      assert(wide.nonEmpty, s"$name: expected the designed id exchange to carry the array column")
+      wide.foreach {
+        case s: ShuffleExchangeExec =>
+          val keys = s.outputPartitioning match {
+            case h: HashPartitioning => h.expressions.flatMap(_.references).map(_.name)
+            case other => fail(s"$name: array-carrying exchange is not hash partitioned: $other")
+          }
+          assert(keys.forall(k => k == "id" || k == "a" || k == "b"),
+            s"$name: array column rides an exchange keyed on $keys — the band-explode side is back in a shuffle")
+        case b: BroadcastExchangeExec =>
+          assert(runtimeSized(b.child),
+            s"$name: array column rides a broadcast sized from the STATIC scan estimate — the decade-2 bug: $b")
+        case other => fail(s"$name: unexpected exchange kind ${other.getClass}")
+      }
+    }
+  }
 }
