@@ -449,18 +449,24 @@ object Dedup {
     def banded(df: DataFrame, id: String, sig: String): DataFrame =
       BandLsh.banded(df, idCol, vecCol, id, sig, dim, bandBits, nBands, barrier = false)
     // delta bands drive the join: the union (corpus ∪ delta) on the right
-    // keeps delta×delta pairs; the corpus side never shuffles
-    val allB = banded(existing, "y", "sy").unionByName(
-      deltaB.select(col("x").as("y"), col("sx").as("sy"), col("band")))
+    // keeps delta×delta pairs; the corpus side never shuffles. The union
+    // tags which leg a row came from so mirror ownership is stateless.
+    val allB = banded(existing, "y", "sy").withColumn("y_in_delta", lit(false))
+      .unionByName(
+        deltaB.select(col("x").as("y"), col("sx").as("sy"), col("band"))
+          .withColumn("y_in_delta", lit(true)))
     val cand = allB
       .join(broadcast(deltaB), Seq("band"))
       .where(col("x") =!= col("y"))
       .where(BandLsh.firstMatchingBand(col("sx"), col("sy"), col("band"), bandBits, nBands))
-      // canonical orientation; delta×delta pairs survive the XOR filter on
-      // the same single band from both sides, so one distinct pass over the
-      // already-pruned candidate set removes the mirror
+      // canonical orientation, stateless: a delta×corpus pair exists on
+      // exactly one row (x = delta, y = corpus); a delta×delta pair
+      // survives the XOR filter once PER side, so the x < y guard keeps
+      // exactly the canonical copy — no distinct() exchange over the
+      // candidate volume (which grows ~SF² on replica-dense corpora;
+      // the round-9 decade-2 measurement) is ever needed
+      .where(!col("y_in_delta") || col("x") < col("y"))
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
-      .distinct()
     val vecs = existing.unionByName(delta).select(col(idCol).as("id"), col(vecCol).as("v"))
     BandLsh.exactCosineOnCandidates(cand, vecs, vecs, "a", "b", minCosine)
   }
