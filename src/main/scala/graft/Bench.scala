@@ -156,9 +156,11 @@ object Bench {
     // The driver's BENCH_r{N}.json keeps only the last 2,000 chars of
     // output — the first ~40 query timings fall off every round. Persist
     // the COMPLETE line (full runs only — a filtered dev run must not
-    // overwrite the round artifact) so round-over-round comparison covers
-    // every entry; committed as BENCH_LOCAL.json.
-    if (args.isEmpty) {
+    // overwrite the round artifact — UNLESS the run redirected the
+    // artifact via SPARK_GRAFT_BENCH_OUT, as the curated scale subsets
+    // do) so round-over-round comparison covers every entry; committed
+    // as BENCH_LOCAL.json.
+    if (args.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
       catch { case e: Exception => System.err.println(s"[bench] $outPath write failed: $e") }
     }
