@@ -34,34 +34,53 @@ object OverflowAudit {
 
   /** One family's worst-case magnitude on the audited data. `fraction` is
     * worst/2⁶³; [[ok]] holds while it stays under the 10% alarm line.
+    *
+    * `worst = None` means the audit could not measure the family — a null
+    * aggregate over NON-EMPTY input (all-null terms, or the audit's own
+    * decimal(38,0) arithmetic wrapping in non-ANSI mode). The guard fails
+    * CLOSED there: the regimes that null out the measurement are exactly
+    * the extreme ones it exists to detect, so `ok` is false and the render
+    * says UNMEASURABLE instead of silently reporting zero.
     */
-  final case class Headroom(family: String, worst: BigDecimal) {
-    def fraction: Double = (worst / Ceiling).toDouble
-    def ok: Boolean = fraction < 0.10
-    override def toString: String = f"$family: worst=$worst%.3e (${fraction * 100}%.4f%% of 2^63)"
+  final case class Headroom(family: String, worst: Option[BigDecimal]) {
+    def fraction: Double = worst.map(w => (w / Ceiling).toDouble).getOrElse(Double.NaN)
+    def ok: Boolean = worst.exists(w => (w / Ceiling).toDouble < 0.10)
+    override def toString: String = worst match {
+      case Some(w) => f"$family: worst=$w%.3e (${fraction * 100}%.4f%% of 2^63)"
+      case None => s"$family: UNMEASURABLE (null aggregate over non-empty input — failing closed)"
+    }
   }
 
   /** Worst-case magnitude of a 64-bit SUM over `term`: Σ|term| computed in
-    * decimal(38,0) — exact for any realistic table, immune to the very
-    * wraparound it measures.
+    * decimal(38,0) — exact for any realistic table. Empty input is a
+    * measured zero (nothing can overflow); a null sum with rows present is
+    * unmeasurable and fails closed (see [[Headroom]]).
     */
   def sumHeadroom(family: String, df: DataFrame, term: Column): Headroom = {
-    val r = df.agg(sum(abs(term).cast("decimal(38,0)")).as("s")).head()
-    val worst = Option(r.getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
+    val r = df.agg(sum(abs(term).cast("decimal(38,0)")).as("s"), count(lit(1)).as("n")).head()
+    val worst = Option(r.getDecimal(0)).map(BigDecimal(_)) match {
+      case some @ Some(_) => some
+      case None if r.getLong(1) == 0L => Some(BigDecimal(0))
+      case None => None
+    }
     Headroom(family, worst)
   }
 
   /** Worst-case magnitude of an integer cross-multiplication gate
-    * `a·b`: max|a| · max|b| over the frame, in exact BigDecimal.
+    * `a·b`: max|a| · max|b| over the frame, in exact BigDecimal. Same
+    * empty-is-zero / null-with-rows-fails-closed contract as [[sumHeadroom]].
     */
   def crossMultHeadroom(family: String, df: DataFrame, a: Column, b: Column): Headroom = {
     val r = df.agg(
       max(abs(a).cast("decimal(38,0)")).as("ma"),
-      max(abs(b).cast("decimal(38,0)")).as("mb")).head()
-    val worst = (for {
-      ma <- Option(r.getDecimal(0))
-      mb <- Option(r.getDecimal(1))
-    } yield BigDecimal(ma) * BigDecimal(mb)).getOrElse(BigDecimal(0))
+      max(abs(b).cast("decimal(38,0)")).as("mb"),
+      count(lit(1)).as("n")).head()
+    val worst =
+      if (r.getLong(2) == 0L) Some(BigDecimal(0))
+      else for {
+        ma <- Option(r.getDecimal(0))
+        mb <- Option(r.getDecimal(1))
+      } yield BigDecimal(ma) * BigDecimal(mb)
     Headroom(family, worst)
   }
 
@@ -88,11 +107,15 @@ object OverflowAudit {
     val nParts = perPart.agg(count(lit(1)).cast("decimal(38,0)").as("np"),
       sum(col("value4")).as("tot")).head()
     val np = BigDecimal(nParts.getDecimal(0))
-    val tot = Option(nParts.getDecimal(1)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
+    val tot = Option(nParts.getDecimal(1)).map(BigDecimal(_))
     val maxV = perPart.agg(max(abs(col("value4")).cast("decimal(38,0)"))).head()
-    val mv = Option(maxV.getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
-    // both sides of the gate: value4·n_parts and 2·total4
-    val gate = Headroom("gate_cross_mult", (mv * np).max(tot * 2))
+    val mv = Option(maxV.getDecimal(0)).map(BigDecimal(_))
+    // both sides of the gate: value4·n_parts and 2·total4. Empty perPart is
+    // a measured zero; a null aggregate with parts present fails closed.
+    val gateWorst =
+      if (np == 0) Some(BigDecimal(0))
+      else for { t <- tot; m <- mv } yield (m * np).max(t * 2)
+    val gate = Headroom("gate_cross_mult", gateWorst)
     Seq(revenue, qty, gate)
   }
 
@@ -100,7 +123,7 @@ object OverflowAudit {
   def auditDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     audit(spark, dir)
-      .map(h => (h.family, h.worst.toDouble, h.fraction, h.ok))
+      .map(h => (h.family, h.worst.map(_.toDouble).getOrElse(Double.NaN), h.fraction, h.ok))
       .toDF("family", "worst_case", "fraction_of_ceiling", "ok")
   }
 }

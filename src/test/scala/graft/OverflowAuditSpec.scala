@@ -20,7 +20,7 @@ class OverflowAuditSpec extends SparkSpec {
       // 500× of a ceiling, so the test-SF fraction must be far below
       // even the alarm line
       assert(h.fraction < 0.002, s"unexpectedly little headroom at test SF: $h")
-      assert(h.worst > 0, s"audit computed an empty worst case: $h")
+      assert(h.worst.exists(_ > 0), s"audit computed an empty worst case: $h")
     }
   }
 
@@ -38,6 +38,27 @@ class OverflowAuditSpec extends SparkSpec {
     val small = Seq((10L, 10L)).toDF("a", "b")
     assert(OverflowAudit.crossMultHeadroom("small", small, col("a"), col("b")).ok)
     assert(OverflowAudit.sumHeadroom("small", small, col("a")).ok)
+  }
+
+  test("audit fails closed: a null aggregate over non-empty input is never ok") {
+    import spark.implicits._
+    // all-null terms: rows exist, the sum is null — the audit must refuse
+    // to call that "headroom", not default worst to 0
+    val allNull = Seq[Option[Long]](None, None).toDF("term")
+    val h = OverflowAudit.sumHeadroom("nulls", allNull, col("term"))
+    assert(!h.ok && h.worst.isEmpty, s"null aggregate must be UNMEASURABLE: $h")
+    val xh = OverflowAudit.crossMultHeadroom("nulls", allNull.withColumn("b", col("term")),
+      col("term"), col("b"))
+    assert(!xh.ok && xh.worst.isEmpty, s"null max must be UNMEASURABLE: $xh")
+    // the audit's own decimal(38,0) sum wrapping (non-ANSI → null): the one
+    // regime past every ceiling — exactly where failing open would be worst
+    val wrap = Seq(1, 2).toDF("i").select(expr("cast(9e37 as decimal(38,0))").as("term"))
+    val hw = OverflowAudit.sumHeadroom("wrap", wrap, col("term"))
+    assert(!hw.ok, s"decimal overflow inside the audit must fail closed: $hw")
+    // empty input stays a measured zero — zero rows cannot overflow anything
+    assert(OverflowAudit.sumHeadroom("empty", Seq.empty[Long].toDF("term"), col("term")).ok)
+    assert(OverflowAudit.crossMultHeadroom(
+      "empty", Seq.empty[(Long, Long)].toDF("a", "b"), col("a"), col("b")).ok)
   }
 
   test("auditDf: one row per family with the ok verdict") {
