@@ -50,6 +50,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Overflow gate (SURVEY §4, mechanized): the three exact-arithmetic
+    // family headrooms over the loaded dir, printed every run; any family
+    // past the 10%-of-2⁶³ alarm line (or unmeasurable — the audit fails
+    // closed) exits nonzero. Runs AFTER the dumps so a tripped gate never
+    // zeroes the round's correctness artifacts.
+    val headrooms = operators.OverflowAudit.audit(spark, sfDir)
+    headrooms.foreach(h => println(s"[verify] overflow-audit $h"))
     spark.stop()
+    if (!headrooms.forall(_.ok)) {
+      System.err.println("[verify] OVERFLOW GATE TRIPPED — a 64-bit family is past " +
+        "10% of ceiling (or unmeasurable); flip the documented widening switch")
+      sys.exit(1)
+    }
   }
 }

@@ -37,14 +37,17 @@ object OverflowAudit {
     *
     * `worst = None` means the audit could not measure the family — a null
     * aggregate over NON-EMPTY input (all-null terms, or the audit's own
-    * decimal(38,0) arithmetic wrapping in non-ANSI mode). The guard fails
-    * CLOSED there: the regimes that null out the measurement are exactly
-    * the extreme ones it exists to detect, so `ok` is false and the render
-    * says UNMEASURABLE instead of silently reporting zero.
+    * decimal(38,0) arithmetic wrapping in non-ANSI mode), or ANY per-row
+    * null term among non-null rows (sum/max silently skip those, so a
+    * partially-null measurement would understate the worst case). The guard
+    * fails CLOSED there: the regimes that null out the measurement are
+    * exactly the extreme ones it exists to detect, so `ok` is false and the
+    * render says UNMEASURABLE instead of silently reporting zero.
     */
   final case class Headroom(family: String, worst: Option[BigDecimal]) {
     def fraction: Double = worst.map(w => (w / Ceiling).toDouble).getOrElse(Double.NaN)
-    def ok: Boolean = worst.exists(w => (w / Ceiling).toDouble < 0.10)
+    // NaN < 0.10 is false, so the unmeasurable case stays failed-closed.
+    def ok: Boolean = fraction < 0.10
     override def toString: String = worst match {
       case Some(w) => f"$family: worst=$w%.3e (${fraction * 100}%.4f%% of 2^63)"
       case None => s"$family: UNMEASURABLE (null aggregate over non-empty input — failing closed)"
@@ -53,16 +56,18 @@ object OverflowAudit {
 
   /** Worst-case magnitude of a 64-bit SUM over `term`: Σ|term| computed in
     * decimal(38,0) — exact for any realistic table. Empty input is a
-    * measured zero (nothing can overflow); a null sum with rows present is
-    * unmeasurable and fails closed (see [[Headroom]]).
+    * measured zero (nothing can overflow); a null sum with rows present OR
+    * any per-row null term (sum would silently skip it, understating the
+    * worst case) is unmeasurable and fails closed (see [[Headroom]]).
     */
   def sumHeadroom(family: String, df: DataFrame, term: Column): Headroom = {
-    val r = df.agg(sum(abs(term).cast("decimal(38,0)")).as("s"), count(lit(1)).as("n")).head()
-    val worst = Option(r.getDecimal(0)).map(BigDecimal(_)) match {
-      case some @ Some(_) => some
-      case None if r.getLong(1) == 0L => Some(BigDecimal(0))
-      case None => None
-    }
+    val t = abs(term).cast("decimal(38,0)")
+    val r = df.agg(sum(t).as("s"), count(lit(1)).as("n"), count(t).as("nn")).head()
+    val rows = r.getLong(1)
+    val worst =
+      if (rows == 0L) Some(BigDecimal(0))
+      else if (r.getLong(2) != rows) None // per-row nulls dropped by sum
+      else Option(r.getDecimal(0)).map(BigDecimal(_))
     Headroom(family, worst)
   }
 
@@ -71,12 +76,14 @@ object OverflowAudit {
     * empty-is-zero / null-with-rows-fails-closed contract as [[sumHeadroom]].
     */
   def crossMultHeadroom(family: String, df: DataFrame, a: Column, b: Column): Headroom = {
+    val (ta, tb) = (abs(a).cast("decimal(38,0)"), abs(b).cast("decimal(38,0)"))
     val r = df.agg(
-      max(abs(a).cast("decimal(38,0)")).as("ma"),
-      max(abs(b).cast("decimal(38,0)")).as("mb"),
-      count(lit(1)).as("n")).head()
+      max(ta).as("ma"), max(tb).as("mb"),
+      count(lit(1)).as("n"), count(ta).as("na"), count(tb).as("nb")).head()
+    val rows = r.getLong(2)
     val worst =
-      if (r.getLong(2) == 0L) Some(BigDecimal(0))
+      if (rows == 0L) Some(BigDecimal(0))
+      else if (r.getLong(3) != rows || r.getLong(4) != rows) None // nulls dropped by max
       else for {
         ma <- Option(r.getDecimal(0))
         mb <- Option(r.getDecimal(1))
@@ -103,17 +110,26 @@ object OverflowAudit {
         .select(col("p_partkey"), c2(col("p_retailprice")).as("price_c"))),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_partkey"))
-      .agg(sum(col("q_c") * col("price_c")).as("value4"), count(lit(1)).as("n"))
+      .agg(sum(col("q_c") * col("price_c")).as("value4"),
+        count(lit(1)).as("n"), count(col("q_c") * col("price_c")).as("nn"))
     val nParts = perPart.agg(count(lit(1)).cast("decimal(38,0)").as("np"),
-      sum(col("value4")).as("tot")).head()
+      sum(col("value4")).as("tot"),
+      sum(col("n")).as("rows_total"), sum(col("nn")).as("rows_nonnull"),
+      count(col("value4")).as("np_nonnull"), count(lit(1)).as("np_l")).head()
     val np = BigDecimal(nParts.getDecimal(0))
     val tot = Option(nParts.getDecimal(1)).map(BigDecimal(_))
+    // Fail closed on ANY dropped term: per-row null products (skipped by the
+    // per-part sum) or per-part null value4 (skipped by sum(tot)/max below).
+    val allMeasured = np == 0 ||
+      (nParts.getLong(2) == nParts.getLong(3) && nParts.getLong(4) == nParts.getLong(5))
     val maxV = perPart.agg(max(abs(col("value4")).cast("decimal(38,0)"))).head()
     val mv = Option(maxV.getDecimal(0)).map(BigDecimal(_))
     // both sides of the gate: value4·n_parts and 2·total4. Empty perPart is
-    // a measured zero; a null aggregate with parts present fails closed.
+    // a measured zero; a null or partially-null aggregate with parts present
+    // fails closed.
     val gateWorst =
       if (np == 0) Some(BigDecimal(0))
+      else if (!allMeasured) None
       else for { t <- tot; m <- mv } yield (m * np).max(t * 2)
     val gate = Headroom("gate_cross_mult", gateWorst)
     Seq(revenue, qty, gate)

@@ -55,6 +55,14 @@ class OverflowAuditSpec extends SparkSpec {
     val wrap = Seq(1, 2).toDF("i").select(expr("cast(9e37 as decimal(38,0))").as("term"))
     val hw = OverflowAudit.sumHeadroom("wrap", wrap, col("term"))
     assert(!hw.ok, s"decimal overflow inside the audit must fail closed: $hw")
+    // PARTIAL nulls: sum/max silently skip null rows, so a measurement over
+    // a mixed frame would understate the worst case — must also fail closed
+    val partial = Seq[Option[Long]](Some(5L), None, Some(7L)).toDF("term")
+    val hp = OverflowAudit.sumHeadroom("partial", partial, col("term"))
+    assert(!hp.ok && hp.worst.isEmpty, s"per-row null terms must be UNMEASURABLE: $hp")
+    val xp = OverflowAudit.crossMultHeadroom("partial",
+      partial.withColumn("b", lit(3L)), col("term"), col("b"))
+    assert(!xp.ok && xp.worst.isEmpty, s"per-row null factor must be UNMEASURABLE: $xp")
     // empty input stays a measured zero — zero rows cannot overflow anything
     assert(OverflowAudit.sumHeadroom("empty", Seq.empty[Long].toDF("term"), col("term")).ok)
     assert(OverflowAudit.crossMultHeadroom(

@@ -466,20 +466,27 @@ class PlanSpec extends SparkSpec {
       "signature should be computed in the leaf projections (printed below joins)")
   }
 
-  test("d02/d04: signature arrays ride only the id exchange (decade-2 broadcast guard)") {
+  test("banded family: arrays ride only id exchanges (decade-2 broadcast guard)") {
     // The sf10 failure class: a join side sized from the static scan
     // estimate but inflated ~130x by explode + a 64-long signature array
     // got BROADCAST (8.1 GiB at sf10). The fixed shape moves (band, id)
     // keys through the band join and fetches signatures per survivor off
-    // the one id-keyed exchange. Pin the property, not the plan string:
-    // any SHUFFLE carrying an ARRAY column must be the designed id-hash
-    // exchange — never a band/chunk exchange (the wide explode would ride
-    // it 16x over) — and any BROADCAST must be sized from a MATERIALIZED
-    // stage (its subtree crosses a query-stage boundary before reaching a
-    // scan). A broadcast planned straight over scan+derivation is sized
-    // by the static file estimate — exactly the bug; one planned over a
-    // finished shuffle stage is AQE working from truthful runtime sizes
-    // and cannot repeat it at scale.
+    // the one id-keyed exchange. Pin the property, not the plan string,
+    // over the WHOLE scan→inflate→join family (not just the two members
+    // that hard-failed at sf10 — any refactor of a sibling could silently
+    // reacquire a static-estimate broadcast):
+    //  - any SHUFFLE carrying an ARRAY column must be hash-partitioned on
+    //    the member's row-identity keys — never a band/chunk/cell exchange
+    //    (the wide explode would ride it nBands× over);
+    //  - any BROADCAST carrying an ARRAY column must be either sized from
+    //    a MATERIALIZED stage (its subtree crosses a query-stage boundary
+    //    — AQE working from truthful runtime sizes), or INFLATION-FREE
+    //    (no Generate below it before a materialized stage): a broadcast
+    //    planned straight over scan+explode is sized by the static file
+    //    estimate — exactly the bug — while an explicit hint on a
+    //    non-exploded bounded side (s02/s05's query vectors, contract-
+    //    bounded ≪ corpus) cannot misestimate by the inflation factor.
+    import org.apache.spark.sql.execution.GenerateExec
     import org.apache.spark.sql.execution.adaptive.QueryStageExec
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, Exchange, ReusedExchangeExec, ShuffleExchangeExec}
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
@@ -498,23 +505,44 @@ class PlanSpec extends SparkSpec {
       case leaf if leaf.children.isEmpty => false
       case other => other.children.forall(runtimeSized)
     }
-    for (name <- Seq("d02_dedup_minhash", "d04_ngram_jaccard")) {
+    // true iff an explode sits below p with no materialized stage between:
+    // p's static size estimate misses the inflation factor entirely
+    def staticInflated(p: SparkPlan): Boolean = p match {
+      case _: QueryStageExec | _: ReusedExchangeExec => false
+      case _: GenerateExec => true
+      case other => other.children.exists(staticInflated)
+    }
+    // member → its row-identity key names (pair fetches join on a/b;
+    // delta paths orient through x/y; ANN paths key on q_id/neighbor_id).
+    // Band/chunk/cell/bucket keys are NEVER listed — that is the guard.
+    val family: Seq[(String, Set[String], Boolean)] = Seq(
+      // (name, identity keys, designed shape REQUIRES an array exchange)
+      ("d02_dedup_minhash", Set("id", "a", "b"), true),
+      ("d04_ngram_jaccard", Set("id", "a", "b"), true),
+      ("d03_dedup_simhash", Set("id", "a", "b"), false),
+      ("d08_dedup_incremental", Set("id", "a", "b", "x", "y"), false),
+      ("d09_embed_delta", Set("id", "a", "b", "x", "y"), false),
+      ("m07_frame_neardup", Set("id", "a", "b"), false),
+      ("s02_ann_lsh", Set("id", "q_id", "neighbor_id"), false),
+      ("s05_range_search", Set("id", "q_id", "neighbor_id"), false))
+    for ((name, idKeys, requireWide) <- family) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.collect()
       val wide = exchanges(df.queryExecution.executedPlan)
         .filter(_.output.exists(_.dataType.isInstanceOf[ArrayType]))
-      assert(wide.nonEmpty, s"$name: expected the designed id exchange to carry the array column")
+      if (requireWide)
+        assert(wide.nonEmpty, s"$name: expected the designed id exchange to carry the array column")
       wide.foreach {
         case s: ShuffleExchangeExec =>
           val keys = s.outputPartitioning match {
             case h: HashPartitioning => h.expressions.flatMap(_.references).map(_.name)
             case other => fail(s"$name: array-carrying exchange is not hash partitioned: $other")
           }
-          assert(keys.forall(k => k == "id" || k == "a" || k == "b"),
+          assert(keys.forall(idKeys),
             s"$name: array column rides an exchange keyed on $keys — the band-explode side is back in a shuffle")
         case b: BroadcastExchangeExec =>
-          assert(runtimeSized(b.child),
-            s"$name: array column rides a broadcast sized from the STATIC scan estimate — the decade-2 bug: $b")
+          assert(runtimeSized(b.child) || !staticInflated(b.child),
+            s"$name: array column rides a STATIC-estimate broadcast of an exploded side — the decade-2 bug: $b")
         case other => fail(s"$name: unexpected exchange kind ${other.getClass}")
       }
     }
