@@ -559,13 +559,21 @@ object Dedup {
       case ((_, cv), ci) =>
         struct(VectorExprs.cosineFF(v, typedlit(cv)).as("cos"), lit(ci.toLong).as("cid"))
     }: _*)
-    // repartition(cell) is the self-join's exchange — pinning it here lets
-    // ReuseExchange evaluate the quantizer scan ONCE for both join sides
-    // (without it the 32-cosine argmax runs once per side)
+    // localCheckpoint pins ONE quantizer evaluation for all three consumers
+    // (probe, build, roster). The r8 design (repartition(cell) + two-sided
+    // ReuseExchange) is DEFEATED by the left-semi probe: Catalyst's
+    // PushDownLeftSemiAntiJoin hoists the probe-side RepartitionByExpression
+    // above the semi join, leaving the probe to re-derive the 32-cosine
+    // argmax straight off the scan (twice — the inferred isnotnull(cell)
+    // filter evaluates it too) while the build side keeps its own exchange:
+    // no reuse, 3–5 kernel passes, +2 serial query stages (the r9 d11
+    // regression, 0.9→1.8 s at sf0.1; this shape measures 0.38 s). The
+    // materialized footprint equals what the exchange shipped — (id, vec,
+    // cell) once — read three times instead of recomputed.
     val assign = corpus.select(
       col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"),
       array_max(cellScores(col(vecCol))).getField("cid").as("cell"))
-      .repartition(col("cell"))
+      .localCheckpoint(true)
     val peers = assign.select(col("cell").as("pcell"), col("vec_id").as("peer_id"), col("v").as("pv"))
     // "duplicate" is an EXISTS, so the cell-local pass is a LEFT SEMI
     // join: the probe short-circuits at the FIRST lower-id in-cell match
@@ -583,12 +591,9 @@ object Dedup {
           VectorExprs.cosineFF(col("v"), col("pv")) >= eps,
         "left_semi")
       .select(col("vec_id"))
-    // the roster re-derives (vec_id, cell) WITHOUT the vector column, so
-    // the third quantizer evaluation ships ids+cells through its shuffle,
-    // never the embeddings
-    corpus.select(
-      col(idCol).cast("long").as("vec_id"),
-      array_max(cellScores(col(vecCol))).getField("cid").as("cell"))
+    // the roster reads (vec_id, cell) off the same checkpoint — no third
+    // quantizer evaluation, and the vectors never ride its join
+    assign.select(col("vec_id"), col("cell"))
       .join(removed.withColumn("rm", lit(1L)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         when(col("rm").isNull, 1L).otherwise(0L).as("keep"))

@@ -288,11 +288,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "rolling metrics must not self-join:\n" + p)
   }
 
-  test("d11: quantizer is a scan-side kernel; pairwise join is cell-keyed, never cartesian") {
+  test("d11: quantizer evaluates once (checkpointed); pairwise join is cell-keyed, never cartesian") {
     val p = plan("d11_semantic_dedup")
     assert(p.contains("cosine_similarity_ff"), "fused cosine kernel missing:\n" + p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "pairwise pass must stay cell-local (equi-join on cell):\n" + p)
+    // the 32-cosine argmax must NOT appear in the query plan at all: it ran
+    // exactly once into the localCheckpoint all three consumers read.
+    // (Before the fix, PushDownLeftSemiAntiJoin hoisted the probe-side
+    // repartition above the semi join and the quantizer re-evaluated 3–5×
+    // across scans/filters — the r9 d11 regression.)
+    assert(!p.contains("array_max"),
+      "quantizer argmax re-evaluated in the query plan — the checkpoint isn't feeding all consumers:\n" + p)
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      "expected the checkpointed assignment scan:\n" + p)
   }
 
   test("q54: order totals aggregate below the joins, top-20 is TakeOrdered") {
