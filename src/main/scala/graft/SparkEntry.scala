@@ -613,6 +613,17 @@ object SparkEntry {
       Dedup.semanticDedup(emb, "vec_id", "embedding", eps = 0.35,
         trained = Some(trained))
     },
+    "d14_semantic_dedup_scaled" -> q { (s, dir) =>
+      // production-k SemDeDup: k = max(16, N/125) — the IVF sizing rule
+      // (s03/s10) applied to the dedup quantizer, so cells stay ~125
+      // vectors and the cell-local cost scales LINEARLY with N. Uses the
+      // broadcast-centroid-table quantizer (literal kernels stop at ~10²
+      // centroids); decade benches measure THIS configuration, closing
+      // the d11/d13 pinned-k caveat (their k is pinned for oracle
+      // stability, with Σ|cell|² growing ~N²/k).
+      Dedup.semanticDedupScaled(Tables.embeddings(s, dir), "vec_id", "embedding",
+        eps = 0.35)
+    },
     "s05_range_search" -> q { (s, dir) =>
       // range (threshold) similarity search: all corpus vectors within
       // cos >= 0.35 of each query — banded corpus scan + broadcast banded
@@ -2482,6 +2493,34 @@ object SparkEntry {
       """WITH cent AS (
         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ci, embedding AS cv
         |  FROM embeddings ORDER BY vec_id LIMIT 32),
+        |score AS (
+        |  SELECT e.vec_id, e.embedding, c.ci,
+        |         list_sum(list_transform(list_zip(e.embedding, c.cv), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |              * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings e CROSS JOIN cent c),
+        |assign AS (
+        |  SELECT vec_id, embedding, ci AS cell
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ci DESC) AS rn
+        |        FROM score)
+        |  WHERE rn = 1),
+        |rm AS (
+        |  SELECT DISTINCT a.vec_id
+        |  FROM assign a JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |          / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) >= 0.35)
+        |SELECT a.vec_id, a.cell,
+        |       CAST(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM assign a LEFT JOIN rm r ON a.vec_id = r.vec_id""".stripMargin,
+    // d14 is d11 at the production cell count: k = max(16, N/125) in the
+    // LIMIT subquery, everything else byte-identical to the d11 oracle
+    // (same quantizer tie-break, same double cosine)
+    "d14_semantic_dedup_scaled" ->
+      """WITH cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ci, embedding AS cv
+        |  FROM embeddings ORDER BY vec_id
+        |  LIMIT (SELECT greatest(16, count(*)//125) FROM embeddings)),
         |score AS (
         |  SELECT e.vec_id, e.embedding, c.ci,
         |         list_sum(list_transform(list_zip(e.embedding, c.cv), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))

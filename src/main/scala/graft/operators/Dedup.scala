@@ -559,21 +559,77 @@ object Dedup {
       case ((_, cv), ci) =>
         struct(VectorExprs.cosineFF(v, typedlit(cv)).as("cos"), lit(ci.toLong).as("cid"))
     }: _*)
-    // localCheckpoint pins ONE quantizer evaluation for all three consumers
-    // (probe, build, roster). The r8 design (repartition(cell) + two-sided
-    // ReuseExchange) is DEFEATED by the left-semi probe: Catalyst's
-    // PushDownLeftSemiAntiJoin hoists the probe-side RepartitionByExpression
-    // above the semi join, leaving the probe to re-derive the 32-cosine
-    // argmax straight off the scan (twice — the inferred isnotnull(cell)
-    // filter evaluates it too) while the build side keeps its own exchange:
-    // no reuse, 3–5 kernel passes, +2 serial query stages (the r9 d11
-    // regression, 0.9→1.8 s at sf0.1; this shape measures 0.38 s). The
-    // materialized footprint equals what the exchange shipped — (id, vec,
-    // cell) once — read three times instead of recomputed.
     val assign = corpus.select(
       col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"),
       array_max(cellScores(col(vecCol))).getField("cid").as("cell"))
-      .localCheckpoint(true)
+    semanticDedupFromAssign(assign, eps)
+  }
+
+  /** SemDeDup at the PRODUCTION cell count: k grows with the corpus
+    * (k = max(minCells, N/rowsPerCell)) so cells stay ~rowsPerCell vectors
+    * and the cell-local quadratic cost scales LINEARLY with N — the IVF
+    * sizing rule (s03/s10), applied to the dedup quantizer. The pinned-k
+    * variant ([[semanticDedup]], k=32 for oracle stability) has Σ|cell|²
+    * growing ~N²/k; this is the configuration a 100 TB corpus actually
+    * runs (the ~10⁵-cell note in [[semanticDedup]]'s scaladoc, mechanized).
+    *
+    * The quantizer changes shape with k: literal-unrolled cosine kernels
+    * (one expression per centroid) stop at ~10² centroids — Janino's 64 KB
+    * method ceiling and analysis cost both blow up — so the scaled path
+    * assigns cells with a BROADCAST centroid table join + grouped
+    * struct-max argmax: N×k cosine rows never materialize (map-side
+    * partial max folds them per vec), and the argmax tie-break
+    * (cos DESC, cid DESC) is the same struct ordering the literal path
+    * uses, so both paths agree wherever both are feasible.
+    */
+  def semanticDedupScaled(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      eps: Double,
+      rowsPerCell: Int = 125,
+      minCells: Int = 16): DataFrame = {
+    import graft.expressions.VectorExprs
+    import org.apache.spark.sql.expressions.Window
+    val n = corpus.count()
+    val k = math.max(minCells.toLong, n / rowsPerCell).toInt
+    // lowest-id stand-in centroids as a TABLE (not literals): ci is the
+    // 0-based rank by id — k rows total, the window sort is bounded by k
+    val cent = corpus
+      .select(col(idCol).cast("long").as("cid0"), col(vecCol).as("cv"))
+      .orderBy(col("cid0").asc)
+      .limit(k)
+      .withColumn("cid", row_number().over(Window.orderBy(col("cid0"))).cast("long") - 1L)
+      .select(col("cid"), col("cv"))
+    val assign = corpus
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+      .join(broadcast(cent))
+      .groupBy(col("vec_id"), col("v"))
+      .agg(max(struct(VectorExprs.cosineFF(col("v"), col("cv")).as("cos"),
+        col("cid").as("cid"))).getField("cid").as("cell"))
+    semanticDedupFromAssign(assign, eps)
+  }
+
+  /** The SemDeDup prune over a precomputed (vec_id, v, cell) assignment:
+    * checkpoint once, cell-local LEFT SEMI probe, vector-free roster.
+    * Shared by the literal-kernel quantizer ([[semanticDedup]]) and the
+    * broadcast-table quantizer ([[semanticDedupScaled]]).
+    *
+    * localCheckpoint pins ONE quantizer evaluation for all three consumers
+    * (probe, build, roster). The r8 design (repartition(cell) + two-sided
+    * ReuseExchange) is DEFEATED by the left-semi probe: Catalyst's
+    * PushDownLeftSemiAntiJoin hoists the probe-side RepartitionByExpression
+    * above the semi join, leaving the probe to re-derive the 32-cosine
+    * argmax straight off the scan (twice — the inferred isnotnull(cell)
+    * filter evaluates it too) while the build side keeps its own exchange:
+    * no reuse, 3–5 kernel passes, +2 serial query stages (the r9 d11
+    * regression, 0.9→1.8 s at sf0.1; the checkpoint shape measures 0.38 s).
+    * The materialized footprint equals what the exchange shipped — (id,
+    * vec, cell) once — read three times instead of recomputed.
+    */
+  private def semanticDedupFromAssign(assign0: DataFrame, eps: Double): DataFrame = {
+    import graft.expressions.VectorExprs
+    val assign = assign0.localCheckpoint(true)
     val peers = assign.select(col("cell").as("pcell"), col("vec_id").as("peer_id"), col("v").as("pv"))
     // "duplicate" is an EXISTS, so the cell-local pass is a LEFT SEMI
     // join: the probe short-circuits at the FIRST lower-id in-cell match
