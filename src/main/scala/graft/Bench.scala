@@ -56,7 +56,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // shuffle partitions default to thread count; decade-3+ runs (sf100,
+      // ~16 GB input) override upward so AQE has headroom to coalesce from
+      // — AQE can merge small partitions but never split an initial one
+      // except at skew joins, so the initial count is the scale ceiling
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // split sizing lives in SparkEntry.prep (compute-proportional — see
