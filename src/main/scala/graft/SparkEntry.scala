@@ -616,11 +616,14 @@ object SparkEntry {
     "d14_semantic_dedup_scaled" -> q { (s, dir) =>
       // production-k SemDeDup: k = max(16, N/125) — the IVF sizing rule
       // (s03/s10) applied to the dedup quantizer, so cells stay ~125
-      // vectors and the cell-local cost scales LINEARLY with N. Uses the
-      // broadcast-centroid-table quantizer (literal kernels stop at ~10²
-      // centroids); decade benches measure THIS configuration, closing
-      // the d11/d13 pinned-k caveat (their k is pinned for oracle
-      // stability, with Σ|cell|² growing ~N²/k).
+      // vectors and the cell-local cost scales LINEARLY with N. The
+      // quantizer is a TWO-LEVEL broadcast-table argmax (coarse √k group
+      // leaders, then the chosen group's cells): flat N·k assignment is
+      // N²/125 cosines when k ∝ N — measured ~100×/decade at sf10 —
+      // while two-level is N·2√k, restoring a row-linear decade ratio.
+      // Decade benches measure THIS configuration, closing the d11/d13
+      // pinned-k caveat (their k is pinned for oracle stability, with
+      // Σ|cell|² growing ~N²/k).
       Dedup.semanticDedupScaled(Tables.embeddings(s, dir), "vec_id", "embedding",
         eps = 0.35)
     },
@@ -2513,20 +2516,39 @@ object SparkEntry {
         |SELECT a.vec_id, a.cell,
         |       CAST(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM assign a LEFT JOIN rm r ON a.vec_id = r.vec_id""".stripMargin,
-    // d14 is d11 at the production cell count: k = max(16, N/125) in the
-    // LIMIT subquery, everything else byte-identical to the d11 oracle
-    // (same quantizer tie-break, same double cosine)
+    // d14 is d11 at the production cell count (k = max(16, N/125)) with
+    // the TWO-LEVEL assignment rule the Spark side runs: cells partition
+    // into contiguous groups of gs = ceil(k/ceil(sqrt(k))), a vector
+    // argmaxes over the group LEADERS (lowest-cid member) first, then
+    // over the chosen group's cells — both argmaxes with the (cos DESC,
+    // id DESC) tie-break and the same double cosine as d11
     "d14_semantic_dedup_scaled" ->
-      """WITH cent AS (
+      """WITH p AS (SELECT greatest(16, count(*)//125) AS k FROM embeddings),
+        |p2 AS (SELECT k, CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS c FROM p),
+        |p3 AS (SELECT k, (k + c - 1)//c AS gs FROM p2),
+        |cent AS (
         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ci, embedding AS cv
         |  FROM embeddings ORDER BY vec_id
-        |  LIMIT (SELECT greatest(16, count(*)//125) FROM embeddings)),
-        |score AS (
-        |  SELECT e.vec_id, e.embedding, c.ci,
-        |         list_sum(list_transform(list_zip(e.embedding, c.cv), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |  LIMIT (SELECT k FROM p)),
+        |cent2 AS (SELECT ci, ci // (SELECT gs FROM p3) AS gid, cv FROM cent),
+        |lead AS (SELECT gid, cv AS lv FROM cent2 WHERE ci % (SELECT gs FROM p3) = 0),
+        |gscore AS (
+        |  SELECT e.vec_id, e.embedding, l.gid,
+        |         list_sum(list_transform(list_zip(e.embedding, l.lv), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
         |           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |              * sqrt(list_sum(list_transform(l.lv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings e CROSS JOIN lead l),
+        |gassign AS (
+        |  SELECT vec_id, embedding, gid
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, gid DESC) AS rn
+        |        FROM gscore)
+        |  WHERE rn = 1),
+        |score AS (
+        |  SELECT a.vec_id, a.embedding, c.ci,
+        |         list_sum(list_transform(list_zip(a.embedding, c.cv), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
         |              * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
-        |  FROM embeddings e CROSS JOIN cent c),
+        |  FROM gassign a JOIN cent2 c ON c.gid = a.gid),
         |assign AS (
         |  SELECT vec_id, embedding, ci AS cell
         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ci DESC) AS rn

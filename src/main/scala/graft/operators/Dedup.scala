@@ -576,11 +576,25 @@ object Dedup {
     * The quantizer changes shape with k: literal-unrolled cosine kernels
     * (one expression per centroid) stop at ~10² centroids — Janino's 64 KB
     * method ceiling and analysis cost both blow up — so the scaled path
-    * assigns cells with a BROADCAST centroid table join + grouped
-    * struct-max argmax: N×k cosine rows never materialize (map-side
-    * partial max folds them per vec), and the argmax tie-break
-    * (cos DESC, cid DESC) is the same struct ordering the literal path
-    * uses, so both paths agree wherever both are feasible.
+    * assigns cells with BROADCAST centroid table joins + grouped
+    * struct-max argmax, and the argmax tie-break (cos DESC, cid DESC) is
+    * the same struct ordering the literal path uses.
+    *
+    * The assignment is TWO-LEVEL (the IVF coarse/fine quantizer, applied
+    * to the quantizer itself): cells 0..k-1 partition into ⌈k/gs⌉
+    * contiguous groups of gs = ⌈k/⌈√k⌉⌉, each represented by its
+    * lowest-cid member; a vector first argmaxes over the ~√k group
+    * leaders, then over the ~√k cells of the chosen group. Flat argmax
+    * scores N·k pairs — with k ∝ N that is N²/rowsPerCell cosines, a
+    * quadratic decade ratio the sf10 bench measured directly (~100× per
+    * decade; 1.6e9 scores per 2M vectors at k=16e3 would make the
+    * ASSIGNMENT the new Σ|cell|²). Two-level scores N·2√k: ~row-linear
+    * per decade, the same containment trade SemDeDup itself makes —
+    * assignment becomes approximate (a vector may land in a neighboring
+    * cell when its best group leader loses the coarse vote), which is
+    * immaterial for stand-in centroids and standard practice for trained
+    * ones (every IVF index searches this way). The rule is deterministic,
+    * so the oracle mirrors it exactly.
     */
   def semanticDedupScaled(
       corpus: DataFrame,
@@ -593,17 +607,26 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val n = corpus.count()
     val k = math.max(minCells.toLong, n / rowsPerCell).toInt
-    // lowest-id stand-in centroids as a TABLE (not literals): ci is the
-    // 0-based rank by id — k rows total, the window sort is bounded by k
+    val coarse = math.ceil(math.sqrt(k.toDouble)).toInt
+    val gs = (k + coarse - 1) / coarse // cells per group, ceil(k/coarse)
+    // lowest-id stand-in centroids as a TABLE (not literals): cid is the
+    // 0-based rank by id — k rows total, the window sort is bounded by k.
+    // Checkpointed so leaders and cells read ONE corpus top-k, not two.
     val cent = corpus
       .select(col(idCol).cast("long").as("cid0"), col(vecCol).as("cv"))
       .orderBy(col("cid0").asc)
       .limit(k)
       .withColumn("cid", row_number().over(Window.orderBy(col("cid0"))).cast("long") - 1L)
-      .select(col("cid"), col("cv"))
-    val assign = corpus
-      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
-      .join(broadcast(cent))
+      .select(col("cid"), (col("cid") / gs).cast("long").as("gid"), col("cv"))
+      .localCheckpoint(true)
+    val leaders = cent.where(col("cid") % gs === 0).select(col("gid"), col("cv").as("lv"))
+    val vecs = corpus.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+    val assign = vecs
+      .join(broadcast(leaders))
+      .groupBy(col("vec_id"), col("v"))
+      .agg(max(struct(VectorExprs.cosineFF(col("v"), col("lv")).as("cos"),
+        col("gid").as("gid"))).getField("gid").as("gid"))
+      .join(broadcast(cent), Seq("gid"))
       .groupBy(col("vec_id"), col("v"))
       .agg(max(struct(VectorExprs.cosineFF(col("v"), col("cv")).as("cos"),
         col("cid").as("cid"))).getField("cid").as("cell"))

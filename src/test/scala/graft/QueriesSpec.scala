@@ -134,6 +134,38 @@ class QueriesSpec extends SparkSpec {
     assert(dropped.count() == 0, "a cell's lowest-id vector was removed")
   }
 
+  test("d14 scaled dedup: two-level assignment matches a driver-side mirror of the rule") {
+    val out = SparkEntry.queries("d14_semantic_dedup_scaled")(spark, sfDir)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").cast("long"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    assert(out.size == emb.length)
+    val k = math.max(16L, emb.length / 125L).toInt
+    val c = math.ceil(math.sqrt(k.toDouble)).toInt
+    val gs = (k + c - 1) / c
+    val cent = emb.take(k).map(_._2)
+    // left-to-right double accumulation — the cosineFF kernel's contract
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val groups = cent.zipWithIndex.groupBy { case (_, ci) => ci / gs }
+    val leaders = (0 until (k + gs - 1) / gs).map(g => g -> cent(g * gs))
+    emb.foreach { case (id, v) =>
+      val gid = leaders.map { case (g, lv) => (cos(v, lv), g) }.max._2
+      val cell = groups(gid).map { case (cv, ci) => (cos(v, cv), ci) }.max._2
+      assert(out(id) == cell.toLong, s"vec $id: operator cell ${out(id)}, mirror cell $cell")
+    }
+  }
+
   test("t13 url domains: url total matches the injection arithmetic") {
     val out = SparkEntry.queries("t13_url_domains")(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir)
