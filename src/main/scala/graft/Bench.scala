@@ -30,6 +30,7 @@ object Bench {
     "q60_sole_shipper", "q61_part_variety", "q62_shipmode_priority", "q63_kmv_distinct",
     "q64_kmv_mergeable", "q65_sketch_quantiles", "q66_bfs_depths", "q67_excess_shippers",
     "q68_nation_value", "q69_kmv_intersection", "q70_decile_bins", "q71_sketch_bins",
+    "q72_nation_value_wide",
     // s04 re-runs d06's whole candidate+closure pipeline (already benched
     // via d06); m04/m05 are constant-size generators, not SF-scaled —
     // benching them would measure nothing about the data path

@@ -1685,6 +1685,45 @@ object SparkEntry {
         .where(col("value4") * col("n_parts") > col("total4") * 2L)
         .select(col("l_partkey").as("p_partkey"), col("value4"))
     },
+    "q72_nation_value_wide" -> q { (s, dir) =>
+      // q68's documented WIDENING SWITCH, as code (SURVEY §4): the same
+      // nation-value gate with every aggregate and the cross-multiplied
+      // comparison in decimal(38,0) instead of 64-bit longs. The 64-bit
+      // form's gate (value4·n_parts) crosses 10% of 2⁶³ near sf100 —
+      // OverflowAudit detects that regime and trips Verify; THIS is the
+      // escape it points at. decimal(38,0) sums are exact (so still
+      // order-independent and hash-stable) and plan identically: the
+      // partial/final aggregate split, broadcast pruning, and the one-row
+      // broadcast gate all survive the type change — only the agg buffer
+      // widens from 8 to 16 bytes, moving the AGGREGATE/GATE ceiling to
+      // ~10²¹× any physical deployment. The OUTPUT stays BIGINT: per-part
+      // value is bounded by the data model (one part's shipments × price,
+      // nowhere near 2⁶³ at any SF that fits on hardware) — it is the
+      // global total and the cross-multiplied gate that grow with corpus
+      // size, and those now run wide. Oracle: DuckDB's sum is natively
+      // HUGEINT, re-narrowed the same way.
+      val sups = broadcast(Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .where(col("n_name") === "NATION_3").select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey")))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"), c2(col("l_quantity")).as("q_c"))
+        .join(sups, col("l_suppkey") === col("s_suppkey"))
+      val perPart = li
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), c2(col("p_retailprice")).as("price_c"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum((col("q_c") * col("price_c")).cast("decimal(38,0)")).as("value38"))
+      val total = perPart.agg(sum(col("value38")).cast("decimal(38,0)").as("total38"),
+        count(lit(1)).as("n_parts"))
+      perPart.crossJoin(broadcast(total))
+        .where(col("value38") * col("n_parts").cast("decimal(38,0)") >
+          col("total38") * lit(2).cast("decimal(38,0)"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("value38").cast("long").as("value4"))
+    },
     "q69_kmv_intersection" -> q { (s, dir) =>
       // sketch set-algebra completed: INTERSECTION cardinality from two
       // persisted KMV states (Dasgupta et al.'s theta-sketch estimator —
@@ -3423,6 +3462,25 @@ object SparkEntry {
         |tot AS (SELECT CAST(sum(value4) AS BIGINT) AS total4, count(*) AS n_parts FROM pp)
         |SELECT pp.l_partkey AS p_partkey, pp.value4
         |FROM pp, tot WHERE pp.value4 * tot.n_parts > tot.total4 * 2""".stripMargin,
+    // q72 = q68 in the widened regime: DuckDB's BIGINT sum is natively
+    // HUGEINT (128-bit, exact), so the oracle just SKIPS the 64-bit
+    // re-narrowing casts q68 carries — the per-part sum, the total and
+    // the gate all run 128-bit, and only the bounded per-part OUTPUT
+    // value re-narrows (same contract as the Spark side)
+    "q72_nation_value_wide" ->
+      """WITH li AS (
+        |  SELECT l.l_partkey,
+        |         CAST(round(l.l_quantity * 100) AS BIGINT)
+        |           * CAST(round(p.p_retailprice * 100) AS BIGINT) AS v4
+        |  FROM lineitem l
+        |  JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE l.l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |    WHERE n.n_name = 'NATION_3')),
+        |pp AS (SELECT l_partkey, sum(v4) AS value38 FROM li GROUP BY 1),
+        |tot AS (SELECT sum(value38) AS total38, count(*) AS n_parts FROM pp)
+        |SELECT pp.l_partkey AS p_partkey, CAST(pp.value38 AS BIGINT) AS value4
+        |FROM pp, tot WHERE pp.value38 * tot.n_parts > tot.total38 * 2""".stripMargin,
     "q69_kmv_intersection" -> OracleHashSql.q69Sql,
     "q71_sketch_bins" -> OracleHashSql.q71Sql,
     "q67_excess_shippers" ->

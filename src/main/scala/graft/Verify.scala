@@ -60,7 +60,8 @@ object Verify {
     spark.stop()
     if (!headrooms.forall(_.ok)) {
       System.err.println("[verify] OVERFLOW GATE TRIPPED — a 64-bit family is past " +
-        "10% of ceiling (or unmeasurable); flip the documented widening switch")
+        "10% of ceiling (or unmeasurable); switch to the widened decimal(38,0) " +
+        "arithmetic (reference implementation: q72_nation_value_wide)")
       sys.exit(1)
     }
   }

@@ -74,7 +74,8 @@ class ExchangeBudgetSpec extends SparkSpec {
     "q58_event_pivot" -> 2, "q59_cube_volume" -> 1, "q60_sole_shipper" -> 2,
     "q61_part_variety" -> 3, "q62_shipmode_priority" -> 1, "q63_kmv_distinct" -> 1,
     "q64_kmv_mergeable" -> 3, "q65_sketch_quantiles" -> 1, "q66_bfs_depths" -> 0,
-    "q67_excess_shippers" -> 2, "q68_nation_value" -> 2, "q69_kmv_intersection" -> 2,
+    "q67_excess_shippers" -> 2, "q68_nation_value" -> 2, "q72_nation_value_wide" -> 2,
+    "q69_kmv_intersection" -> 2,
     "q70_decile_bins" -> 4, "q71_sketch_bins" -> 1, "d01_dedup_exact" -> 1,
     // d04: +1 round 9 — exactJaccardOnCandidates' shingle sets moved
     // behind an id-keyed barrier exchange (materialize-once + truthful

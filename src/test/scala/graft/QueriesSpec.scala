@@ -166,6 +166,18 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q72 widened gate equals q68 below the 64-bit ceiling") {
+    // the widening switch must be a pure REPRESENTATION change: wherever
+    // 64-bit arithmetic hasn't wrapped, the decimal(38,0) form selects the
+    // same parts with the same values (beyond the ceiling only q72 is
+    // defined — that regime has no 64-bit reference to compare against)
+    val narrow = SparkEntry.queries("q68_nation_value")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wide = SparkEntry.queries("q72_nation_value_wide")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wide == narrow)
+  }
+
   test("t13 url domains: url total matches the injection arithmetic") {
     val out = SparkEntry.queries("t13_url_domains")(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir)
