@@ -576,9 +576,17 @@ object Dedup {
     * The quantizer changes shape with k: literal-unrolled cosine kernels
     * (one expression per centroid) stop at ~10² centroids — Janino's 64 KB
     * method ceiling and analysis cost both blow up — so the scaled path
-    * assigns cells with BROADCAST centroid table joins + grouped
-    * struct-max argmax, and the argmax tie-break (cos DESC, cid DESC) is
-    * the same struct ordering the literal path uses.
+    * assigns cells with ONE fused codegen kernel per level
+    * ([[graft.expressions.ArgmaxCosStride]]): the centroid matrix rides
+    * along as a reference object (the [[graft.expressions.PqSegBest]]
+    * idiom) and each row scores its candidates in a generated loop inside
+    * its own projection. The broadcast-join + grouped-struct-max form this
+    * replaces pushed N·2√k intermediate ROWS (the vector in the group key)
+    * through two hash aggregates — 500M rows / 386 s at sf100, a ~2.3×
+    * constant over the work model that the kernel deletes outright. The
+    * kernel's cosine and its (cos DESC, cid DESC) tie-break are
+    * bit-compatible with the struct ordering the literal path uses
+    * (spec-pinned against the join form).
     *
     * The assignment is TWO-LEVEL (the IVF coarse/fine quantizer, applied
     * to the quantizer itself): cells 0..k-1 partition into ⌈k/gs⌉
@@ -604,32 +612,32 @@ object Dedup {
       rowsPerCell: Int = 125,
       minCells: Int = 16): DataFrame = {
     import graft.expressions.VectorExprs
-    import org.apache.spark.sql.expressions.Window
     val n = corpus.count()
     val k = math.max(minCells.toLong, n / rowsPerCell).toInt
     val coarse = math.ceil(math.sqrt(k.toDouble)).toInt
     val gs = (k + coarse - 1) / coarse // cells per group, ceil(k/coarse)
-    // lowest-id stand-in centroids as a TABLE (not literals): cid is the
-    // 0-based rank by id — k rows total, the window sort is bounded by k.
-    // Checkpointed so leaders and cells read ONE corpus top-k, not two.
-    val cent = corpus
+    // lowest-id stand-in centroids as a driver-side MODEL (the s08/s09
+    // codebook idiom): a bounded orderBy(id).limit(k) read, row index =
+    // cid (0-based rank by id). k·dim floats — 4 MB at sf100's k=16e3,
+    // the same scale envelope the broadcast-table form had.
+    val matrix: Array[Array[Float]] = corpus
       .select(col(idCol).cast("long").as("cid0"), col(vecCol).as("cv"))
       .orderBy(col("cid0").asc)
       .limit(k)
-      .withColumn("cid", row_number().over(Window.orderBy(col("cid0"))).cast("long") - 1L)
-      .select(col("cid"), (col("cid") / gs).cast("long").as("gid"), col("cv"))
-      .localCheckpoint(true)
-    val leaders = cent.where(col("cid") % gs === 0).select(col("gid"), col("cv").as("lv"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).toArray)
+    // level 1: argmax over the group leaders (cells at cid ≡ 0 mod gs —
+    // one strided pass); level 2: argmax over the chosen group's
+    // contiguous cells [leader, leader+gs) ∩ [0, k). Both in the row's
+    // own projection: no joins, no aggregates, no intermediate rows.
     val vecs = corpus.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
     val assign = vecs
-      .join(broadcast(leaders))
-      .groupBy(col("vec_id"), col("v"))
-      .agg(max(struct(VectorExprs.cosineFF(col("v"), col("lv")).as("cos"),
-        col("gid").as("gid"))).getField("gid").as("gid"))
-      .join(broadcast(cent), Seq("gid"))
-      .groupBy(col("vec_id"), col("v"))
-      .agg(max(struct(VectorExprs.cosineFF(col("v"), col("cv")).as("cos"),
-        col("cid").as("cid"))).getField("cid").as("cell"))
+      .withColumn("lr", VectorExprs.argmaxCosStride(
+        col("v"), lit(0L), lit(k.toLong), gs, matrix))
+      .withColumn("cell", VectorExprs.argmaxCosStride(
+        col("v"), col("lr"), least(col("lr") + lit(gs.toLong), lit(k.toLong)), 1, matrix))
+      .select(col("vec_id"), col("v"), col("cell"))
     semanticDedupFromAssign(assign, eps)
   }
 

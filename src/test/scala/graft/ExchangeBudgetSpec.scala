@@ -85,12 +85,13 @@ class ExchangeBudgetSpec extends SparkSpec {
     "d06_dedup_clusters" -> 0, "d07_embed_neardup_lsh" -> 1, "d08_dedup_incremental" -> 2,
     // d11/d13: 3 → 0 round 11 — the quantizer + cell assignment moved into
     // an eager localCheckpoint (its own job, not part of the query plan);
-    // the remaining probe/roster joins broadcast at spec SF. d14 is the
-    // k∝N variant: centroid-table cross join + argmax agg (1) + the same
-    // probe chain when AQE keeps it shuffled (2).
+    // the remaining probe/roster joins broadcast at spec SF. d14 (the k∝N
+    // variant) joined them at 0 when the two-level assignment became a
+    // fused per-row kernel (ArgmaxCosStride): the centroid cross joins +
+    // argmax aggregates left the plan entirely.
     "d09_embed_delta" -> 2, "d10_passage_dedup" -> 3, "d11_semantic_dedup" -> 0,
     "d12_dedup_pipeline" -> 2, "d13_semantic_dedup_trained" -> 0,
-    "d14_semantic_dedup_scaled" -> 3, "s01_ann_brute" -> 1,
+    "d14_semantic_dedup_scaled" -> 0, "s01_ann_brute" -> 1,
     "s02_ann_lsh" -> 1, "s03_ann_ivf" -> 1, "s05_range_search" -> 0,
     "s06_quantize" -> 2, "s07_mmr_diversify" -> 4, "s08_pq_encode" -> 0,
     "s09_adc_search" -> 1, "s10_ivfpq" -> 1, "s11_kmeans_train" -> 1,
