@@ -272,4 +272,53 @@ class DedupSimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("ArgmaxCosStride matches the struct-max form it replaced; ties, strides, zero norms") {
+    import graft.expressions.VectorExprs
+    val rnd = new scala.util.Random(1106)
+    val dim = 8
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+    val matrix: Array[Array[Float]] = Array.fill(7)(vec())
+    matrix(5) = matrix(2).clone() // an exact-cosine tie pair (2, 5)
+    val rows = (0L until 40L).map(i => (i, vec())) :+
+      (40L, matrix(2).map(_ * 2f)) :+            // cos 1.0 with BOTH 2 and 5
+      (41L, Array.fill(dim)(0f))                 // zero norm: cos 0.0 everywhere
+    val df = rows.toDF("id", "v")
+    // the replaced form: cosineFF against each centroid + max(struct(cos, j))
+    val structMax = df.select(col("id"), array_max(array(matrix.zipWithIndex.map {
+        case (c, j) => struct(VectorExprs.cosineFF(col("v"), typedlit(c.toSeq)).as("cos"),
+          lit(j.toLong).as("j"))
+      }: _*)).getField("j").as("pick"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kernel = df.select(col("id"), VectorExprs.argmaxCosStride(
+        col("v"), lit(0L), lit(matrix.length.toLong), 1, matrix).as("pick"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel == structMax)
+    assert(kernel(40L) == 5L, "cosine tie must break to the HIGHEST index (struct-max order)")
+    assert(kernel(41L) == matrix.length - 1L, "all-zero vector cosines are 0.0 everywhere; highest index wins")
+    // strided scan visits only lo, lo+stride, …: stride 3 from 0 over 7 rows = {0, 3, 6}
+    val strided = df.select(col("id"), VectorExprs.argmaxCosStride(
+        col("v"), lit(0L), lit(matrix.length.toLong), 3, matrix).as("pick"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(strided.values.toSet.subsetOf(Set(0L, 3L, 6L)))
+    // dynamic per-row [lo, hi): a window around each row's full-scan pick
+    val windowed = df.select(col("id"), VectorExprs.argmaxCosStride(
+        col("v"), lit(2L), lit(5L), 1, matrix).as("pick"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    windowed.values.foreach(p => assert(p >= 2L && p < 5L))
+    rows.foreach { case (id, v) =>
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < dim) {
+          dot += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble
+          nb += b(i).toDouble * b(i).toDouble
+          i += 1
+        }
+        if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val want = (2 until 5).map(j => (cos(v, matrix(j)), j.toLong)).max._2
+      assert(windowed(id) == want, s"row $id windowed pick")
+    }
+  }
 }
