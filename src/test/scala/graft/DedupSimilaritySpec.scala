@@ -321,4 +321,44 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(windowed(id) == want, s"row $id windowed pick")
     }
   }
+
+  test("ArgmaxCosStride fuzz: random dims/matrices/strides/windows match a driver mirror") {
+    import graft.expressions.VectorExprs
+    val rnd = new scala.util.Random(0xd14)
+    def mirrorCos(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (trial <- 1 to 8) {
+      val dim = 1 + rnd.nextInt(17)
+      val m = 1 + rnd.nextInt(23)
+      val matrix = Array.fill(m)(Array.fill(dim)(
+        if (rnd.nextInt(10) == 0) 0f else rnd.nextFloat() * 2f - 1f))
+      if (rnd.nextBoolean() && m > 2) matrix(m - 1) = matrix(m / 2).clone() // force ties
+      val stride = 1 + rnd.nextInt(4)
+      val lo = rnd.nextInt(m)
+      val hi = lo + 1 + rnd.nextInt(m - lo)
+      val vecs = (0L until 25L).map { i =>
+        (i, if (rnd.nextInt(8) == 0) Array.fill(dim)(0f)
+            else Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+      }
+      val got = vecs.toDF("id", "v")
+        .select(col("id"), VectorExprs.argmaxCosStride(
+          col("v"), lit(lo.toLong), lit(hi.toLong), stride, matrix).as("pick"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      vecs.foreach { case (id, v) =>
+        val want = (lo until hi by stride)
+          .map(j => (mirrorCos(v, matrix(j)), j.toLong)).max._2
+        assert(got(id) == want,
+          s"trial $trial (dim=$dim m=$m lo=$lo hi=$hi stride=$stride) row $id: got ${got(id)}, want $want")
+      }
+    }
+  }
 }
