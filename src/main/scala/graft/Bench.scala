@@ -153,11 +153,20 @@ object Bench {
       "\"" + n + f"""\":{"n":${xs.length},"min":${xs.min}%.3f,"med":${med(xs)}%.3f,"max":${xs.max}%.3f}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val protocol = s"untimed sf0.001 warmup; $passes interleaved full passes; " +
+    // the run's ACTUAL knobs, in-artifact (ADVICE r11: the sf100 probe ran
+    // shuffle.partitions=256 / outlier=10000s while the derived report's
+    // hardcoded config string claimed 32 — the artifact must self-describe
+    // so cross-config ratios are visible as such)
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    val config = s"""{"master":"local[$cpus]","shuffle_partitions":$shufflePartitions,""" +
+      s""""passes":$passes,"outlier_sec":$outlierSec,""" +
+      s""""max_partition_bytes":"${spark.conf.get("spark.sql.files.maxPartitionBytes")}"}"""
+    val protocol = s"local[$cpus], shuffle.partitions=$shufflePartitions; " +
+      s"untimed sf0.001 warmup; $passes interleaved full passes; " +
       s">${outlierSec}s outliers re-sampled until 2 consecutive samples within 10% of best (max +6); " +
       "queries=per-query min over all samples; stats=per-query n/min/med/max"
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":"$protocol","queries":$qJson,"stats":$sJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":"$protocol","config":$config,"queries":$qJson,"stats":$sJson,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r{N}.json keeps only the last 2,000 chars of
     // output — the first ~40 query timings fall off every round. Persist

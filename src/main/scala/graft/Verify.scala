@@ -2,8 +2,28 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Exit-code contract (spec-covered in VerifySpec; tools/check_verify.py
+  * documents the same mapping for automation around big-SF runs):
+  *   0 — every dump wrote and the overflow gate is clear
+  *   1 — one or more query dumps FAILED (the correctness artifacts are
+  *       incomplete — a compare against them is meaningless)
+  *   2 — all dumps wrote but the overflow gate TRIPPED (a 64-bit family is
+  *       past 10% of 2⁶³ on this data; the dumps are valid and comparable,
+  *       the deployment must flip the documented widening switch — see
+  *       q72_nation_value_wide / the q73w–q76w revenue family). sf10+ runs
+  *       hit this BY DESIGN (revenue_sum ~34% at sf10), so automation must
+  *       treat 2 as "dumps usable, arithmetic envelope exceeded", not as a
+  *       verification failure.
+  */
 object Verify {
+  /** The exit decision, pure so the contract is testable: dump failures
+    * dominate (artifacts incomplete → 1); a tripped gate over complete
+    * dumps is the distinct, recoverable state (→ 2). */
+  def exitCode(dumpFailures: Int, gateOk: Boolean): Int =
+    if (dumpFailures > 0) 1 else if (!gateOk) 2 else 0
+
   def main(args: Array[String]): Unit = {
     // optional third arg: comma-separated query names (dev iteration only;
     // the driver always passes two)
@@ -21,6 +41,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.prep(spark)
     new java.io.File(outDir).mkdirs()
+    var dumpFailures = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -32,6 +53,7 @@ object Verify {
       try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        dumpFailures += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -58,11 +80,17 @@ object Verify {
     val headrooms = operators.OverflowAudit.audit(spark, sfDir)
     headrooms.foreach(h => println(s"[verify] overflow-audit $h"))
     spark.stop()
-    if (!headrooms.forall(_.ok)) {
+    val gateOk = headrooms.forall(_.ok)
+    if (!gateOk)
       System.err.println("[verify] OVERFLOW GATE TRIPPED — a 64-bit family is past " +
         "10% of ceiling (or unmeasurable); switch to the widened decimal(38,0) " +
-        "arithmetic (reference implementation: q72_nation_value_wide)")
-      sys.exit(1)
+        "arithmetic (reference implementations: q72_nation_value_wide and the " +
+        "q73w-q76w revenue family)")
+    if (dumpFailures > 0)
+      System.err.println(s"[verify] $dumpFailures query dump(s) FAILED — artifacts incomplete")
+    exitCode(dumpFailures, gateOk) match {
+      case 0 => ()
+      case c => sys.exit(c)
     }
   }
 }

@@ -317,6 +317,15 @@ case class PqSegBest(
   * Double.compare disagree) needs an exactly-zero dot product and cannot
   * arise for finite random embeddings — same documented caveat as
   * [[PqSegBest]]. All matrix rows must share one dimension d.
+  *
+  * Empty-window contract (ADVICE r11): the scan window is [max(lo,0),
+  * min(hi, |matrix|)). If that window is EMPTY — lo ≥ hi, lo past the
+  * matrix, or hi ≤ 0 — the kernel visits no candidate and returns NULL
+  * rather than silently yielding `lo` as a fabricated (possibly
+  * out-of-range) winner. Current call sites (semanticDedupScaled's
+  * two-level descent) construct provably non-empty windows, so a null
+  * here means a caller bug — and surfaces as one instead of as a wrong
+  * cell id.
   */
 case class ArgmaxCosStride(
     vec: Expression,
@@ -335,10 +344,15 @@ case class ArgmaxCosStride(
 
   private def dim: Int = if (matrix.length > 0) matrix(0).length else 0
 
+  // nullable by the empty-window contract above (a null CHILD also nulls
+  // the result, as for any nullSafeEval expression)
+  override def nullable: Boolean = true
+
   override def nullSafeEval(v: Any, loA: Any, hiA: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
-    val loI = loA.asInstanceOf[Long].toInt
+    val loI = math.max(loA.asInstanceOf[Long], 0L).toInt
     val hiI = math.min(hiA.asInstanceOf[Long], matrix.length.toLong).toInt
+    if (loI >= hiI) return null // empty window: no candidate visited
     val n = math.min(x.numElements(), dim)
     var na = 0.0
     var i = 0
@@ -376,8 +390,11 @@ case class ArgmaxCosStride(
       val dot = ctx.freshName("dot")
       val cos = ctx.freshName("cos")
       s"""
-         |int $loV = (int) $loC;
+         |int $loV = (int) java.lang.Math.max($loC, 0L);
          |int $hiV = (int) java.lang.Math.min($hiC, (long) $mat.length);
+         |if ($loV >= $hiV) {
+         |  ${ev.isNull} = true; // empty window: no candidate visited
+         |} else {
          |int $n = java.lang.Math.min($v.numElements(), $dim);
          |double $na = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
@@ -397,6 +414,7 @@ case class ArgmaxCosStride(
          |  if ($cos >= $best) { $best = $cos; $bi = (long) $j; }
          |}
          |${ev.value} = $bi;
+         |}
        """.stripMargin
     })
 

@@ -361,4 +361,25 @@ class DedupSimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("ArgmaxCosStride empty window returns NULL, never a fabricated index") {
+    import graft.expressions.VectorExprs
+    // ADVICE r11: the old kernel returned `lo` (possibly out of range) when
+    // the scan window was empty. Contract now: [max(lo,0), min(hi,|matrix|))
+    // empty ⇒ NULL — a caller bug surfaces as null, not as a wrong cell id.
+    val matrix: Array[Array[Float]] = Array.fill(4)(Array.fill(3)(1f))
+    val df = Seq((1L, Array(1f, 2f, 3f))).toDF("id", "v")
+    def pick(lo: Long, hi: Long): Option[Long] = {
+      val r = df.select(VectorExprs.argmaxCosStride(
+        col("v"), lit(lo), lit(hi), 1, matrix).as("pick")).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    assert(pick(2L, 2L).isEmpty, "lo == hi")
+    assert(pick(3L, 1L).isEmpty, "lo > hi")
+    assert(pick(9L, 99L).isEmpty, "lo past the matrix (hi clamps below lo)")
+    assert(pick(-5L, 0L).isEmpty, "hi <= 0 (lo clamps to 0, window empty)")
+    // negative lo with a real window clamps to 0 and still answers
+    assert(pick(-3L, 4L).contains(3L), "clamped window [0,4): ties to highest index")
+    assert(pick(0L, 4L).contains(3L))
+  }
 }

@@ -74,4 +74,15 @@ class OverflowAuditSpec extends SparkSpec {
     assert(rows.length == 3)
     assert(rows.forall(_.getBoolean(3)))
   }
+
+  test("Verify exit-code contract: 1=dumps incomplete, 2=gate tripped, 0=clean") {
+    // the distinct-code contract sf10+ automation relies on
+    // (tools/check_verify.py `verify_exit=`): a dump failure makes the
+    // artifacts worthless and DOMINATES the gate state; a tripped gate over
+    // complete dumps is the recoverable "flip the widening switch" state
+    assert(Verify.exitCode(dumpFailures = 0, gateOk = true) == 0)
+    assert(Verify.exitCode(dumpFailures = 0, gateOk = false) == 2)
+    assert(Verify.exitCode(dumpFailures = 1, gateOk = true) == 1)
+    assert(Verify.exitCode(dumpFailures = 3, gateOk = false) == 1)
+  }
 }

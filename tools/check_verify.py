@@ -1,15 +1,37 @@
 #!/usr/bin/env python3
-"""Driver-style correctness compare: Spark parquet output vs DuckDB oracle."""
+"""Driver-style correctness compare: Spark parquet output vs DuckDB oracle.
+
+graft.Verify exit-code contract (mirrors Verify.scala's scaladoc):
+  0 = dumps complete, overflow gate clear        -> compare normally
+  2 = dumps complete, overflow gate TRIPPED      -> compare normally; the
+      data is past a 64-bit family's 10%-of-2^63 alarm (by design at sf10+)
+      and the deployment must flip the widening switch (q72/q73w-q76w)
+  1 = one or more dumps FAILED                   -> do NOT trust a compare
+Pass the observed code as verify_exit=<n> and this tool enforces that:
+it refuses to compare after exit 1 and annotates exit 2 as gate-tripped.
+"""
 import duckdb, json, sys, glob, os, time
 
 sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
 outdir = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
-# optional 3rd arg: only=<csv> or skip=<csv> (dev iteration on big SFs)
+# optional extra args: only=<csv> / skip=<csv> (dev iteration on big SFs),
+# verify_exit=<n> (the observed graft.Verify exit code — see module doc)
 only = skip = None
-if len(sys.argv) > 3:
-    key, _, val = sys.argv[3].partition('=')
+for arg in sys.argv[3:]:
+    key, _, val = arg.partition('=')
     if key == 'only': only = set(val.split(','))
     if key == 'skip': skip = set(val.split(','))
+    if key == 'verify_exit':
+        code = int(val)
+        if code == 1:
+            sys.exit('verify exited 1: dumps INCOMPLETE — refusing to compare '
+                     '(fix the failed dumps, do not grade partial artifacts)')
+        elif code == 2:
+            print('verify exited 2: overflow gate tripped (dumps valid) — '
+                  'comparing normally; this data needs the widened arithmetic '
+                  'in production (q72/q73w-q76w)')
+        elif code != 0:
+            sys.exit(f'verify exited {code}: unknown code — contract is 0/1/2')
 
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:

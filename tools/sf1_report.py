@@ -62,14 +62,34 @@ flagged = sorted(
     key=lambda n: -per_query[n]["ratio"],
 )
 
+def run_config(raw):
+    """The run's actual knobs, from the raw itself (ADVICE r11: a hardcoded
+    config string here once misdescribed a cross-config comparison). Bench
+    r12+ emits a structured `config`; merged raws carry per-group configs in
+    the protocol dict; pre-r12 raws only have the protocol string."""
+    if raw.get("config") is not None:
+        return raw["config"]
+    p = raw.get("protocol")
+    if isinstance(p, dict):
+        return {g: {"config": v.get("config"), "protocol": v.get("protocol")}
+                for g, v in p.items()}
+    return p
+
+
+big_cfg, small_cfg = run_config(big), run_config(small)
+config = {big_label: big_cfg, small_label: small_cfg,
+          "note": ("layout-consistent config on both scales, so ratios "
+                   "measure plan scaling"
+                   if big_cfg == small_cfg and big_cfg is not None else
+                   "configs DIFFER between scales (or are pre-r12 strings) — "
+                   "ratios are cross-config; read the per-scale configs above "
+                   "before attributing a ratio to the plan")}
+
 out = {
     "what": f"{big_label} ({factor}x {small_label}) headline bench vs a "
             f"same-code {small_label} run; ratio = {big_label}/{small_label} "
             "per-query-min seconds",
-    "config": "local[32], shuffle.partitions=32, prep default "
-              "maxPartitionBytes=128m on BOTH scales (layout-consistent "
-              "config, so ratios measure plan scaling; scan parallelism "
-              "differs only where a file outgrows one split)",
+    "config": config,
     "interpretation": f"data volume scales {factor}x; scan-bound plans "
                       f"should land <= ~{round(1.2 * factor)}x ({factor}x "
                       f"rows + constant overheads); > {flag_at}x flags a "
