@@ -31,6 +31,10 @@ object Bench {
     "q64_kmv_mergeable", "q65_sketch_quantiles", "q66_bfs_depths", "q67_excess_shippers",
     "q68_nation_value", "q69_kmv_intersection", "q70_decile_bins", "q71_sketch_bins",
     "q72_nation_value_wide",
+    // the widened revenue_sum family: benched so "within noise of the
+    // 64-bit form" stays a measured round-over-round claim, not a one-off
+    "q73_pricing_summary_wide", "q74_brand_volume_wide",
+    "q75_revenue_forecast_wide", "q76_promo_share_wide",
     // s04 re-runs d06's whole candidate+closure pipeline (already benched
     // via d06); m04/m05 are constant-size generators, not SF-scaled —
     // benching them would measure nothing about the data path

@@ -12,7 +12,7 @@ import java.nio.file.{Files, Paths}
   *   2 — all dumps wrote but the overflow gate TRIPPED (a 64-bit family is
   *       past 10% of 2⁶³ on this data; the dumps are valid and comparable,
   *       the deployment must flip the documented widening switch — see
-  *       q72_nation_value_wide / the q73w–q76w revenue family). sf10+ runs
+  *       q72_nation_value_wide and the q73–q76 _wide revenue family). sf10+ runs
   *       hit this BY DESIGN (revenue_sum ~34% at sf10), so automation must
   *       treat 2 as "dumps usable, arithmetic envelope exceeded", not as a
   *       verification failure.
@@ -85,7 +85,7 @@ object Verify {
       System.err.println("[verify] OVERFLOW GATE TRIPPED — a 64-bit family is past " +
         "10% of ceiling (or unmeasurable); switch to the widened decimal(38,0) " +
         "arithmetic (reference implementations: q72_nation_value_wide and the " +
-        "q73w-q76w revenue family)")
+        "q73-q76 _wide revenue family: q73_pricing_summary_wide etc.)")
     if (dumpFailures > 0)
       System.err.println(s"[verify] $dumpFailures query dump(s) FAILED — artifacts incomplete")
     exitCode(dumpFailures, gateOk) match {

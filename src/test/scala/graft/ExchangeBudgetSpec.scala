@@ -76,6 +76,10 @@ class ExchangeBudgetSpec extends SparkSpec {
     "q64_kmv_mergeable" -> 3, "q65_sketch_quantiles" -> 1, "q66_bfs_depths" -> 0,
     "q67_excess_shippers" -> 2, "q68_nation_value" -> 2, "q72_nation_value_wide" -> 2,
     "q69_kmv_intersection" -> 2,
+    // the widened revenue family costs exactly its narrow counterpart's
+    // exchanges — the width switch is a buffer-type change, not a plan change
+    "q73_pricing_summary_wide" -> 1, "q74_brand_volume_wide" -> 1,
+    "q75_revenue_forecast_wide" -> 1, "q76_promo_share_wide" -> 1,
     "q70_decile_bins" -> 4, "q71_sketch_bins" -> 1, "d01_dedup_exact" -> 1,
     // d04: +1 round 9 — exactJaccardOnCandidates' shingle sets moved
     // behind an id-keyed barrier exchange (materialize-once + truthful

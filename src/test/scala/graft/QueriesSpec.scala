@@ -178,6 +178,28 @@ class QueriesSpec extends SparkSpec {
     assert(wide == narrow)
   }
 
+  test("q73-q76 widened revenue sums equal their 64-bit forms below the ceiling") {
+    // the r12 application of the widening switch to the revenue_sum family
+    // the sf100 gate firing named: a pure REPRESENTATION change — below the
+    // ceiling every rounded output is identical (decimal(38,0) and long
+    // sums are both exact; the one double cast sees the same value)
+    val pairs = Seq(
+      "q73_pricing_summary_wide" -> "q12_pricing_summary",
+      "q74_brand_volume_wide" -> "q16_brand_volume",
+      "q75_revenue_forecast_wide" -> "q48_revenue_forecast",
+      "q76_promo_share_wide" -> "q49_promo_share")
+    pairs.foreach { case (wideName, narrowName) =>
+      val narrow = SparkEntry.queries(narrowName)(spark, sfDir)
+      val wide = SparkEntry.queries(wideName)(spark, sfDir)
+      assert(wide.schema == narrow.schema,
+        s"$wideName schema must match $narrowName (the driver compare is column-name keyed)")
+      val n = narrow.collect().toSet
+      val w = wide.collect().toSet
+      assert(n.nonEmpty, s"$narrowName returned no rows at test SF")
+      assert(w == n, s"$wideName != $narrowName below the 64-bit ceiling")
+    }
+  }
+
   test("t13 url domains: url total matches the injection arithmetic") {
     val out = SparkEntry.queries("t13_url_domains")(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir)

@@ -5,7 +5,7 @@ graft.Verify exit-code contract (mirrors Verify.scala's scaladoc):
   0 = dumps complete, overflow gate clear        -> compare normally
   2 = dumps complete, overflow gate TRIPPED      -> compare normally; the
       data is past a 64-bit family's 10%-of-2^63 alarm (by design at sf10+)
-      and the deployment must flip the widening switch (q72/q73w-q76w)
+      and the deployment must flip the widening switch (q72/q73-q76 _wide)
   1 = one or more dumps FAILED                   -> do NOT trust a compare
 Pass the observed code as verify_exit=<n> and this tool enforces that:
 it refuses to compare after exit 1 and annotates exit 2 as gate-tripped.
@@ -29,7 +29,7 @@ for arg in sys.argv[3:]:
         elif code == 2:
             print('verify exited 2: overflow gate tripped (dumps valid) — '
                   'comparing normally; this data needs the widened arithmetic '
-                  'in production (q72/q73w-q76w)')
+                  'in production (q72/q73-q76 _wide)')
         elif code != 0:
             sys.exit(f'verify exited {code}: unknown code — contract is 0/1/2')
 
