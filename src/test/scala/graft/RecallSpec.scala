@@ -325,4 +325,130 @@ class RecallSpec extends SparkSpec {
     println(f"RECALL d07-floor frac=$frac%.4f joinVolumePerPair=$dupFactor%.2f")
     assert(frac > 0.9, f"candidate fraction $frac%.3f — the operating point changed, revisit SURVEY §8")
   }
+
+  test("d03 banding minimality: 4×16 chunks are pigeonhole-tight for hamming <= 3") {
+    // The d03 negative result, part 1 (structural): within exact-match
+    // banding over PARTITIONS of the 64-bit signature — the only family
+    // that guarantees recall 1.0 with equality joins — catching every
+    // hamming<=3 pair requires >= 4 blocks (3 flips can hit 3 blocks; a
+    // 4th block must survive), and with the block count fixed at the
+    // pigeonhole minimum, EQUAL 16-bit blocks maximize per-band
+    // specificity (incidental collision odds 2^-16 per band for
+    // independent bits; any unequal split has a wider worst band, i.e.
+    // p(collide) >= 2^-min(width), dominated by the narrowest block).
+    // More blocks would buy nothing: k > 4 blocks means narrower blocks
+    // AND more bands — strictly more incidental volume. So the operator's
+    // 4×16 geometry is THE minimal-collision recall-1.0 banding; its
+    // residual cost is true pairs + the 2^-16 random floor (part 2 below),
+    // and no plan change can cut below that without giving up recall.
+    val rnd = new scala.util.Random(0xd03)
+    def chunks(s: Long): Seq[Long] = (0 until 4).map(j => (s >>> (j * 16)) & 0xFFFFL)
+    for (trial <- 1 to 2000) {
+      val sig = rnd.nextLong()
+      val flips = rnd.nextInt(4) // hamming 0..3 — the operator's contract
+      val positions = rnd.shuffle((0 until 64).toList).take(flips)
+      val mutated = positions.foldLeft(sig)((s, p) => s ^ (1L << p))
+      assert(chunks(sig).zip(chunks(mutated)).exists { case (x, y) => x == y },
+        s"trial $trial: hamming-$flips pair shares no 16-bit chunk — pigeonhole broken")
+    }
+    // tightness: 4 flips placed one per chunk share NO chunk — a partition
+    // into k blocks only guarantees hamming <= k-1, so 4 blocks is exactly
+    // the minimum for the maxHamming=3 contract (and the reason the
+    // contract ceiling is 3, not 4, at this signature width)
+    for (_ <- 1 to 200) {
+      val sig = rnd.nextLong()
+      val mutated = (0 until 4).foldLeft(sig)((s, j) => s ^ (1L << (j * 16 + rnd.nextInt(16))))
+      assert(chunks(sig).zip(chunks(mutated)).forall { case (x, y) => x != y })
+    }
+  }
+
+  test("d03 cost floor on the replica corpus: collision volume = true pairs + bounded random floor") {
+    // The d03 negative result, part 2 (measured — VERDICT r11 task 4):
+    // d03's 44.8× sf1→sf10 ratio is diagnosed as output volume (the
+    // replica corpus densifies: true pairs grow ~replicas² per source).
+    // This pins the claim the way RecallSpec pinned d07's floor — on the
+    // SAME corpus geometry gen_scale builds (F content-near-dup replicas
+    // per source doc, ' rep{r}' suffix), measured at test scale:
+    //   (a) recall 1.0: the operator's output IS the all-pairs hamming<=3
+    //       truth on this geometry (pigeonhole — part 1);
+    //   (b) join volume <= 4 rows per colliding pair, and collision rows
+    //       never ride a groupBy exchange (the stateless first-matching-
+    //       band filter; ExchangeBudget pins d03 at 1 exchange);
+    //   (c) the collision volume decomposes into true-pair collisions
+    //       (∝ OUTPUT — irreducible by any recall-1.0 plan) plus an
+    //       incidental fraction of the pair space that stays ≪ 1 (the
+    //       banding genuinely prunes, unlike d07's 99.97% floor).
+    // Together: cost = Θ(output + ε·N²) with measured small ε — the sf10
+    // flag is the data's pair growth, not plan overhead.
+    import graft.functions.TextFns
+    val docs0 = Tables.documents(spark, dir01).select(col("doc_id"), col("text"))
+    val nDoc = docs0.agg(max("doc_id")).head().getLong(0) + 1
+    def buildRep(f: Int): DataFrame = (0 until f).map { r =>
+      if (r == 0) docs0
+      else docs0.select((col("doc_id") + lit(r * nDoc)).as("doc_id"),
+        concat(col("text"), lit(s" rep$r")).as("text"))
+    }.reduce(_ unionByName _)
+    def sigsOf(rep: DataFrame): DataFrame = rep.select(col("doc_id").as("id"),
+      HashExprs.simhash64(HashExprs.tokenShingleHashes(col("text"), 1)).as("sim"))
+      .localCheckpoint(true)
+    def truthOf(sigs: DataFrame): Set[(Long, Long)] = {
+      val x = sigs.select(col("id").as("a"), col("sim").as("sim_a"))
+      val y = sigs.select(col("id").as("b"), col("sim").as("sim_b"))
+      pairSet(x.crossJoin(y).where(col("a") < col("b"))
+        .where(TextFns.hamming64(col("sim_a"), col("sim_b")) <= lit(3)))
+    }
+    val F = 4
+    val rep = buildRep(F)
+    val sigs = sigsOf(rep)
+    val n = sigs.count()
+    val truth = truthOf(sigs)
+    // OUTPUT grows quadratically in replica density BY CONSTRUCTION: every
+    // replica pair of one source is a true pair, so doubling density
+    // multiplies true pairs ~C(4,2)/C(2,2) = 6× (plus cross terms). This is
+    // the sf10 flag's diagnosis pinned: any correct operator must EMIT
+    // those pairs — 100×/decade output growth on the densifying corpus
+    // (replicas ∝ SF) bounds every recall-1.0 plan from below, and d03's
+    // measured 44.8×/decade sits UNDER that output model.
+    val truth2 = truthOf(sigsOf(buildRep(2)))
+    assert(truth2.nonEmpty)
+    val densityGrowth = truth.size.toDouble / truth2.size
+    println(f"RECALL d03-density truth(F=2)=${truth2.size} truth(F=4)=${truth.size} growth=$densityGrowth%.2f")
+    assert(densityGrowth >= 4.0,
+      f"doubling replica density grew true pairs only $densityGrowth%.2f× — the corpus lost its " +
+        "quadratic densification and the sf10 flag diagnosis needs re-deriving")
+    // (a) operator recall 1.0 on the replica geometry
+    val out = pairSet(Dedup.simhash(rep, "doc_id", "text", maxHamming = 3))
+    assert(out == truth, s"d03 output != hamming<=3 truth (out=${out.size}, truth=${truth.size})")
+    assert(truth.nonEmpty, "replica corpus produced no near-dup pairs — the geometry is wrong")
+    // (b,c) decompose the chunk-collision join volume (pre-filter)
+    val banded = sigs.withColumn("chunk",
+      explode(array((0 until 4).map(j => struct(lit(j).as("j"),
+        shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)))
+    val collisions = banded.select(col("id").as("a"), col("chunk"))
+      .join(banded.select(col("id").as("b"), col("chunk")), Seq("chunk"))
+      .where(col("a") < col("b")).select(col("a"), col("b"))
+    val volume = collisions.count()
+    val colliding = pairSet(collisions.distinct())
+    val truePairVolume = colliding.count(truth.contains)
+    val allPairs = n * (n - 1) / 2.0
+    val incidentalPairs = (colliding.size - truePairVolume).toDouble
+    val epsilon = incidentalPairs / allPairs
+    val rowsPerCollidingPair = volume.toDouble / colliding.size
+    println(f"RECALL d03-floor n=$n truth=${truth.size} volume=$volume " +
+      f"colliding=${colliding.size} epsilon=$epsilon%.5f rowsPerPair=$rowsPerCollidingPair%.2f")
+    assert(rowsPerCollidingPair <= 4.0 + 1e-9, "more than 4 collision rows per pair is impossible (4 chunks)")
+    // measured ε ≈ 0.035 on this corpus: ~580× the independent-bits floor
+    // (4·2⁻¹⁶ ≈ 6e-5) because the synthetic docs share vocabulary and
+    // simhash bits are majority signs over token hashes — correlated
+    // across documents. Still a ~28× prune of the pair space, and the ε·N²
+    // term grows at the SAME 100×/decade rate as the output term on the
+    // densifying corpus (both ∝ F²) — so the decade ratio cannot be
+    // improved by attacking ε without also giving up recall (part 1: the
+    // banding is already minimal for the contract).
+    assert(epsilon < 0.06,
+      f"incidental collision fraction $epsilon%.4f of the pair space (measured baseline 0.035) — " +
+        "banding stopped pruning; if the corpus changed, re-derive the floor before touching the plan")
+    // every true pair is also a colliding pair (the recall-1.0 mechanism)
+    assert(truth.forall(colliding.contains))
+  }
 }
