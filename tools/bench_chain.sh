@@ -1,0 +1,42 @@
+#!/bin/bash
+# Full decade bench chain at ONE code state: regenerate the gitignored
+# scale sets, bench sf0.1 / sf1 / sf10 in the committed protocols, run the
+# sf100 probe (tools/sf100_probe.sh), then derive the decade-1/2 reports.
+# The sf100 report needs the flag_diagnosis notes authored from the probe's
+# warm re-run — generate it AFTER reading /tmp/BENCH_SF100_C.json.
+#
+# Run in background. NO other sbt command may run while this does (forked
+# JVMs don't contend on the sbt lock but poison timings). Stale
+# /dev/shm/spark-local dirs from killed runs are cleaned first.
+set -x
+cd /root/repo
+date
+
+rm -rf /dev/shm/spark-local* 2>/dev/null
+
+[ -f testdata/sf1/lineitem.parquet ]   || python3 tools/gen_scale.py /root/testdata/sf0.1 /root/repo/testdata/sf1 10    || exit 1
+[ -f testdata/sf10/lineitem.parquet ]  || python3 tools/gen_scale.py /root/testdata/sf0.1 /root/repo/testdata/sf10 100  || exit 1
+[ -f testdata/sf100/lineitem.parquet ] || python3 tools/gen_scale.py /root/testdata/sf0.1 /root/repo/testdata/sf100 1000 || exit 1
+
+echo "=== STAGE sf0.1 full bench $(date) ==="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=64g \
+  sbt -batch "runMain graft.Bench" || exit 1
+
+echo "=== STAGE sf1 $(date) ==="
+SPARK_GRAFT_SF_DIR=/root/repo/testdata/sf1 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=64g \
+  SPARK_GRAFT_BENCH_PASSES=3 SPARK_GRAFT_BENCH_OUTLIER_SEC=5.0 \
+  SPARK_GRAFT_BENCH_OUT=BENCH_SF1_RAW.json \
+  sbt -batch "runMain graft.Bench" || exit 1
+
+echo "=== STAGE sf10 $(date) ==="
+SPARK_GRAFT_SF_DIR=/root/repo/testdata/sf10 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=64g \
+  SPARK_GRAFT_BENCH_PASSES=2 SPARK_GRAFT_BENCH_OUTLIER_SEC=1000 \
+  SPARK_GRAFT_BENCH_OUT=BENCH_SF10_RAW.json \
+  sbt -batch "runMain graft.Bench" || exit 1
+
+bash tools/sf100_probe.sh || exit 1
+
+echo "=== REPORTS $(date) ==="
+python3 tools/sf1_report.py BENCH_SF1_RAW.json BENCH_LOCAL.json BENCH_SF1.json sf1 sf0.1 10 || exit 1
+python3 tools/sf1_report.py BENCH_SF10_RAW.json BENCH_SF1_RAW.json BENCH_SF10.json sf10 sf1 10 tools/sf10_notes.json || exit 1
+echo "=== CHAIN DONE $(date) ==="

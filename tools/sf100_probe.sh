@@ -1,9 +1,13 @@
 #!/bin/bash
-# Decade-3 (sf100, ~16 GB) probe — runs AFTER the r11 bench chain.
-# Subset per tools/sf100_notes.json: scan-bound headliners + the dedup
-# third point + trained similarity chain + text kernels, 2 passes;
-# the quadratic-by-contract cell-local pair (d11/d13, pinned k=16) at
-# 1 pass; then merge_raw + sf1_report vs the fresh sf10 raw.
+# Decade-3 (sf100, ~16 GB) probe. Subset per tools/sf100_notes.json:
+# scan-bound headliners + the dedup third point + trained similarity chain
+# + text kernels + (r12) the widened revenue family next to its narrow
+# forms, 2 passes; the quadratic-by-contract cell-local pair (d11/d13,
+# pinned k=16) at 1 pass; then a cache-warm re-run of the 16-17x band
+# (VERDICT r11 task 2: q13/q29/q60/q61 — distinguish rig storage
+# bandwidth from plan scaling, the q12 treatment); merge_raw; the
+# overflow-gate demo (exit 2 = gate tripped over valid dumps, the r12
+# contract).
 set -x
 cd /root/repo
 
@@ -12,15 +16,27 @@ if [ ! -f testdata/sf100/lineitem.parquet ]; then
   python3 tools/gen_scale.py /root/testdata/sf0.1 /root/repo/testdata/sf100 1000 || exit 1
 fi
 
-Q2PASS="q12_pricing_summary,q13_region_revenue,q26_price_percentiles,q29_salted_join,q32_ship_priority,q34_nation_trade,q52_pagerank,q60_sole_shipper,q61_part_variety,q66_bfs_depths,q68_nation_value,q72_nation_value_wide,q70_decile_bins,d01_dedup_exact,d14_semantic_dedup_scaled,s03_ann_ivf,s10_ivfpq,s11_kmeans_train,s12_ann_ivf_trained,t03_tokens,t17_bloom_contamination"
+Q2PASS="q12_pricing_summary,q13_region_revenue,q16_brand_volume,q26_price_percentiles,q29_salted_join,q32_ship_priority,q34_nation_trade,q48_revenue_forecast,q49_promo_share,q52_pagerank,q60_sole_shipper,q61_part_variety,q66_bfs_depths,q68_nation_value,q72_nation_value_wide,q73_pricing_summary_wide,q74_brand_volume_wide,q75_revenue_forecast_wide,q76_promo_share_wide,q70_decile_bins,d01_dedup_exact,d14_semantic_dedup_scaled,s03_ann_ivf,s10_ivfpq,s11_kmeans_train,s12_ann_ivf_trained,t03_tokens,t17_bloom_contamination"
 Q1PASS="d11_semantic_dedup,d13_semantic_dedup_trained"
+QBAND="q13_region_revenue,q29_salted_join,q60_sole_shipper,q61_part_variety"
 
 echo "=== STAGE sf100 2-pass $(date) ==="
+grep -E '^(sd|nvme|vd)' /proc/diskstats > /tmp/diskstats_A0.txt
 SPARK_GRAFT_SF_DIR=/root/repo/testdata/sf100 SPARK_GRAFT_CPUS=32 \
   SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
   SPARK_GRAFT_BENCH_PASSES=2 SPARK_GRAFT_BENCH_OUTLIER_SEC=10000 \
   SPARK_GRAFT_BENCH_OUT=/tmp/BENCH_SF100_A.json \
   sbt -batch "runMain graft.Bench $Q2PASS" || exit 1
+grep -E '^(sd|nvme|vd)' /proc/diskstats > /tmp/diskstats_A1.txt
+
+echo "=== STAGE sf100 warm band re-run (q12 treatment for the 16-17x band) $(date) ==="
+grep -E '^(sd|nvme|vd)' /proc/diskstats > /tmp/diskstats_C0.txt
+SPARK_GRAFT_SF_DIR=/root/repo/testdata/sf100 SPARK_GRAFT_CPUS=32 \
+  SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
+  SPARK_GRAFT_BENCH_PASSES=3 SPARK_GRAFT_BENCH_OUTLIER_SEC=10000 \
+  SPARK_GRAFT_BENCH_OUT=/tmp/BENCH_SF100_C.json \
+  sbt -batch "runMain graft.Bench $QBAND" || exit 1
+grep -E '^(sd|nvme|vd)' /proc/diskstats > /tmp/diskstats_C1.txt
 
 echo "=== STAGE sf100 1-pass (cell-local quadratic family) $(date) ==="
 SPARK_GRAFT_SF_DIR=/root/repo/testdata/sf100 SPARK_GRAFT_CPUS=32 \
@@ -31,9 +47,9 @@ SPARK_GRAFT_SF_DIR=/root/repo/testdata/sf100 SPARK_GRAFT_CPUS=32 \
 
 python3 tools/merge_raw.py /tmp/BENCH_SF100_A.json /tmp/BENCH_SF100_B.json BENCH_SF100_RAW.json || exit 1
 
-echo "=== OVERFLOW GATE DEMO (expected to trip at sf100) $(date) ==="
+echo "=== OVERFLOW GATE DEMO (expected exit 2: gate tripped, dumps valid) $(date) ==="
 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=64g \
   sbt -batch "runMain graft.Verify /root/repo/testdata/sf100 /tmp/v_sf100 q63_kmv_distinct" 2>&1 | tail -15
-echo "verify_exit=${PIPESTATUS[0]}"
+echo "verify_exit=${PIPESTATUS[0]} (contract: 2 = overflow gate tripped over valid dumps)"
 
 echo "=== ALLDONE $(date) ==="
