@@ -45,13 +45,13 @@ private[graft] object BandLsh {
     * (the d07/d09/s05 equality and recall contracts depend on the re-rank
     * being byte-identical across paths, like [[Dedup.exactJaccardOnCandidates]]
     * for the ngram family). `aVecs`/`bVecs` are `(id, v)` frames;
-    * `broadcastB = true` marks a small (query) side. `broadcastCand = true`
-    * is the delta contract stated in the plan (r12, the
-    * exactJaccardOnCandidates rule): candidates are bounded (a delta's
-    * touching pairs), so they — and the first fetch's result — broadcast
-    * by explicit hint and the corpus vector side STREAMS both joins at
-    * every scale; left to static estimates, Catalyst broadcast the corpus
-    * side instead wherever the file size sat under the threshold.
+    * `broadcastB = true` marks a small (query) side — bounded by the
+    * operator's CONTRACT (a query batch), which is what justifies a
+    * static hint. Candidate sides are deliberately NOT hinted: they are
+    * delta-seeded but grow with match density (r12 measured a forced
+    * candidate broadcast 2.4× slower at sf1 and unbounded toward the
+    * 8 GiB cap on densified corpora) — AQE's runtime choice is the
+    * correct behavior at every scale.
     */
   def exactCosineOnCandidates(
       cand: DataFrame,
@@ -60,11 +60,8 @@ private[graft] object BandLsh {
       aCol: String,
       bCol: String,
       minCosine: Double,
-      broadcastB: Boolean = false,
-      broadcastCand: Boolean = false): DataFrame = {
-    val cand1 = if (broadcastCand) broadcast(cand) else cand
-    val left0 = cand1.join(aVecs.select(col("id").as(aCol), col("v").as("_va")), Seq(aCol))
-    val left = if (broadcastCand) broadcast(left0) else left0
+      broadcastB: Boolean = false): DataFrame = {
+    val left = cand.join(aVecs.select(col("id").as(aCol), col("v").as("_va")), Seq(aCol))
     val right = bVecs.select(col("id").as(bCol), col("v").as("_vb"))
     val joined = if (broadcastB) left.join(broadcast(right), Seq(bCol)) else left.join(right, Seq(bCol))
     joined

@@ -191,25 +191,25 @@ object Dedup {
     // planner working from static file sizes happily broadcasts the whole
     // corpus's shingle sets (the d02 banded-broadcast bug's shape, caught
     // by the decade-2 bench check) — and the kernel re-tokenizes a doc
-    // once per matched pair. false = the delta contract: candidates are
-    // delta-bounded, and that boundedness is stated IN THE PLAN with
-    // explicit broadcast hints on the candidate side of both fetches
-    // (r12): left to static estimates, Catalyst happily broadcast the
-    // corpus SETS side instead at SFs where the file size sits under the
-    // threshold but the 15× shingle inflation does not (the strengthened
-    // decade-2 guard caught exactly that on d08). With the hints the
-    // corpus streams both joins at EVERY scale and the only built side is
-    // the delta-bounded one.
+    // once per matched pair. false = the delta contract: the corpus's
+    // sets stream through their scan stage and the candidate side's size
+    // is AQE's runtime call — candidates are delta-SEEDED but NOT
+    // statically bounded (they grow with the delta's match count, ∝
+    // corpus density), so a forced broadcast hint here is wrong at scale:
+    // r12 measured the hinted form 2.4× slower at sf1 (16.8 vs 7.1 s for
+    // the d09 sibling) and its build side grows toward the 8 GiB cap on
+    // densified corpora. Adaptivity IS the 100 TB design: AQE broadcasts
+    // the candidate side when a real delta keeps it small, shuffles when
+    // it is not. The corpus-side static broadcast this leaves possible at
+    // SMALL SFs is bounded by the decade-2 guard's runtime dataSize
+    // assertion (PlanSpec, ADVICE r11 option B).
     val sets0 = docs.select(
       col(idCol).as("id"),
       HashExprs.tokenShingleHashes(col(textCol), shingleK).as("sh"))
     val sets = if (barrierSets) sets0.repartition(col("id")) else sets0
-    val cand1 = if (barrierSets) candidates else broadcast(candidates)
-    val fetchedA = cand1
+    candidates
       .join(sets.withColumnRenamed("id", "a").withColumnRenamed("sh", "sh_a"), Seq("a"))
-    val fetchedAB = (if (barrierSets) fetchedA else broadcast(fetchedA))
       .join(sets.withColumnRenamed("id", "b").withColumnRenamed("sh", "sh_b"), Seq("b"))
-    fetchedAB
       .select(col("a"), col("b"), HashExprs.longSetJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= lit(minJaccard))
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
@@ -477,10 +477,7 @@ object Dedup {
       .where(!col("y_in_delta") || col("x") < col("y"))
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
     val vecs = existing.unionByName(delta).select(col(idCol).as("id"), col(vecCol).as("v"))
-    // broadcastCand: the delta-bounded candidate side builds the hash
-    // tables; the corpus vectors stream (the exactJaccardOnCandidates
-    // delta rule — see BandLsh.exactCosineOnCandidates's scaladoc)
-    BandLsh.exactCosineOnCandidates(cand, vecs, vecs, "a", "b", minCosine, broadcastCand = true)
+    BandLsh.exactCosineOnCandidates(cand, vecs, vecs, "a", "b", minCosine)
   }
 
   /** Embedding-cosine near-duplicate pairs above `minCosine`.

@@ -525,30 +525,17 @@ class PlanSpec extends SparkSpec {
     // member → its row-identity key names (pair fetches join on a/b;
     // delta paths orient through x/y; ANN paths key on q_id/neighbor_id).
     // Band/chunk/cell/bucket keys are NEVER listed — that is the guard.
-    // `hintedBounded` (ADVICE r11): only members whose array-side broadcast
-    // is an EXPLICIT hint on a contract-bounded side (s02/s05's query
-    // vectors, ≪ corpus by construction) may broadcast from a static
-    // estimate — and even they must be inflation-free AND small at runtime
-    // (the dataSize metric check below). Everyone else gets the strict
-    // r9 rule: an array-carrying broadcast must be runtime-sized, so a
-    // selective-filter misestimate (no Generate, but the static estimate
-    // still wrong) cannot sneak a corpus-sized side into a broadcast.
-    val family: Seq[(String, Set[String], Boolean, Boolean)] = Seq(
-      // (name, identity keys, REQUIRES an array exchange, hintedBounded)
-      ("d02_dedup_minhash", Set("id", "a", "b"), true, false),
-      ("d04_ngram_jaccard", Set("id", "a", "b"), true, false),
-      ("d03_dedup_simhash", Set("id", "a", "b"), false, false),
-      // d08: the delta path's candidate fetches broadcast the DELTA-BOUNDED
-      // side by explicit hint (r12 — exactJaccardOnCandidates' delta
-      // contract stated in the plan), so its array broadcast is hinted
-      ("d08_dedup_incremental", Set("id", "a", "b", "x", "y"), false, true),
-      // d09: same delta rule as d08 — candidate fetches broadcast the
-      // delta-bounded side by explicit hint (broadcastCand)
-      ("d09_embed_delta", Set("id", "a", "b", "x", "y"), false, true),
-      ("m07_frame_neardup", Set("id", "a", "b"), false, false),
-      ("s02_ann_lsh", Set("id", "q_id", "neighbor_id"), false, true),
-      ("s05_range_search", Set("id", "q_id", "neighbor_id"), false, true))
-    for ((name, idKeys, requireWide, hintedBounded) <- family) {
+    val family: Seq[(String, Set[String], Boolean)] = Seq(
+      // (name, identity keys, designed shape REQUIRES an array exchange)
+      ("d02_dedup_minhash", Set("id", "a", "b"), true),
+      ("d04_ngram_jaccard", Set("id", "a", "b"), true),
+      ("d03_dedup_simhash", Set("id", "a", "b"), false),
+      ("d08_dedup_incremental", Set("id", "a", "b", "x", "y"), false),
+      ("d09_embed_delta", Set("id", "a", "b", "x", "y"), false),
+      ("m07_frame_neardup", Set("id", "a", "b"), false),
+      ("s02_ann_lsh", Set("id", "q_id", "neighbor_id"), false),
+      ("s05_range_search", Set("id", "q_id", "neighbor_id"), false))
+    for ((name, idKeys, requireWide) <- family) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.collect()
       val wide = exchanges(df.queryExecution.executedPlan)
@@ -564,21 +551,27 @@ class PlanSpec extends SparkSpec {
           assert(keys.forall(idKeys),
             s"$name: array column rides an exchange keyed on $keys — the band-explode side is back in a shuffle")
         case b: BroadcastExchangeExec =>
-          if (hintedBounded && !runtimeSized(b.child)) {
-            // explicit hint on a contract-bounded side: static estimate is
-            // allowed, but the side must carry no inflation AND prove its
-            // boundedness at runtime — the executed broadcast's dataSize
-            // metric (bytes actually built) stays far under the 8 GiB cap
+          if (!runtimeSized(b.child)) {
+            // A STATIC-estimate broadcast (ADVICE r11, option B): allowed
+            // only when (1) no explode sits below it unmaterialized — a
+            // Generate makes the static size estimate miss the inflation
+            // factor entirely, the decade-2 hard-fail class — AND (2) the
+            // bytes ACTUALLY built (the executed broadcast's dataSize
+            // metric) are small. (2) catches what inflation-freeness
+            // alone cannot: expression-width inflation (tokenShingleHashes
+            // arrays, ~15× the text scan estimate) and selective-filter
+            // misestimates both surface in the built size. The bound is a
+            // spec-SF assertion, not a scale proof — at real scale the
+            // static file estimate crosses the broadcast threshold long
+            // before the side matters, and the genuinely dangerous class
+            // (estimate small, reality huge) is exactly what (1) pins.
             assert(!staticInflated(b.child),
-              s"$name: hinted broadcast has a Generate below it with no materialized stage between: $b")
+              s"$name: array column rides a STATIC-estimate broadcast of an exploded side — the decade-2 bug: $b")
             val bytes = b.metrics.get("dataSize").map(_.value).getOrElse(-1L)
-            assert(bytes >= 0L, s"$name: broadcast dataSize metric missing — cannot prove boundedness")
+            assert(bytes >= 0L, s"$name: broadcast dataSize metric missing — cannot bound the built side")
             assert(bytes < 64L * 1024 * 1024,
-              s"$name: hinted 'bounded' broadcast built $bytes bytes — not bounded")
-          } else
-            assert(runtimeSized(b.child),
-              s"$name: array column rides a STATIC-estimate broadcast — the decade-2 bug class " +
-                s"(explode-inflation or filter-misestimate, both invisible to the static size): $b")
+              s"$name: static-estimate broadcast built $bytes bytes at spec SF — not a bounded side")
+          }
         case other => fail(s"$name: unexpected exchange kind ${other.getClass}")
       }
     }
