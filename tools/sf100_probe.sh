@@ -21,22 +21,22 @@ Q1PASS="d11_semantic_dedup,d13_semantic_dedup_trained"
 QBAND="q13_region_revenue,q29_salted_join,q60_sole_shipper,q61_part_variety"
 
 echo "=== STAGE sf100 2-pass $(date) ==="
-grep -E '^(sd|nvme|vd)' /proc/diskstats > /tmp/diskstats_A0.txt
+grep -E ' (sd[a-z]+|nvme[0-9a-z]+|vd[a-z]+) ' /proc/diskstats > /tmp/diskstats_A0.txt
 SPARK_GRAFT_SF_DIR=/root/repo/testdata/sf100 SPARK_GRAFT_CPUS=32 \
   SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
   SPARK_GRAFT_BENCH_PASSES=2 SPARK_GRAFT_BENCH_OUTLIER_SEC=10000 \
   SPARK_GRAFT_BENCH_OUT=/tmp/BENCH_SF100_A.json \
   sbt -batch "runMain graft.Bench $Q2PASS" || exit 1
-grep -E '^(sd|nvme|vd)' /proc/diskstats > /tmp/diskstats_A1.txt
+grep -E ' (sd[a-z]+|nvme[0-9a-z]+|vd[a-z]+) ' /proc/diskstats > /tmp/diskstats_A1.txt
 
 echo "=== STAGE sf100 warm band re-run (q12 treatment for the 16-17x band) $(date) ==="
-grep -E '^(sd|nvme|vd)' /proc/diskstats > /tmp/diskstats_C0.txt
+grep -E ' (sd[a-z]+|nvme[0-9a-z]+|vd[a-z]+) ' /proc/diskstats > /tmp/diskstats_C0.txt
 SPARK_GRAFT_SF_DIR=/root/repo/testdata/sf100 SPARK_GRAFT_CPUS=32 \
   SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
   SPARK_GRAFT_BENCH_PASSES=3 SPARK_GRAFT_BENCH_OUTLIER_SEC=10000 \
   SPARK_GRAFT_BENCH_OUT=/tmp/BENCH_SF100_C.json \
   sbt -batch "runMain graft.Bench $QBAND" || exit 1
-grep -E '^(sd|nvme|vd)' /proc/diskstats > /tmp/diskstats_C1.txt
+grep -E ' (sd[a-z]+|nvme[0-9a-z]+|vd[a-z]+) ' /proc/diskstats > /tmp/diskstats_C1.txt
 
 echo "=== STAGE sf100 1-pass (cell-local quadratic family) $(date) ==="
 SPARK_GRAFT_SF_DIR=/root/repo/testdata/sf100 SPARK_GRAFT_CPUS=32 \
@@ -48,8 +48,14 @@ SPARK_GRAFT_SF_DIR=/root/repo/testdata/sf100 SPARK_GRAFT_CPUS=32 \
 python3 tools/merge_raw.py /tmp/BENCH_SF100_A.json /tmp/BENCH_SF100_B.json BENCH_SF100_RAW.json || exit 1
 
 echo "=== OVERFLOW GATE DEMO (expected exit 2: gate tripped, dumps valid) $(date) ==="
-SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=64g \
-  sbt -batch "runMain graft.Verify /root/repo/testdata/sf100 /tmp/v_sf100 q63_kmv_distinct" 2>&1 | tail -15
-echo "verify_exit=${PIPESTATUS[0]} (contract: 2 = overflow gate tripped over valid dumps)"
+# sbt FLATTENS the forked JVM's exit code to 1 ("Nonzero exit code
+# returned from runner: N" in its error output) — the 0/1/2 contract holds
+# at the JVM level (what the driver sees); through sbt, parse the runner
+# line for the real code.
+VOUT=$(SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=64g \
+  sbt -batch "runMain graft.Verify /root/repo/testdata/sf100 /tmp/v_sf100 q63_kmv_distinct" 2>&1)
+echo "$VOUT" | tail -15
+VCODE=$(echo "$VOUT" | grep -oE 'Nonzero exit code returned from runner: [0-9]+' | grep -oE '[0-9]+$' | head -1)
+echo "verify_exit=${VCODE:-0} (contract: 2 = overflow gate tripped over valid dumps; parsed from the sbt runner line)"
 
 echo "=== ALLDONE $(date) ==="
