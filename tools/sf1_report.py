@@ -77,13 +77,34 @@ def run_config(raw):
 
 
 big_cfg, small_cfg = run_config(big), run_config(small)
+
+# Only the EXECUTION keys decide whether ratios measure plan scaling;
+# passes/outlier_sec are sampling protocol (they change dispersion, not
+# per-query wall) and differing there is the designed per-scale dial.
+EXEC_KEYS = ("master", "shuffle_partitions", "max_partition_bytes")
+
+
+def exec_view(cfg):
+    if isinstance(cfg, dict) and "master" in cfg:
+        return {k: cfg.get(k) for k in EXEC_KEYS}
+    if isinstance(cfg, dict):  # merged raw: per-group configs
+        views = [exec_view(v.get("config")) for v in cfg.values()
+                 if isinstance(v, dict)]
+        return views[0] if views and all(v == views[0] for v in views) else None
+    return None  # pre-r12 string — unknowable
+
+
+bv, sv = exec_view(big_cfg), exec_view(small_cfg)
 config = {big_label: big_cfg, small_label: small_cfg,
-          "note": ("layout-consistent config on both scales, so ratios "
-                   "measure plan scaling"
-                   if big_cfg == small_cfg and big_cfg is not None else
-                   "configs DIFFER between scales (or are pre-r12 strings) — "
-                   "ratios are cross-config; read the per-scale configs above "
-                   "before attributing a ratio to the plan")}
+          "note": ("execution config consistent on both scales "
+                   f"({bv}), so ratios measure plan scaling; sampling "
+                   "protocol (passes/outlier) is the per-scale dial "
+                   "recorded above"
+                   if bv is not None and bv == sv else
+                   f"execution configs DIFFER between scales ({small_label}="
+                   f"{sv}, {big_label}={bv}) — ratios are cross-config; read "
+                   "the per-scale configs above before attributing a ratio "
+                   "to the plan")}
 
 out = {
     "what": f"{big_label} ({factor}x {small_label}) headline bench vs a "
