@@ -95,7 +95,7 @@ object SparkEntry {
     * form. The q73–q76 `_wide` variants instantiate it; QueriesSpec pins
     * each ≡ its 64-bit form below the ceiling.
     */
-  private def xsum(term: Column, wide: Boolean): Column =
+  private[graft] def xsum(term: Column, wide: Boolean): Column =
     if (wide) sum(term.cast("decimal(38,0)")) else sum(term)
 
   // The revenue_sum family (q12/q16/q48/q49-class global scaled-integer

@@ -200,6 +200,25 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("xsum wide buffer stays exact where the 64-bit sum wraps") {
+    // the ≡-below-the-ceiling pin above proves the widening is a pure
+    // representation change; THIS proves the property the variants exist
+    // for — correctness ABOVE the ceiling, the regime the overflow gate
+    // detects (revenue_sum at 340% of 2⁶³ at sf100). 200 terms of 2⁶⁰:
+    // Σ = 2.3·10²⁰ ≈ 25× past 2⁶³.
+    import spark.implicits._
+    val big = (1L to 200L).map(_ => 1L << 60).toDF("term")
+    val exact = BigInt(200) * (BigInt(1) << 60)
+    val wide = big.agg(SparkEntry.xsum(col("term"), wide = true).cast("string"))
+      .head().getString(0)
+    assert(BigInt(wide) == exact, s"decimal(38,0) sum must be exact: got $wide")
+    // the narrow form silently WRAPS in non-ANSI mode — the failure the
+    // gate exists to catch before it ships
+    val narrow = big.agg(SparkEntry.xsum(col("term"), wide = false)).head().getLong(0)
+    assert(BigInt(narrow) != exact, "64-bit sum unexpectedly exact past the ceiling — " +
+      "did ANSI mode flip? the gate's premise changed")
+  }
+
   test("t13 url domains: url total matches the injection arithmetic") {
     val out = SparkEntry.queries("t13_url_domains")(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir)
