@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.plans.BroadcastAudit
+
+/** Decade-2 spot probe for the static-broadcast built-size bound (VERDICT
+  * r12/r13 task 3): PlanSpec's 64 MB dataSize assertion runs at spec SF
+  * only, where an inflation regression in the static file estimate is
+  * invisible (<~8× inflation hides inside the threshold). This main runs
+  * the banded-plan family at a REAL scale directory (the bench chain wires
+  * it at sf10), reads the executed BroadcastExchange dataSize of every
+  * broadcast each plan actually built, and prints ONE JSON line for the
+  * sf10 artifact. Exit 3 if any STATIC-estimate broadcast crosses the
+  * alarm bytes (runtime/AQE-sized broadcasts are sized from real bytes and
+  * cannot misestimate — reported but never alarmed) or sits over an
+  * unmaterialized explode (the decade-2 hard-fail class PlanSpec pins).
+  *
+  * Usage: runMain graft.BroadcastProbe <sfDir> [queriesCsv]
+  * Env: SPARK_GRAFT_CPUS, SPARK_GRAFT_SHUFFLE_PARTITIONS,
+  *      GRAFT_BROADCAST_ALARM_BYTES (default 256 MiB — 4× the spec-SF
+  *      bound: static sides in these plans are contract-bounded query
+  *      batches and band keys, which do NOT scale with the corpus, so a
+  *      crossing at sf10 is a regression, not growth).
+  */
+object BroadcastProbe {
+
+  /** The banded family PlanSpec guards — the plans whose shape puts an
+    * array column next to a broadcast decision. */
+  val banded: Seq[String] = Seq(
+    "d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
+    "d08_dedup_incremental", "d09_embed_delta", "m07_frame_neardup",
+    "s02_ann_lsh", "s05_range_search")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names =
+      if (args.length > 1) args(1).split(',').toSeq.filter(_.nonEmpty) else banded
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val alarmBytes = sys.env.getOrElse("GRAFT_BROADCAST_ALARM_BYTES",
+      (256L * 1024 * 1024).toString).toLong
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.prep(spark)
+
+    var breaches = List.empty[String]
+    val perQuery = names.map { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      BroadcastAudit.execute(df) // the df's OWN execution: AQE settles, metrics fill
+      val rs = BroadcastAudit.readings(df)
+      // alarm scope mirrors PlanSpec's guard: only ARRAY-carrying
+      // broadcasts are the banded danger class; scalar dim/LUT broadcasts
+      // are recorded but never alarmed
+      rs.filter(_.carriesArray).foreach { r =>
+        if (!r.runtimeSized && r.inflatedBelow)
+          breaches ::= s"$name: static-estimate broadcast over an unmaterialized explode"
+        if (!r.runtimeSized && r.builtBytes >= alarmBytes)
+          breaches ::= s"$name: static-estimate broadcast built ${r.builtBytes} bytes >= alarm $alarmBytes"
+        if (r.builtBytes < 0L)
+          breaches ::= s"$name: broadcast dataSize metric missing — cannot bound the built side"
+      }
+      val rows = rs.map(r =>
+        s"""{"built_bytes":${r.builtBytes},"runtime_sized":${r.runtimeSized},""" +
+          s""""inflated_below":${r.inflatedBelow},"carries_array":${r.carriesArray}}""")
+        .mkString("[", ",", "]")
+      s""""$name":$rows"""
+    }
+    spark.stop()
+    val breachJson = breaches.map(b => "\"" + b.replace("\"", "'") + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"broadcast_built_bytes","sf":"$sfDir","alarm_bytes":$alarmBytes,""" +
+      s""""queries":{${perQuery.mkString(",")}},"breaches":$breachJson}""")
+    if (breaches.nonEmpty) {
+      breaches.foreach(b => System.err.println(s"[broadcast-probe] BREACH $b"))
+      sys.exit(3)
+    }
+  }
+}

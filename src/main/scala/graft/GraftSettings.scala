@@ -69,6 +69,17 @@ final case class GraftSettings(env: Map[String, String]) {
   /** Skip the initial full import and ride incrementals only. */
   val skipFullImport: Boolean = get("SKIP_FULL_IMPORT").exists(_.toBoolean)
 
+  /** GRAFT_WIDE_SUMS=1 — the engine-level widening switch: every registered
+    * grouped revenue/value-sum family member aggregates in decimal(38,0)
+    * (SparkEntry.xsum) instead of 64-bit. Flip when OverflowAudit's
+    * per-group bounds cross the alarm line at the deployment's data volume
+    * (~sf1000 for the largest members); below the ceiling the flip is a
+    * spec-pinned pure representation change. The runtime conf
+    * `spark.graft.wideSums` overrides this env default in-process.
+    */
+  val wideSums: Boolean =
+    get("GRAFT_WIDE_SUMS").exists(v => v == "1" || v.equalsIgnoreCase("true"))
+
   val targetName: String = get("TARGET_NAME").getOrElse("unknown")
 
   /** CU accounting mode → emitted metric name (CuMode.metric,

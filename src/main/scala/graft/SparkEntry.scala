@@ -98,6 +98,27 @@ object SparkEntry {
   private[graft] def xsum(term: Column, wide: Boolean): Column =
     if (wide) sum(term.cast("decimal(38,0)")) else sum(term)
 
+  /** The ENGINE-LEVEL wide-sums switch (VERDICT r12/r13 task 1): one config
+    * flag flips every registered member of the grouped revenue/value-sum
+    * family through [[xsum]]'s decimal(38,0) buffer instead of adding more
+    * `_wide` query variants. Deployment flips `GRAFT_WIDE_SUMS=1` in the
+    * environment (GraftSettings is the documented home); in-process callers
+    * and specs flip the `spark.graft.wideSums` runtime conf, which takes
+    * precedence. Default (unset) is the narrow 64-bit fast path — correct
+    * through the measured sf100 decade for every grouped member; at ~sf1000
+    * (the 100 TB design point) the larger per-group sums cross 2⁶³ and this
+    * is the switch OverflowAudit's "flip the widening switch" alarm refers
+    * to. The flip is a pure representation change below the ceiling (the
+    * q73≡q12 theorem, spec-pinned per swept member in QueriesSpec): every
+    * swept sum is exposed only through a double cast or an exact
+    * decimal-safe comparison, so output schema and values are identical and
+    * the existing DuckDB oracles (natively HUGEINT) grade both modes.
+    */
+  private[graft] def wideSums(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.wideSums")
+      .map(v => v == "1" || v.equalsIgnoreCase("true"))
+      .getOrElse(GraftSettings.fromEnv().wideSums)
+
   // The revenue_sum family (q12/q16/q48/q49-class global scaled-integer
   // sums), width-parameterized: registered narrow under the original names
   // and wide as q73–q76 — the production switch for data past the
@@ -243,7 +264,10 @@ object SparkEntry {
     },
 
     // --- analytics engine core (bench headliners) ---------------------------
-    "q12_pricing_summary" -> q(pricingSummary(_, _, wide = false)),
+    // the narrow family registrations follow the engine-level switch: wide
+    // only when GRAFT_WIDE_SUMS / spark.graft.wideSums flips them (q73–q76
+    // below stay FORCED wide — the always-on form the switch promotes to)
+    "q12_pricing_summary" -> q((s, dir) => pricingSummary(s, dir, wide = wideSums(s))),
     "q13_region_revenue" -> q { (s, dir) =>
       val li = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)
@@ -255,8 +279,11 @@ object SparkEntry {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
+        // grouped revenue sum on the engine-level width switch: 25-nation
+        // groups of the global sum cross 2⁶³ near sf1000 — the q13-class
+        // bound OverflowAudit's grouped audit measures
         .agg(
-          round(sum(c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount")))).cast("double") / lit(10000.0), 2).as("revenue"),
+          round(xsum(c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount"))), wideSums(s)).cast("double") / lit(10000.0), 2).as("revenue"),
           count(lit(1)).as("n_items"))
     },
     "q14_top_customers" -> q { (s, dir) =>
@@ -298,15 +325,15 @@ object SparkEntry {
         dim, "l_suppkey", buckets = 8, saltSource = Seq("l_orderkey", "l_linenumber"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("n_items"),
-          round(sum(c2(col("l_extendedprice"))).cast("double") / lit(100.0), 2).as("sum_price"))
+          round(xsum(c2(col("l_extendedprice")), wideSums(s)).cast("double") / lit(100.0), 2).as("sum_price"))
     },
-    "q16_brand_volume" -> q(brandVolume(_, _, wide = false)),
+    "q16_brand_volume" -> q((s, dir) => brandVolume(s, dir, wide = wideSums(s))),
     "q17_priority_counts" -> q { (s, dir) =>
       Tables.orders(s, dir)
         .where(unix_millis(col("o_orderdate").cast("timestamp")).between(788918400000L, 796694399999L))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(c2(col("o_totalprice"))).cast("double") / lit(100.0) / count(lit(1)).cast("double"), 2).as("avg_price"))
+          round(xsum(c2(col("o_totalprice")), wideSums(s)).cast("double") / lit(100.0) / count(lit(1)).cast("double"), 2).as("avg_price"))
     },
     "q18_nation_rollup" -> q { (s, dir) =>
       val c = Tables.customer(s, dir)
@@ -316,7 +343,7 @@ object SparkEntry {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_customers"),
-          round(sum(c2(col("c_acctbal"))).cast("double") / lit(100.0), 2).as("sum_acctbal"))
+          round(xsum(c2(col("c_acctbal")), wideSums(s)).cast("double") / lit(100.0), 2).as("sum_acctbal"))
         .select(
           coalesce(col("r_name"), lit("(all)")).as("r_name"),
           coalesce(col("n_name"), lit("(all)")).as("n_name"),
@@ -717,7 +744,7 @@ object SparkEntry {
       li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(sum(col("rev4")).as("rev4i"))
+        .agg(xsum(col("rev4"), wideSums(s)).as("rev4i"))
         // rank on the exact integer so the top-10 cutoff can't be decided
         // by double rounding
         .orderBy(col("rev4i").desc, col("o_orderkey").asc)
@@ -756,7 +783,7 @@ object SparkEntry {
         .where((col("supp_nation") === pair.head && col("cust_nation") === pair(1)) ||
           (col("supp_nation") === pair(1) && col("cust_nation") === pair.head))
         .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
-        .agg((sum(col("vol4")).cast("double") / 10000.0).as("revenue"), count(lit(1)).as("n_items"))
+        .agg((xsum(col("vol4"), wideSums(s)).cast("double") / 10000.0).as("revenue"), count(lit(1)).as("n_items"))
     },
     "q35_returned_items" -> q { (s, dir) =>
       // TPC-H Q10 shape, Spark-first: aggregate revenue per CUSTOMER KEY
@@ -778,7 +805,7 @@ object SparkEntry {
       // AND the top-20 ordering are engine-exact
       val byCust = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey"))
-        .agg(sum(round(col("rev") * 10000).cast("long")).as("rev4"), count(lit(1)).as("n_items"))
+        .agg(xsum(round(col("rev") * 10000).cast("long"), wideSums(s)).as("rev4"), count(lit(1)).as("n_items"))
       val cust = Tables.customer(s, dir)
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
@@ -981,8 +1008,8 @@ object SparkEntry {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_year"))
         .agg(
-          sum(when(col("supp_nation") === target, col("vol4")).otherwise(0L)).as("t4"),
-          sum(col("vol4")).as("a4"))
+          xsum(when(col("supp_nation") === target, col("vol4")).otherwise(0L), wideSums(s)).as("t4"),
+          xsum(col("vol4"), wideSums(s)).as("a4"))
         .select(col("o_year"),
           round(col("t4").cast("double") / col("a4").cast("double"), 6).as("mkt_share"),
           (col("a4").cast("double") / 10000.0).as("total_revenue"))
@@ -1012,7 +1039,7 @@ object SparkEntry {
             .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("nation"), col("o_year"))
-        .agg((sum(col("profit4")).cast("double") / 10000.0).as("profit"),
+        .agg((xsum(col("profit4"), wideSums(s)).cast("double") / 10000.0).as("profit"),
           count(lit(1)).as("n_items"))
     },
     "q42_cust_order_dist" -> q { (s, dir) =>
@@ -1142,8 +1169,8 @@ object SparkEntry {
           (last(col("v2"), ignoreNulls = true).over(w).cast("double") / 100.0)
             .as("filled_value"))
     },
-    "q48_revenue_forecast" -> q(revenueForecast(_, _, wide = false)),
-    "q49_promo_share" -> q(promoShare(_, _, wide = false)),
+    "q48_revenue_forecast" -> q((s, dir) => revenueForecast(s, dir, wide = wideSums(s))),
+    "q49_promo_share" -> q((s, dir) => promoShare(s, dir, wide = wideSums(s))),
     "q50_rolling_active" -> q { (s, dir) =>
       // DAU / rolling-7-day WAU: count-DISTINCT over a sliding window has
       // no incremental form, so each distinct user-day is exploded onto the
@@ -1183,10 +1210,10 @@ object SparkEntry {
       // scope of TPC-H Q17, not a lineitem-wide aggregate
       val liBrand = li.join(broadcast(brandParts), Seq("l_partkey"), "left_semi")
       val perPart = liBrand.groupBy(col("l_partkey"))
-        .agg(sum(col("q2")).as("sumq2"), count(lit(1)).as("cnt"))
+        .agg(xsum(col("q2"), wideSums(s)).as("sumq2"), count(lit(1)).as("cnt"))
       liBrand.join(broadcast(perPart), Seq("l_partkey"))
         .where(lit(5L) * col("q2") * col("cnt") < col("sumq2"))
-        .agg((sum(col("p2")).cast("double") / 100.0).as("below_avg_revenue"),
+        .agg((xsum(col("p2"), wideSums(s)).cast("double") / 100.0).as("below_avg_revenue"),
           count(lit(1)).as("n_items"))
     },
     "q54_large_orders" -> q { (s, dir) =>
@@ -1197,7 +1224,7 @@ object SparkEntry {
       val big = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), round(col("l_quantity") * 100).cast("long").as("q2"))
         .groupBy(col("l_orderkey"))
-        .agg(sum(col("q2")).as("sumq2"), count(lit(1)).as("n_items"))
+        .agg(xsum(col("q2"), wideSums(s)).as("sumq2"), count(lit(1)).as("n_items"))
         .where(col("sumq2") > 20000L)
       big.join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
@@ -1227,7 +1254,7 @@ object SparkEntry {
             col("q2").between(1000L, 3000L)) ||
           (col("p_brand") === "Brand#3" && col("p_size").between(10, 40) &&
             col("q2").between(2000L, 5000L)))
-        .agg((sum(col("vol4")).cast("double") / 10000.0).as("revenue"),
+        .agg((xsum(col("vol4"), wideSums(s)).cast("double") / 10000.0).as("revenue"),
           count(lit(1)).as("n_items"))
     },
     "q56_top_supplier" -> q { (s, dir) =>
@@ -1246,7 +1273,7 @@ object SparkEntry {
         .select(col("l_suppkey"),
           round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
             .cast("long").as("vol4"))
-        .groupBy(col("l_suppkey")).agg(sum(col("vol4")).as("rev4"))
+        .groupBy(col("l_suppkey")).agg(xsum(col("vol4"), wideSums(s)).as("rev4"))
         .localCheckpoint(true)
       rev.join(broadcast(rev.agg(max(col("rev4")).as("mx4"))))
         .where(col("rev4") === col("mx4"))
@@ -1602,7 +1629,9 @@ object SparkEntry {
       // satisfies the groupBy's clustering AND both windows', so the
       // whole chain runs on a single exchange (plan-asserted); the final
       // per-supplier count is a bounded TakeOrdered top-20, never a
-      // global sort.
+      // global sort. Width-switch audit (r14): nothing to widen here —
+      // the aggregates are max/count only; a 64-bit COUNT wraps past
+      // 9·10¹⁸ ROWS (exabytes), not at any monetary-sum ceiling.
       val perSup = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_suppkey"),
           unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"))
@@ -1831,8 +1860,11 @@ object SparkEntry {
       val perPS = li.join(bolts, col("l_partkey") === col("p_partkey"))
         .repartition(col("l_partkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(sum(col("q_c")).as("ps_qty"))
+        .agg(xsum(col("q_c"), wideSums(s)).as("ps_qty"))
       val excess = perPS
+        // the per-part window total follows ps_qty's width automatically:
+        // sum over a decimal(38,0) input stays decimal(38,0), so one xsum
+        // above widens the whole gate chain
         .withColumn("p_qty", sum(col("ps_qty")).over(Window.partitionBy(col("l_partkey"))))
         .where(col("ps_qty") * 2 > col("p_qty"))
         .select(col("l_suppkey")).distinct()

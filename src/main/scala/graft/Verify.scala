@@ -72,20 +72,32 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Overflow gate (SURVEY §4, mechanized): the three exact-arithmetic
-    // family headrooms over the loaded dir, printed every run; any family
-    // past the 10%-of-2⁶³ alarm line (or unmeasurable — the audit fails
-    // closed) exits nonzero. Runs AFTER the dumps so a tripped gate never
-    // zeroes the round's correctness artifacts.
+    // Overflow gate (SURVEY §4, mechanized): per-(family, grouping-class)
+    // headrooms over the loaded dir, printed every run with the registered
+    // queries each row bounds; any row past the 10%-of-2⁶³ alarm line (or
+    // unmeasurable — the audit fails closed) exits nonzero, UNLESS the
+    // engine-level wide-sums switch is on and covers that row's members
+    // (their 64-bit ceiling no longer exists then). Runs AFTER the dumps so
+    // a tripped gate never zeroes the round's correctness artifacts.
+    val wideOn = SparkEntry.wideSums(spark)
     val headrooms = operators.OverflowAudit.audit(spark, sfDir)
-    headrooms.foreach(h => println(s"[verify] overflow-audit $h"))
+    headrooms.foreach { h =>
+      val state =
+        if (h.ok) "ok"
+        else if (!h.gates(wideOn)) "CROSSED (released: wide sums on)"
+        else "ALARM"
+      println(s"[verify] overflow-audit [$state] $h")
+    }
     spark.stop()
-    val gateOk = headrooms.forall(_.ok)
-    if (!gateOk)
-      System.err.println("[verify] OVERFLOW GATE TRIPPED — a 64-bit family is past " +
-        "10% of ceiling (or unmeasurable); switch to the widened decimal(38,0) " +
-        "arithmetic (reference implementations: q72_nation_value_wide and the " +
-        "q73-q76 _wide revenue family: q73_pricing_summary_wide etc.)")
+    val gateOk = headrooms.forall(h => h.ok || !h.gates(wideOn))
+    if (!gateOk) {
+      val crossed = headrooms.filter(h => !h.ok && h.gates(wideOn))
+      System.err.println("[verify] OVERFLOW GATE TRIPPED — 64-bit arithmetic past 10% " +
+        "of ceiling (or unmeasurable) for: " +
+        crossed.map(h => s"${h.family}${h.queries.mkString(" [", ",", "]")}").mkString("; ") +
+        ". Escapes: GRAFT_WIDE_SUMS=1 flips every xsum-swept grouped member to " +
+        "decimal(38,0); q68's gate has the registered wide form q72_nation_value_wide.")
+    }
     if (dumpFailures > 0)
       System.err.println(s"[verify] $dumpFailures query dump(s) FAILED — artifacts incomplete")
     exitCode(dumpFailures, gateOk) match {

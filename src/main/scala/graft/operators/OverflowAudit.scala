@@ -32,8 +32,19 @@ object OverflowAudit {
 
   val Ceiling: BigDecimal = BigDecimal(Long.MaxValue)
 
-  /** One family's worst-case magnitude on the audited data. `fraction` is
-    * worst/2⁶³; [[ok]] holds while it stays under the 10% alarm line.
+  /** One (family, grouping-class)'s worst-case magnitude on the audited
+    * data. `fraction` is worst/2⁶³; [[ok]] holds while it stays under the
+    * 10% alarm line.
+    *
+    * `queries` names the registered SparkEntry queries whose 64-bit
+    * arithmetic this row bounds — the r13 granularity fix: an exit-2 report
+    * now says WHICH queries cross at the deployment's SF instead of one
+    * global family alarm that sf10+ automation learns to ignore.
+    * `wideSwitchCovers` marks rows whose members all aggregate through
+    * `SparkEntry.xsum`: with the engine-level GRAFT_WIDE_SUMS switch ON
+    * those members have no 64-bit ceiling left, so the row stops gating
+    * ([[gates]]); rows with a separate escape (q68's long gate → the q72
+    * registered wide form) keep gating regardless.
     *
     * `worst = None` means the audit could not measure the family — a null
     * aggregate over NON-EMPTY input (all-null terms, or the audit's own
@@ -44,13 +55,21 @@ object OverflowAudit {
     * exactly the extreme ones it exists to detect, so `ok` is false and the
     * render says UNMEASURABLE instead of silently reporting zero.
     */
-  final case class Headroom(family: String, worst: Option[BigDecimal]) {
+  final case class Headroom(family: String, worst: Option[BigDecimal],
+      queries: Seq[String] = Nil, wideSwitchCovers: Boolean = false) {
     def fraction: Double = worst.map(w => (w / Ceiling).toDouble).getOrElse(Double.NaN)
     // NaN < 0.10 is false, so the unmeasurable case stays failed-closed.
     def ok: Boolean = fraction < 0.10
-    override def toString: String = worst match {
-      case Some(w) => f"$family: worst=$w%.3e (${fraction * 100}%.4f%% of 2^63)"
-      case None => s"$family: UNMEASURABLE (null aggregate over non-empty input — failing closed)"
+    /** Whether a crossed row should still trip the deployment gate given
+      * the engine-level wide-sums switch state. */
+    def gates(wideSumsOn: Boolean): Boolean = !(wideSumsOn && wideSwitchCovers)
+    override def toString: String = {
+      val qs = if (queries.isEmpty) "" else queries.mkString(" [", ",", "]")
+      val cov = if (wideSwitchCovers) " escape=GRAFT_WIDE_SUMS=1" else ""
+      worst match {
+        case Some(w) => f"$family: worst=$w%.3e (${fraction * 100}%.4f%% of 2^63)$qs$cov"
+        case None => s"$family: UNMEASURABLE (null aggregate over non-empty input — failing closed)$qs$cov"
+      }
     }
   }
 
@@ -60,7 +79,8 @@ object OverflowAudit {
     * any per-row null term (sum would silently skip it, understating the
     * worst case) is unmeasurable and fails closed (see [[Headroom]]).
     */
-  def sumHeadroom(family: String, df: DataFrame, term: Column): Headroom = {
+  def sumHeadroom(family: String, df: DataFrame, term: Column,
+      queries: Seq[String] = Nil, wideSwitchCovers: Boolean = false): Headroom = {
     val t = abs(term).cast("decimal(38,0)")
     val r = df.agg(sum(t).as("s"), count(lit(1)).as("n"), count(t).as("nn")).head()
     val rows = r.getLong(1)
@@ -68,7 +88,35 @@ object OverflowAudit {
       if (rows == 0L) Some(BigDecimal(0))
       else if (r.getLong(2) != rows) None // per-row nulls dropped by sum
       else Option(r.getDecimal(0)).map(BigDecimal(_))
-    Headroom(family, worst)
+    Headroom(family, worst, queries, wideSwitchCovers)
+  }
+
+  /** Worst-case magnitude of a GROUPED 64-bit sum: max over groups of
+    * Σ|term|, in decimal(38,0) — the r13 per-(family, grouping-class)
+    * granularity. This measures the arithmetic a registered grouped query
+    * actually runs (its own grouping keys over its own join), so the alarm
+    * names the queries whose per-GROUP sums cross, not the family's global
+    * ceiling that no registered grouping reaches. Same contract as
+    * [[sumHeadroom]]: empty input (zero groups) is a measured zero; any
+    * per-row null term, or a null per-group sum with groups present (the
+    * audit's own decimal arithmetic wrapping), is unmeasurable and fails
+    * closed.
+    */
+  def groupedSumHeadroom(family: String, df: DataFrame, groupCols: Seq[Column],
+      term: Column, queries: Seq[String] = Nil,
+      wideSwitchCovers: Boolean = true): Headroom = {
+    val t = abs(term).cast("decimal(38,0)")
+    val per = df.groupBy(groupCols: _*)
+      .agg(sum(t).as("s"), count(lit(1)).as("n"), count(t).as("nn"))
+    val r = per.agg(
+      max(col("s")).as("mx"), count(col("s")).as("g_nonnull"), count(lit(1)).as("g"),
+      sum(col("n")).as("rows_total"), sum(col("nn")).as("rows_nonnull")).head()
+    val groups = r.getLong(2)
+    val worst =
+      if (groups == 0L) Some(BigDecimal(0))
+      else if (r.getLong(1) != groups || r.getLong(3) != r.getLong(4)) None
+      else Option(r.getDecimal(0)).map(BigDecimal(_))
+    Headroom(family, worst, queries, wideSwitchCovers)
   }
 
   /** Worst-case magnitude of an integer cross-multiplication gate
@@ -93,14 +141,66 @@ object OverflowAudit {
 
   private def c2(c: Column): Column = round(c * lit(100)).cast("decimal(38,0)")
 
-  /** The full audit over a loaded testdata/deployment directory. */
+  /** The full audit over a loaded testdata/deployment directory: the global
+    * family ceilings plus one row per (family, grouping-class) of the
+    * registered grouped queries (the r13 granularity fix). Every row names
+    * its member queries; rows whose members ride the engine-level
+    * wide-sums switch are marked so [[Headroom.gates]] can release them
+    * when GRAFT_WIDE_SUMS is on. Grouped rows measure the query's OWN
+    * arithmetic — its grouping keys over its own join — as an unfiltered
+    * upper bound (a query's extra filters only shrink its groups).
+    */
   def audit(spark: SparkSession, dir: String): Seq[Headroom] = {
     val li = Tables.lineitem(spark, dir)
-    // q12's sum_charge product is the largest per-row revenue-family term
+    val ord = Tables.orders(spark, dir)
+    // q12's sum_charge product is the largest per-row revenue-family term;
+    // the global row is the family ceiling (q12's 6 returnflag×linestatus
+    // groups sit within ~6× of it; q48/q53/q55's global sums below it)
     val charge = c2(col("l_extendedprice")) *
       (lit(100) - c2(col("l_discount"))) * (lit(100) + c2(col("l_tax")))
-    val revenue = sumHeadroom("revenue_sum", li, charge)
-    val qty = sumHeadroom("qty_sum", li, c2(col("l_quantity")))
+    val revenue = sumHeadroom("revenue_sum", li, charge,
+      queries = Seq("q12", "q48", "q53", "q55"), wideSwitchCovers = true)
+    val qty = sumHeadroom("qty_sum", li, c2(col("l_quantity")),
+      queries = Seq("q12"), wideSwitchCovers = true)
+
+    // the 1e-4-scaled revenue term shared by the grouped members
+    val vol4 = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+      .cast("long")
+    // q13-class: nation grouping (the coarsest of the nation/year classes —
+    // it upper-bounds q34/q40/q41, whose year keys only split it finer).
+    // The join IS q13's join: per-group bounds are per-QUERY bounds.
+    val liNation = li.select(col("l_orderkey"), charge.as("term"))
+      .join(ord.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+    val nation = groupedSumHeadroom("revenue_sum:nation_group", liNation,
+      Seq(col("c_nationkey")), col("term"),
+      queries = Seq("q13", "q34", "q40", "q41"))
+    val custkey = groupedSumHeadroom("revenue_sum:custkey_group",
+      li.select(col("l_orderkey"), vol4.as("term"))
+        .join(ord.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey")),
+      Seq(col("o_custkey")), col("term"), queries = Seq("q35"))
+    val orderkey = groupedSumHeadroom("revenue_sum:orderkey_group", li,
+      Seq(col("l_orderkey")), vol4, queries = Seq("q32", "q54"))
+    val suppkey = groupedSumHeadroom("revenue_sum:suppkey_group", li,
+      Seq(col("l_suppkey")), vol4, queries = Seq("q29", "q56"))
+    val yearly = groupedSumHeadroom("revenue_sum:shipyear_group", li,
+      Seq(year(col("l_shipdate"))), vol4, queries = Seq("q49"))
+    val brand = groupedSumHeadroom("revenue_sum:brand_group",
+      li.select(col("l_partkey"), vol4.as("term"))
+        .join(broadcast(Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey")),
+      Seq(col("p_brand")), col("term"), queries = Seq("q16"))
+    val priority = groupedSumHeadroom("totalprice_sum:priority_group", ord,
+      Seq(col("o_orderpriority")), c2(col("o_totalprice")), queries = Seq("q17"))
+    // q18's rollup includes the grand-total row, so its worst group IS the
+    // global acctbal sum — a plain global headroom bounds it exactly
+    val acctbal = sumHeadroom("acctbal_sum", Tables.customer(spark, dir),
+      c2(col("c_acctbal")), queries = Seq("q18"), wideSwitchCovers = true)
     // q68's gate: per-part value4 (Σ q_c·price_c over the part's shipments,
     // here bounded by the UNFILTERED per-part aggregate — the audited worst
     // case over any nation filter) cross-multiplied with the part count
@@ -131,15 +231,21 @@ object OverflowAudit {
       if (np == 0) Some(BigDecimal(0))
       else if (!allMeasured) None
       else for { t <- tot; m <- mv } yield (m * np).max(t * 2)
-    val gate = Headroom("gate_cross_mult", gateWorst)
-    Seq(revenue, qty, gate)
+    // NOT wide-switch-covered: q68's escape is the registered q72 wide
+    // form (the gate is long cross-multiplication, not an xsum aggregate)
+    val gate = Headroom("gate_cross_mult", gateWorst, queries = Seq("q68"))
+    Seq(revenue, nation, brand, yearly, suppkey, custkey, orderkey,
+      priority, acctbal, qty, gate)
   }
 
-  /** Table rendering of [[audit]] for ops surfaces: one row per family. */
+  /** Table rendering of [[audit]] for ops surfaces: one row per
+    * (family, grouping-class). */
   def auditDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     audit(spark, dir)
-      .map(h => (h.family, h.worst.map(_.toDouble).getOrElse(Double.NaN), h.fraction, h.ok))
-      .toDF("family", "worst_case", "fraction_of_ceiling", "ok")
+      .map(h => (h.family, h.worst.map(_.toDouble).getOrElse(Double.NaN), h.fraction,
+        h.ok, h.queries.mkString(","), h.wideSwitchCovers))
+      .toDF("family", "worst_case", "fraction_of_ceiling", "ok",
+        "queries", "wide_switch_covers")
   }
 }

@@ -11,9 +11,13 @@ import graft.operators.OverflowAudit
   */
 class OverflowAuditSpec extends SparkSpec {
 
-  test("audit: every family has ample headroom on the test data") {
+  test("audit: every family and grouping-class has ample headroom on the test data") {
     val hs = OverflowAudit.audit(spark, sfDir)
-    assert(hs.map(_.family).toSet == Set("revenue_sum", "qty_sum", "gate_cross_mult"))
+    assert(hs.map(_.family).toSet == Set(
+      "revenue_sum", "revenue_sum:nation_group", "revenue_sum:brand_group",
+      "revenue_sum:shipyear_group", "revenue_sum:suppkey_group",
+      "revenue_sum:custkey_group", "revenue_sum:orderkey_group",
+      "totalprice_sum:priority_group", "acctbal_sum", "qty_sum", "gate_cross_mult"))
     hs.foreach { h =>
       assert(h.ok, s"family past the 10% alarm line: $h")
       // the documented margin: nothing in the verified range is within
@@ -21,7 +25,59 @@ class OverflowAuditSpec extends SparkSpec {
       // even the alarm line
       assert(h.fraction < 0.002, s"unexpectedly little headroom at test SF: $h")
       assert(h.worst.exists(_ > 0), s"audit computed an empty worst case: $h")
+      assert(h.queries.nonEmpty, s"row names no registered queries: $h")
     }
+    // a grouped row bounds BELOW its family's global ceiling (grouping only
+    // splits the sum) — the property that makes the per-class alarm later
+    // (and therefore honest) than the global one
+    val global = hs.find(_.family == "revenue_sum").get.worst.get
+    val nation = hs.find(_.family == "revenue_sum:nation_group").get.worst.get
+    assert(nation <= global, "a per-nation group sum cannot exceed the global sum")
+  }
+
+  test("groupedSumHeadroom: max per-group sum, not the global sum") {
+    import spark.implicits._
+    // two groups: a ~2^61 group (trips 10% line alone) and a tiny one —
+    // the GLOBAL sum would read ~2^62; the grouped bound must be the max
+    // group, proving it measures the arithmetic a grouped query runs
+    val df = (Seq.fill(2)(("hot", 1L << 60)) ++ Seq(("cold", 5L))).toDF("g", "v")
+    val h = OverflowAudit.groupedSumHeadroom("g", df, Seq(col("g")), col("v"))
+    assert(h.worst.contains(BigDecimal(BigInt(1) << 61)), s"wrong grouped worst: $h")
+    assert(!h.ok, "a 2^61 per-group sum is past the 10% alarm line")
+    // below the line: same shape, small values
+    val small = Seq(("a", 10L), ("a", 3L), ("b", 9L)).toDF("g", "v")
+    val hs = OverflowAudit.groupedSumHeadroom("g", small, Seq(col("g")), col("v"))
+    assert(hs.ok && hs.worst.contains(BigDecimal(13)))
+    // fail-closed contract carried over: per-row null terms and empty input
+    val withNull = Seq(("a", Some(1L)), ("a", None), ("b", Some(2L)))
+      .toDF("g", "v")
+    val hn = OverflowAudit.groupedSumHeadroom("g", withNull, Seq(col("g")), col("v"))
+    assert(!hn.ok && hn.worst.isEmpty, s"per-row null terms must fail closed: $hn")
+    val he = OverflowAudit.groupedSumHeadroom("g",
+      Seq.empty[(String, Long)].toDF("g", "v"), Seq(col("g")), col("v"))
+    assert(he.ok && he.worst.contains(BigDecimal(0)), "zero groups cannot overflow")
+  }
+
+  test("gates: wide-sums switch releases covered rows, never the q68 gate") {
+    val covered = OverflowAudit.Headroom("revenue_sum", Some(OverflowAudit.Ceiling),
+      queries = Seq("q13"), wideSwitchCovers = true)
+    val gateRow = OverflowAudit.Headroom("gate_cross_mult", Some(OverflowAudit.Ceiling),
+      queries = Seq("q68"), wideSwitchCovers = false)
+    assert(!covered.ok && !gateRow.ok)
+    // narrow mode: everything gates (the status quo ante)
+    assert(covered.gates(wideSumsOn = false) && gateRow.gates(wideSumsOn = false))
+    // wide mode: the swept family is released — its 64-bit ceiling no
+    // longer exists — but q68's long cross-mult gate still trips (its
+    // escape is the registered q72 wide form, not the switch)
+    assert(!covered.gates(wideSumsOn = true))
+    assert(gateRow.gates(wideSumsOn = true))
+    // and the Verify-level gate expression over both states
+    def gateOk(rows: Seq[OverflowAudit.Headroom], wide: Boolean) =
+      rows.forall(h => h.ok || !h.gates(wide))
+    assert(!gateOk(Seq(covered, gateRow), wide = false))
+    assert(!gateOk(Seq(covered), wide = false))
+    assert(gateOk(Seq(covered), wide = true))
+    assert(!gateOk(Seq(covered, gateRow), wide = true))
   }
 
   test("audit: a constructed near-ceiling table trips the alarm") {
@@ -69,10 +125,13 @@ class OverflowAuditSpec extends SparkSpec {
       "empty", Seq.empty[(Long, Long)].toDF("a", "b"), col("a"), col("b")).ok)
   }
 
-  test("auditDf: one row per family with the ok verdict") {
+  test("auditDf: one row per (family, grouping-class) with verdict and members") {
     val rows = OverflowAudit.auditDf(spark, sfDir).collect()
-    assert(rows.length == 3)
+    assert(rows.length == 11)
     assert(rows.forall(_.getBoolean(3)))
+    assert(rows.forall(_.getString(4).nonEmpty), "every row must name its queries")
+    // exactly one row is NOT released by the wide-sums switch: q68's gate
+    assert(rows.filterNot(_.getBoolean(5)).map(_.getString(0)).toSeq == Seq("gate_cross_mult"))
   }
 
   test("Verify exit-code contract: 1=dumps incomplete, 2=gate tripped, 0=clean") {

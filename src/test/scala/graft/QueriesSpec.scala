@@ -200,6 +200,60 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("engine-level wide-sums switch: swept grouped members ≡ narrow, and the flag is live") {
+    // VERDICT r12/r13 task 1: ONE config flag (spark.graft.wideSums /
+    // GRAFT_WIDE_SUMS) routes every grouped revenue/value-sum family member
+    // through xsum's decimal(38,0) buffer. Below the 64-bit ceiling the
+    // flip must be a pure representation change — same schema, same rows.
+    val swept = Seq(
+      "q12_pricing_summary", "q13_region_revenue", "q16_brand_volume",
+      "q17_priority_counts", "q18_nation_rollup", "q29_salted_join",
+      "q32_ship_priority", "q34_nation_trade", "q35_returned_items",
+      "q40_market_share", "q41_product_profit", "q48_revenue_forecast",
+      "q49_promo_share", "q53_small_order_revenue", "q54_large_orders",
+      "q55_disjunctive_revenue", "q56_top_supplier", "q67_excess_shippers")
+    try {
+      // liveness first: the flag must actually reach the aggregate buffer,
+      // otherwise the ≡ comparison below passes vacuously on two narrow runs
+      spark.conf.set("spark.graft.wideSums", "true")
+      assert(SparkEntry.wideSums(spark))
+      val q13wide = SparkEntry.queries("q13_region_revenue")(spark, sfDir)
+        .queryExecution.optimizedPlan.toString
+      assert(q13wide.contains("decimal(38,0)"),
+        "wide flag on, but q13's plan has no decimal(38,0) aggregate — the switch is dead")
+      val wide = swept.map(n => n -> SparkEntry.queries(n)(spark, sfDir))
+      val wideRows = wide.map { case (n, df) => n -> (df.schema, df.collect().toSet) }.toMap
+
+      // narrow leg pinned via conf=false (overrides any GRAFT_WIDE_SUMS in
+      // the test environment — the spec must not depend on the process env)
+      spark.conf.set("spark.graft.wideSums", "false")
+      assert(!SparkEntry.wideSums(spark))
+      val q13narrow = SparkEntry.queries("q13_region_revenue")(spark, sfDir)
+        .queryExecution.optimizedPlan.toString
+      assert(!q13narrow.contains("decimal(38,0)"),
+        "wide flag off, but q13's plan still aggregates in decimal — the narrow fast path is gone")
+      swept.foreach { n =>
+        val narrow = SparkEntry.queries(n)(spark, sfDir)
+        val (ws, wr) = wideRows(n)
+        assert(ws == narrow.schema,
+          s"$n: wide mode changed the output schema (the driver compare is column-name keyed)")
+        val nr = narrow.collect().toSet
+        assert(wr == nr, s"$n: wide != narrow below the 64-bit ceiling")
+        if (nr.isEmpty) {
+          // empty≡empty is vacuous (q34's nation-pair filter selects nothing
+          // at sf0.001) — re-pin the member one SF up where it has rows
+          val dir01 = "/root/testdata/sf0.01"
+          spark.conf.set("spark.graft.wideSums", "true")
+          val w01 = SparkEntry.queries(n)(spark, dir01).collect().toSet
+          spark.conf.set("spark.graft.wideSums", "false")
+          val n01 = SparkEntry.queries(n)(spark, dir01).collect().toSet
+          assert(n01.nonEmpty, s"$n returned no rows at sf0.01 either — the ≡ pin never bites")
+          assert(w01 == n01, s"$n: wide != narrow below the 64-bit ceiling (sf0.01)")
+        }
+      }
+    } finally spark.conf.unset("spark.graft.wideSums")
+  }
+
   test("xsum wide buffer stays exact where the 64-bit sum wraps") {
     // the ≡-below-the-ceiling pin above proves the widening is a pure
     // representation change; THIS proves the property the variants exist

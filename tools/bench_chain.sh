@@ -42,6 +42,16 @@ SPARK_GRAFT_SF_DIR=/root/repo/testdata/sf10 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM
   SPARK_GRAFT_BENCH_OUT=BENCH_SF10_RAW.json \
   sbt -batch "runMain graft.Bench $SF10_QS" || exit 1
 
+echo "=== STAGE sf10 broadcast built-size probe (VERDICT r12/r13 task 3) $(date) ==="
+# decade-2 spot assertion of the static-broadcast built-size bound: the
+# PlanSpec 64 MB dataSize check runs at spec SF only; this reads the
+# executed BroadcastExchange dataSize of the 8 banded plans at sf10 and
+# FAILS the chain (exit 3) on a static-estimate breach. JSON line lands in
+# BENCH_SF10_BROADCAST.json (referenced from the sf10 report).
+SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE_PARTITIONS=64 \
+  sbt -batch "runMain graft.BroadcastProbe /root/repo/testdata/sf10" \
+  | grep -E '^\{"metric":"broadcast_built_bytes"' > BENCH_SF10_BROADCAST.json || exit 1
+
 bash tools/sf100_probe.sh || exit 1
 
 echo "=== REPORTS $(date) ==="

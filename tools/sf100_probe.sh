@@ -38,6 +38,23 @@ SPARK_GRAFT_SF_DIR=/root/repo/testdata/sf100 SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench $QBAND" || exit 1
 grep -E ' (sd[a-z]+|nvme[0-9a-z]+|vd[a-z]+) ' /proc/diskstats > /tmp/diskstats_C1.txt
 
+echo "=== STAGE sf100 q13 wide-vs-narrow (engine-level switch, r14) $(date) ==="
+# the grouped-family widening switch measured on one grouped member at
+# 600M rows: same query, same plan shape, only the agg buffer widens
+# 8->16 bytes (the q72/q73 precedent read 0.7-1.6x) — the price of
+# arithmetic that stays exact past the 64-bit per-group ceiling
+SPARK_GRAFT_SF_DIR=/root/repo/testdata/sf100 SPARK_GRAFT_CPUS=32 \
+  SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
+  SPARK_GRAFT_BENCH_PASSES=3 SPARK_GRAFT_BENCH_OUTLIER_SEC=10000 \
+  SPARK_GRAFT_BENCH_OUT=/tmp/BENCH_SF100_Q13N.json \
+  sbt -batch "runMain graft.Bench q13_region_revenue" || exit 1
+GRAFT_WIDE_SUMS=1 \
+  SPARK_GRAFT_SF_DIR=/root/repo/testdata/sf100 SPARK_GRAFT_CPUS=32 \
+  SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
+  SPARK_GRAFT_BENCH_PASSES=3 SPARK_GRAFT_BENCH_OUTLIER_SEC=10000 \
+  SPARK_GRAFT_BENCH_OUT=/tmp/BENCH_SF100_Q13W.json \
+  sbt -batch "runMain graft.Bench q13_region_revenue" || exit 1
+
 echo "=== STAGE sf100 1-pass (cell-local quadratic family) $(date) ==="
 SPARK_GRAFT_SF_DIR=/root/repo/testdata/sf100 SPARK_GRAFT_CPUS=32 \
   SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
