@@ -45,6 +45,13 @@ object BroadcastProbe {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the probe grades the plans the BENCH artifacts ship, so it must run
+      // in Bench's session climate — with the default 10 MB threshold the
+      // mid-size dims stop broadcasting and every banded plan degrades to
+      // fact-side sort-merge joins (measured: the sf10 probe run OOM-killed
+      // the host on tmpfs shuffle volume the bench never writes)
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.prep(spark)

@@ -166,35 +166,56 @@ object OverflowAudit {
     // the 1e-4-scaled revenue term shared by the grouped members
     val vol4 = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
       .cast("long")
-    // q13-class: nation grouping (the coarsest of the nation/year classes —
-    // it upper-bounds q34/q40/q41, whose year keys only split it finer).
-    // The join IS q13's join: per-group bounds are per-QUERY bounds.
-    val liNation = li.select(col("l_orderkey"), charge.as("term"))
+    // The nation (q13-class — coarsest of the nation/year classes, so it
+    // upper-bounds q34/q40/q41 whose year keys only split finer) and
+    // custkey (q35) rows share ONE fact-fact li⋈ord pass, pre-aggregated
+    // on custkey BELOW the customer dimension — the q35 rule applied to
+    // the audit itself: the join output shrinks to |custkeys| rows before
+    // any dimension touches it (Σ per-custkey Σ per nation ≡ per-nation Σ,
+    // exactly). Fail-closed accounting rides along: a per-custkey group
+    // with dropped per-row terms carries a NULL term into the outer bound,
+    // which groupedSumHeadroom's null check turns into UNMEASURABLE.
+    val perCust = li
+      .select(col("l_orderkey"),
+        abs(charge).cast("decimal(38,0)").as("tc"),
+        abs(vol4).cast("decimal(38,0)").as("tv"))
       .join(ord.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)
-        .select(col("c_custkey"), col("c_nationkey"))),
-        col("o_custkey") === col("c_custkey"))
-    val nation = groupedSumHeadroom("revenue_sum:nation_group", liNation,
-      Seq(col("c_nationkey")), col("term"),
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("tc")).as("sc"), sum(col("tv")).as("sv"),
+        count(lit(1)).as("n"), count(col("tc")).as("ntc"), count(col("tv")).as("ntv"))
+      // materialize once: both rows read this frame; without the pin the
+      // 600M-row fact join would run twice (the d11/s09 rule)
+      .localCheckpoint(true)
+    val custSum = when(col("ntv") =!= col("n"), lit(null)).otherwise(col("sv"))
+    val chargeSum = when(col("ntc") =!= col("n"), lit(null)).otherwise(col("sc"))
+    val custkey = groupedSumHeadroom("revenue_sum:custkey_group", perCust,
+      Seq(col("o_custkey")), custSum, queries = Seq("q35"))
+    val nation = groupedSumHeadroom("revenue_sum:nation_group",
+      perCust.join(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey")),
+      Seq(col("c_nationkey")), chargeSum,
       queries = Seq("q13", "q34", "q40", "q41"))
-    val custkey = groupedSumHeadroom("revenue_sum:custkey_group",
-      li.select(col("l_orderkey"), vol4.as("term"))
-        .join(ord.select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey")),
-      Seq(col("o_custkey")), col("term"), queries = Seq("q35"))
     val orderkey = groupedSumHeadroom("revenue_sum:orderkey_group", li,
       Seq(col("l_orderkey")), vol4, queries = Seq("q32", "q54"))
     val suppkey = groupedSumHeadroom("revenue_sum:suppkey_group", li,
       Seq(col("l_suppkey")), vol4, queries = Seq("q29", "q56"))
     val yearly = groupedSumHeadroom("revenue_sum:shipyear_group", li,
       Seq(year(col("l_shipdate"))), vol4, queries = Seq("q49"))
+    // brand row pre-aggregates on partkey below the part join (same rule:
+    // the dimension joins 1-row-per-part aggregates, never the fact scan)
+    val perPartVol = li
+      .select(col("l_partkey"), abs(vol4).cast("decimal(38,0)").as("tv"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("tv")).as("spv"), count(lit(1)).as("n"), count(col("tv")).as("ntv"))
     val brand = groupedSumHeadroom("revenue_sum:brand_group",
-      li.select(col("l_partkey"), vol4.as("term"))
-        .join(broadcast(Tables.part(spark, dir)
-          .select(col("p_partkey"), col("p_brand"))),
-          col("l_partkey") === col("p_partkey")),
-      Seq(col("p_brand")), col("term"), queries = Seq("q16"))
+      perPartVol.join(Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey")),
+      Seq(col("p_brand")),
+      when(col("ntv") =!= col("n"), lit(null)).otherwise(col("spv")),
+      queries = Seq("q16"))
     val priority = groupedSumHeadroom("totalprice_sum:priority_group", ord,
       Seq(col("o_orderpriority")), c2(col("o_totalprice")), queries = Seq("q17"))
     // q18's rollup includes the grand-total row, so its worst group IS the

@@ -576,4 +576,34 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  test("BroadcastAudit readings agree with this spec's own guard semantics") {
+    // the decade-2 probe (graft.BroadcastProbe, wired at sf10 in the bench
+    // chain) reads executed BroadcastExchange dataSize through
+    // plans/BroadcastAudit — pin its reader against the same plans the
+    // static-broadcast guard above classifies, so the two can never drift:
+    // readings exist, executed bytes are real (metric present, not the
+    // unexecuted 0/-1), and every static array-carrying reading satisfies
+    // the exact bound the guard asserts
+    import graft.plans.BroadcastAudit
+    val withBroadcast = Seq("s02_ann_lsh", "d08_dedup_incremental", "q13_region_revenue")
+    withBroadcast.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      BroadcastAudit.execute(df)
+      val rs = BroadcastAudit.readings(df)
+      assert(rs.nonEmpty, s"$name: plan has broadcasts; reader saw none")
+      assert(rs.forall(_.builtBytes > 0L),
+        s"$name: executed dataSize must be positive — a 0/-1 reading means the " +
+          s"reader walked an UNEXECUTED QueryExecution: $rs")
+      rs.filter(r => r.carriesArray && !r.runtimeSized).foreach { r =>
+        assert(!r.inflatedBelow, s"$name: static array broadcast over explode: $r")
+        assert(r.builtBytes < 64L * 1024 * 1024, s"$name: static built size at spec SF: $r")
+      }
+    }
+    // q13's dim broadcasts carry no arrays — the probe must record them
+    // without ever alarming (scalar dims are not the banded danger class)
+    val q13 = SparkEntry.queries("q13_region_revenue")(spark, sfDir)
+    BroadcastAudit.execute(q13)
+    assert(BroadcastAudit.readings(q13).forall(!_.carriesArray))
+  }
 }
