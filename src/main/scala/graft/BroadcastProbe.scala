@@ -18,10 +18,17 @@ import graft.plans.BroadcastAudit
   *
   * Usage: runMain graft.BroadcastProbe <sfDir> [queriesCsv]
   * Env: SPARK_GRAFT_CPUS, SPARK_GRAFT_SHUFFLE_PARTITIONS,
-  *      GRAFT_BROADCAST_ALARM_BYTES (default 256 MiB — 4× the spec-SF
-  *      bound: static sides in these plans are contract-bounded query
-  *      batches and band keys, which do NOT scale with the corpus, so a
-  *      crossing at sf10 is a regression, not growth).
+  *      GRAFT_BROADCAST_ALARM_BYTES — default 1280 MiB, the design's own
+  *      envelope with 25% headroom: a static-estimate broadcast is only
+  *      POSSIBLE while the file estimate sits under the 64 MB threshold,
+  *      and the documented worst inflation of these plans is the ~15×
+  *      tokenShingleHashes expansion, so the accepted window tops out near
+  *      16 × 64 MB ≈ 1 GiB no matter the SF (measured instance: d08's
+  *      corpus-sets side builds ~260 MB at sf10 under a 59 MB file
+  *      estimate, then the estimate crosses the threshold and the planner
+  *      shuffles — BENCH_SF10_BROADCAST.json). A breach therefore means
+  *      the inflation factor itself regressed or a hint landed on a side
+  *      that grows with the corpus (the r12 d09 class) — not the window.
   */
 object BroadcastProbe {
 
@@ -38,7 +45,7 @@ object BroadcastProbe {
       if (args.length > 1) args(1).split(',').toSeq.filter(_.nonEmpty) else banded
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val alarmBytes = sys.env.getOrElse("GRAFT_BROADCAST_ALARM_BYTES",
-      (256L * 1024 * 1024).toString).toLong
+      (1280L * 1024 * 1024).toString).toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",

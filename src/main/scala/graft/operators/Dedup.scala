@@ -612,6 +612,26 @@ object Dedup {
     * immaterial for stand-in centroids and standard practice for trained
     * ones (every IVF index searches this way). The rule is deterministic,
     * so the oracle mirrors it exactly.
+    *
+    * The log-depth next rung was BUILT, MEASURED, AND REJECTED (r14 — a
+    * measured negative result, the d08/d09-revert discipline): a 16-ary
+    * fixed-branch descent (strides 16^e, N·b·log_b k cosines) made the
+    * assignment itself faster (0.21 vs 0.31 s at sf10's k=1600) and was
+    * hash-exact against its level-for-level DuckDB mirror through sf10 —
+    * and made the whole operator SLOWER at every measured decade
+    * (same-day isolated A/B, min of 3: sf1 0.82→0.96 s, sf10 2.03→3.80,
+    * sf100 7.40→12.07). Cause: on near-orthogonal stand-in centroids a
+    * slightly "magnetic" block leader over-attracts at EVERY level, and
+    * depth COMPOUNDS the bias — measured at sf10, Σ|cell|² grew 4.7e8 →
+    * 2.2e9 (max cell 9.5k → 44.8k of 200k) — while the cell-local prune
+    * this feeds is quadratic in cell size and dominates the operator
+    * (assignment is 0.2 of 2.0 s). Two-level is the depth-2 optimum of
+    * that trade: flat has zero routing bias but N·k cosines; every extra
+    * level buys assignment flops the prune repays with interest. The
+    * descent becomes worth revisiting only where assignment genuinely
+    * dominates (k ≳ 10⁵, decades past sf100) and then paired with
+    * TRAINED balanced centroids (k-means evens the cells, removing the
+    * magnet-leader bias that depth amplifies).
     */
   def semanticDedupScaled(
       corpus: DataFrame,
