@@ -17,14 +17,24 @@ import graft.Tables
   * fails loudly — the "flip the documented widening switch" moment is
   * detected, not remembered.
   *
-  * Families (the §4 audit, mechanized):
-  *  - `revenue_sum` — q12/q40/q48/q49-class grouped sums. Worst case is the
-  *    GLOBAL sum of the largest per-row term (q12's sum_charge product,
-  *    price_c2·(100+tax_c2)·(100−disc_c2)); any groupBy splits it smaller.
-  *  - `qty_sum` — q1-style quantity sums, same shape, smaller terms.
+  * Rows (the §4 audit, mechanized — r14 splits each family into its
+  * registered GROUPING CLASSES so the alarm names the queries that cross,
+  * not a global ceiling no registered grouping reaches):
+  *  - `revenue_sum` — the family's global ceiling (q12's sum_charge
+  *    product, the largest per-row term; bounds the global-sum members
+  *    q12/q48/q53/q55).
+  *  - `revenue_sum:{nation,brand,shipyear,suppkey,custkey,orderkey}_group`
+  *    — max per-GROUP sum of each registered grouping over its own join
+  *    (q13/q34/q40/q41, q16, q49, q29/q56, q35, q32/q54). The nation class
+  *    crosses first: at sf100 its 25-way split of the global sum reads
+  *    ~14.7% of 2⁶³ and wraps near sf700.
+  *  - `totalprice_sum:priority_group` (q17), `acctbal_sum` (q18 — the
+  *    rollup's grand-total row IS the global sum), `qty_sum` (q1-style).
   *  - `gate_cross_mult` — q68's value4·n_parts vs 2·total4 integer gate:
   *    both factors grow with SF, so this family hits the ceiling first
-  *    (~sf100 where the linear sums last to ~sf1000).
+  *    under TPC-H-style scaling (~sf100 where linear sums last to
+  *    ~sf1000); its escape is the registered q72 wide form, NOT the
+  *    engine switch, so it gates regardless of wide mode.
   * Sketch/hash arithmetic (KMV, Bloom, band keys) is scale-independent —
   * bounded by k/mBits/2⁶⁴, never by data volume — and has no audit entry.
   */

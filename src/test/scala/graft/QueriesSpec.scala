@@ -221,6 +221,15 @@ class QueriesSpec extends SparkSpec {
         .queryExecution.optimizedPlan.toString
       assert(q13wide.contains("decimal(38,0)"),
         "wide flag on, but q13's plan has no decimal(38,0) aggregate — the switch is dead")
+      // the flip must be a pure BUFFER change: same exchanges, same joins —
+      // only the agg buffer widens 8→16 bytes (the q72/q73 precedent,
+      // asserted instead of narrated)
+      def shape(name: String): (Int, Int) = {
+        val p = SparkEntry.queries(name)(spark, sfDir).queryExecution
+          .executedPlan.toString
+        ("Exchange".r.findAllIn(p).length, "Join".r.findAllIn(p).length)
+      }
+      val wideShape = Seq("q13_region_revenue", "q40_market_share").map(shape)
       val wide = swept.map(n => n -> SparkEntry.queries(n)(spark, sfDir))
       val wideRows = wide.map { case (n, df) => n -> (df.schema, df.collect().toSet) }.toMap
 
@@ -232,6 +241,10 @@ class QueriesSpec extends SparkSpec {
         .queryExecution.optimizedPlan.toString
       assert(!q13narrow.contains("decimal(38,0)"),
         "wide flag off, but q13's plan still aggregates in decimal — the narrow fast path is gone")
+      val narrowShape = Seq("q13_region_revenue", "q40_market_share").map(shape)
+      assert(wideShape == narrowShape,
+        s"wide mode changed the plan SHAPE (exchanges/joins), not just the buffer: " +
+          s"wide=$wideShape narrow=$narrowShape")
       swept.foreach { n =>
         val narrow = SparkEntry.queries(n)(spark, sfDir)
         val (ws, wr) = wideRows(n)
