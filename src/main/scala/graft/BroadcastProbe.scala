@@ -11,10 +11,15 @@ import graft.plans.BroadcastAudit
   * the banded-plan family at a REAL scale directory (the bench chain wires
   * it at sf10), reads the executed BroadcastExchange dataSize of every
   * broadcast each plan actually built, and prints ONE JSON line for the
-  * sf10 artifact. Exit 3 if any STATIC-estimate broadcast crosses the
-  * alarm bytes (runtime/AQE-sized broadcasts are sized from real bytes and
-  * cannot misestimate — reported but never alarmed) or sits over an
-  * unmaterialized explode (the decade-2 hard-fail class PlanSpec pins).
+  * sf10 artifact. Exit 3 if ANY static-estimate broadcast crosses the
+  * alarm bytes — array-carrying or not, since a broadcast planned above
+  * an explode outputs the scalar exploded elements — or if an
+  * ARRAY-CARRYING static broadcast sits over an unmaterialized explode
+  * (the decade-2 hard-fail class PlanSpec pins; the scalar
+  * static-over-explode sides, like s02/s05's contract-bounded query
+  * vectors, are by-design and bounded by the bytes alarm instead).
+  * Runtime/AQE-sized broadcasts are sized from real bytes and cannot
+  * misestimate — reported but never alarmed.
   *
   * Usage: runMain graft.BroadcastProbe <sfDir> [queriesCsv]
   * Env: SPARK_GRAFT_CPUS, SPARK_GRAFT_SHUFFLE_PARTITIONS,
@@ -68,16 +73,24 @@ object BroadcastProbe {
       val df = SparkEntry.queries(name)(spark, sfDir)
       BroadcastAudit.execute(df) // the df's OWN execution: AQE settles, metrics fill
       val rs = BroadcastAudit.readings(df)
-      // alarm scope mirrors PlanSpec's guard: only ARRAY-carrying
-      // broadcasts are the banded danger class; scalar dim/LUT broadcasts
-      // are recorded but never alarmed
-      rs.filter(_.carriesArray).foreach { r =>
-        if (!r.runtimeSized && r.inflatedBelow)
-          breaches ::= s"$name: static-estimate broadcast over an unmaterialized explode"
+      rs.foreach { r =>
+        // the BUILT-size alarm applies to EVERY static-estimate broadcast,
+        // array-carrying or not — a broadcast planned ABOVE an explode
+        // outputs the scalar exploded elements (the array is consumed), so
+        // an array-only scope would exempt exactly the inflated class the
+        // probe exists to bound. The built bytes are the ground truth
+        // regardless of column shape.
         if (!r.runtimeSized && r.builtBytes >= alarmBytes)
           breaches ::= s"$name: static-estimate broadcast built ${r.builtBytes} bytes >= alarm $alarmBytes"
         if (r.builtBytes < 0L)
           breaches ::= s"$name: broadcast dataSize metric missing — cannot bound the built side"
+        // the explode-below hard-fail keeps PlanSpec's array-carrying scope:
+        // the banded designs' CONTRACT-BOUNDED sides (s02/s05's query-vector
+        // explode, ~67 MB at sf10) are static-over-explode BY DESIGN and
+        // bounded by the bytes alarm above; an array-carrying one has no
+        // such contract and fails outright at any size.
+        if (!r.runtimeSized && r.carriesArray && r.inflatedBelow)
+          breaches ::= s"$name: static-estimate broadcast over an unmaterialized explode"
       }
       val rows = rs.map(r =>
         s"""{"built_bytes":${r.builtBytes},"runtime_sized":${r.runtimeSized},""" +

@@ -25,9 +25,15 @@ import graft.Tables
   *    q12/q48/q53/q55).
   *  - `revenue_sum:{nation,brand,shipyear,suppkey,custkey,orderkey}_group`
   *    — max per-GROUP sum of each registered grouping over its own join
-  *    (q13/q34/q40/q41, q16, q49, q29/q56, q35, q32/q54). The nation class
-  *    crosses first: at sf100 its 25-way split of the global sum reads
-  *    ~14.7% of 2⁶³ and wraps near sf700.
+  *    (q13/q34/q40/q41, q16, q49, q29/q56, q35, q32/q54), measured on the
+  *    1e-4-scaled 2-FACTOR term those members actually sum (vol4-class) —
+  *    ~100× below the charge-term family ceiling, so the grouped classes
+  *    stay exact decades past the global alarm (nation, the coarsest,
+  *    reads ~0.15% of 2⁶³ at sf100 and wraps only near sf70000). The
+  *    grouped rows' r14 job is as much REMOVING that false alarm as
+  *    raising a true one: the members the global row names (q12's
+  *    near-global charge sums, ~57% of 2⁶³ per group at sf100, wrapping
+  *    near sf175) are the ones that actually need the switch first.
   *  - `totalprice_sum:priority_group` (q17), `acctbal_sum` (q18 — the
   *    rollup's grand-total row IS the global sum), `qty_sum` (q1-style).
   *  - `gate_cross_mult` — q68's value4·n_parts vs 2·total4 integer gate:
@@ -114,7 +120,11 @@ object OverflowAudit {
     */
   def groupedSumHeadroom(family: String, df: DataFrame, groupCols: Seq[Column],
       term: Column, queries: Seq[String] = Nil,
-      wideSwitchCovers: Boolean = true): Headroom = {
+      // no default: whether the engine-level switch releases this row from
+      // the gate is safety-critical — a forgotten-to-sweep member must not
+      // fail OPEN by omission (sumHeadroom defaults false for the same
+      // reason; this one forces the caller to decide)
+      wideSwitchCovers: Boolean): Headroom = {
     val t = abs(term).cast("decimal(38,0)")
     val per = df.groupBy(groupCols: _*)
       .agg(sum(t).as("s"), count(lit(1)).as("n"), count(t).as("nn"))
@@ -185,34 +195,48 @@ object OverflowAudit {
     // exactly). Fail-closed accounting rides along: a per-custkey group
     // with dropped per-row terms carries a NULL term into the outer bound,
     // which groupedSumHeadroom's null check turns into UNMEASURABLE.
+    // BOTH rows measure the 1e-4-scaled 2-factor term their members
+    // actually sum: q13's c2(price)·(100−c2(disc)) equals vol4 up to
+    // rounding, and q34/q40/q41's vol4/profit4 are the same scale. (The
+    // first r14 cut measured the 3-factor CHARGE term here — ~100× every
+    // member's real per-group sum — and fired a false nation alarm at
+    // sf100; the charge class belongs to the GLOBAL row, whose member q12
+    // really does sum it.)
     val perCust = li
-      .select(col("l_orderkey"),
-        abs(charge).cast("decimal(38,0)").as("tc"),
-        abs(vol4).cast("decimal(38,0)").as("tv"))
+      .select(col("l_orderkey"), abs(vol4).cast("decimal(38,0)").as("tv"))
       .join(ord.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
-      .agg(sum(col("tc")).as("sc"), sum(col("tv")).as("sv"),
-        count(lit(1)).as("n"), count(col("tc")).as("ntc"), count(col("tv")).as("ntv"))
+      .agg(sum(col("tv")).as("sv"),
+        count(lit(1)).as("n"), count(col("tv")).as("ntv"))
       // materialize once: both rows read this frame; without the pin the
       // 600M-row fact join would run twice (the d11/s09 rule)
       .localCheckpoint(true)
     val custSum = when(col("ntv") =!= col("n"), lit(null)).otherwise(col("sv"))
-    val chargeSum = when(col("ntc") =!= col("n"), lit(null)).otherwise(col("sc"))
     val custkey = groupedSumHeadroom("revenue_sum:custkey_group", perCust,
-      Seq(col("o_custkey")), custSum, queries = Seq("q35"))
+      Seq(col("o_custkey")), custSum, queries = Seq("q35"),
+      wideSwitchCovers = true)
     val nation = groupedSumHeadroom("revenue_sum:nation_group",
       perCust.join(Tables.customer(spark, dir)
           .select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey")),
-      Seq(col("c_nationkey")), chargeSum,
-      queries = Seq("q13", "q34", "q40", "q41"))
+      Seq(col("c_nationkey")), custSum,
+      queries = Seq("q13", "q34", "q40", "q41"), wideSwitchCovers = true)
+    // orderkey/suppkey/shipyear deliberately re-scan lineitem rather than
+    // share one checkpointed projection: materializing a 600M-row 4-column
+    // frame (~24 GB of blocks at sf100) costs more than two extra
+    // column-pruned parquet scans. perCust above checkpoints because its
+    // shared frame is POST-aggregation (|custkeys| rows) — the d11/s09 rule
+    // applies to small derived frames, not to fact projections.
     val orderkey = groupedSumHeadroom("revenue_sum:orderkey_group", li,
-      Seq(col("l_orderkey")), vol4, queries = Seq("q32", "q54"))
+      Seq(col("l_orderkey")), vol4, queries = Seq("q32", "q54"),
+      wideSwitchCovers = true)
     val suppkey = groupedSumHeadroom("revenue_sum:suppkey_group", li,
-      Seq(col("l_suppkey")), vol4, queries = Seq("q29", "q56"))
+      Seq(col("l_suppkey")), vol4, queries = Seq("q29", "q56"),
+      wideSwitchCovers = true)
     val yearly = groupedSumHeadroom("revenue_sum:shipyear_group", li,
-      Seq(year(col("l_shipdate"))), vol4, queries = Seq("q49"))
+      Seq(year(col("l_shipdate"))), vol4, queries = Seq("q49"),
+      wideSwitchCovers = true)
     // brand row pre-aggregates on partkey below the part join (same rule:
     // the dimension joins 1-row-per-part aggregates, never the fact scan)
     val perPartVol = li
@@ -225,9 +249,10 @@ object OverflowAudit {
         col("l_partkey") === col("p_partkey")),
       Seq(col("p_brand")),
       when(col("ntv") =!= col("n"), lit(null)).otherwise(col("spv")),
-      queries = Seq("q16"))
+      queries = Seq("q16"), wideSwitchCovers = true)
     val priority = groupedSumHeadroom("totalprice_sum:priority_group", ord,
-      Seq(col("o_orderpriority")), c2(col("o_totalprice")), queries = Seq("q17"))
+      Seq(col("o_orderpriority")), c2(col("o_totalprice")), queries = Seq("q17"),
+      wideSwitchCovers = true)
     // q18's rollup includes the grand-total row, so its worst group IS the
     // global acctbal sum — a plain global headroom bounds it exactly
     val acctbal = sumHeadroom("acctbal_sum", Tables.customer(spark, dir),

@@ -41,20 +41,21 @@ class OverflowAuditSpec extends SparkSpec {
     // the GLOBAL sum would read ~2^62; the grouped bound must be the max
     // group, proving it measures the arithmetic a grouped query runs
     val df = (Seq.fill(2)(("hot", 1L << 60)) ++ Seq(("cold", 5L))).toDF("g", "v")
-    val h = OverflowAudit.groupedSumHeadroom("g", df, Seq(col("g")), col("v"))
+    val h = OverflowAudit.groupedSumHeadroom("g", df, Seq(col("g")), col("v"), wideSwitchCovers = false)
     assert(h.worst.contains(BigDecimal(BigInt(1) << 61)), s"wrong grouped worst: $h")
     assert(!h.ok, "a 2^61 per-group sum is past the 10% alarm line")
     // below the line: same shape, small values
     val small = Seq(("a", 10L), ("a", 3L), ("b", 9L)).toDF("g", "v")
-    val hs = OverflowAudit.groupedSumHeadroom("g", small, Seq(col("g")), col("v"))
+    val hs = OverflowAudit.groupedSumHeadroom("g", small, Seq(col("g")), col("v"), wideSwitchCovers = false)
     assert(hs.ok && hs.worst.contains(BigDecimal(13)))
     // fail-closed contract carried over: per-row null terms and empty input
     val withNull = Seq(("a", Some(1L)), ("a", None), ("b", Some(2L)))
       .toDF("g", "v")
-    val hn = OverflowAudit.groupedSumHeadroom("g", withNull, Seq(col("g")), col("v"))
+    val hn = OverflowAudit.groupedSumHeadroom("g", withNull, Seq(col("g")), col("v"), wideSwitchCovers = false)
     assert(!hn.ok && hn.worst.isEmpty, s"per-row null terms must fail closed: $hn")
     val he = OverflowAudit.groupedSumHeadroom("g",
-      Seq.empty[(String, Long)].toDF("g", "v"), Seq(col("g")), col("v"))
+      Seq.empty[(String, Long)].toDF("g", "v"), Seq(col("g")), col("v"),
+      wideSwitchCovers = false)
     assert(he.ok && he.worst.contains(BigDecimal(0)), "zero groups cannot overflow")
   }
 

@@ -587,7 +587,7 @@ class PlanSpec extends SparkSpec {
     // the exact bound the guard asserts
     import graft.plans.BroadcastAudit
     val withBroadcast = Seq("s02_ann_lsh", "d08_dedup_incremental", "q13_region_revenue")
-    withBroadcast.foreach { name =>
+    val readings = withBroadcast.map { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       BroadcastAudit.execute(df)
       val rs = BroadcastAudit.readings(df)
@@ -599,11 +599,11 @@ class PlanSpec extends SparkSpec {
         assert(!r.inflatedBelow, s"$name: static array broadcast over explode: $r")
         assert(r.builtBytes < 64L * 1024 * 1024, s"$name: static built size at spec SF: $r")
       }
-    }
+      name -> rs
+    }.toMap
     // q13's dim broadcasts carry no arrays — the probe must record them
-    // without ever alarming (scalar dims are not the banded danger class)
-    val q13 = SparkEntry.queries("q13_region_revenue")(spark, sfDir)
-    BroadcastAudit.execute(q13)
-    assert(BroadcastAudit.readings(q13).forall(!_.carriesArray))
+    // without ever alarming on the array rule (scalar dims are not the
+    // banded danger class); read off the loop's readings, not a re-run
+    assert(readings("q13_region_revenue").forall(!_.carriesArray))
   }
 }

@@ -255,7 +255,7 @@ class QueriesSpec extends SparkSpec {
         if (nr.isEmpty) {
           // empty≡empty is vacuous (q34's nation-pair filter selects nothing
           // at sf0.001) — re-pin the member one SF up where it has rows
-          val dir01 = "/root/testdata/sf0.01"
+          val dir01 = TestSession.sfDir01
           spark.conf.set("spark.graft.wideSums", "true")
           val w01 = SparkEntry.queries(n)(spark, dir01).collect().toSet
           spark.conf.set("spark.graft.wideSums", "false")

@@ -18,6 +18,9 @@ object TestSession {
     SparkEntry.prep(s)
   }
   val sfDir = "/root/testdata/sf0.001"
+  // one SF up — for pins that are vacuous on a query that selects no rows
+  // at spec SF (q34's nation-pair filter)
+  val sfDir01 = "/root/testdata/sf0.01"
 }
 
 abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {

@@ -48,9 +48,20 @@ echo "=== STAGE sf10 broadcast built-size probe (VERDICT r12/r13 task 3) $(date)
 # executed BroadcastExchange dataSize of the 8 banded plans at sf10 and
 # FAILS the chain (exit 3) on a static-estimate breach. JSON line lands in
 # BENCH_SF10_BROADCAST.json (referenced from the sf10 report).
+# NO pipe around sbt: a pipeline's status is the LAST command's, so
+# `sbt | grep` would mask the probe's breach exit (sbt flattens the
+# forked exit 3 to 1, and grep then matches the JSON and returns 0 —
+# the chain would publish a breached artifact and keep going). Capture,
+# then extract, then check BOTH the sbt status and the breaches field.
 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE_PARTITIONS=64 \
   sbt -batch "runMain graft.BroadcastProbe /root/repo/testdata/sf10" \
-  | grep -E '^\{"metric":"broadcast_built_bytes"' > BENCH_SF10_BROADCAST.json || exit 1
+  > /tmp/broadcast_probe_sf10.log 2>&1
+PROBE_RC=$?
+grep -E '^\{"metric":"broadcast_built_bytes"' /tmp/broadcast_probe_sf10.log \
+  > BENCH_SF10_BROADCAST.json || { echo "probe emitted no JSON"; exit 1; }
+python3 -c "import json,sys; d=json.load(open('BENCH_SF10_BROADCAST.json')); sys.exit(1 if d['breaches'] else 0)" \
+  || { echo "BROADCAST PROBE BREACH (see artifact)"; exit 1; }
+[ "$PROBE_RC" -eq 0 ] || { echo "broadcast probe failed rc=$PROBE_RC"; exit 1; }
 
 bash tools/sf100_probe.sh || exit 1
 
