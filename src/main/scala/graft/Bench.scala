@@ -183,6 +183,16 @@ object Bench {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
       catch { case e: Exception => System.err.println(s"[bench] $outPath write failed: $e") }
     }
+    // The full line above is ~6 KB — longer than the driver's tail window,
+    // so its `parsed` field came up null every round (the window holds only
+    // the line's end). Print a SECOND, compact line LAST: it fits whole in
+    // any ≥1 KB tail, so a parser scanning the tail for a complete JSON
+    // object always finds at least this one. Slowest-8 queries inline;
+    // the full per-query map lives in the first line and in `outPath`.
+    val slow = results.sortBy(-_._2).take(8)
+      .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",""" +
+      s""""n_queries":${results.length},"slowest":$slow,"queries_artifact":"$outPath","config":$config}""")
     spark.stop()
   }
 }

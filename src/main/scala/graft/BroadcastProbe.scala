@@ -19,7 +19,12 @@ import graft.plans.BroadcastAudit
   * static-over-explode sides, like s02/s05's contract-bounded query
   * vectors, are by-design and bounded by the bytes alarm instead).
   * Runtime/AQE-sized broadcasts are sized from real bytes and cannot
-  * misestimate — reported but never alarmed.
+  * misestimate — reported but never alarmed ON SIZE. One probe invariant
+  * outranks that scoping (ADVICE r14, fail-closed): a MISSING dataSize
+  * metric breaches on EVERY reading, runtime-sized included — a probe
+  * that cannot read the built bytes cannot bound anything, and a Spark
+  * upgrade silently dropping the metric must fail the chain loudly, not
+  * degrade the guard to reported-only.
   *
   * Usage: runMain graft.BroadcastProbe <sfDir> [queriesCsv]
   * Env: SPARK_GRAFT_CPUS, SPARK_GRAFT_SHUFFLE_PARTITIONS,

@@ -23,10 +23,12 @@ import graft.Tables
   *  - `revenue_sum` — the family's global ceiling (q12's sum_charge
   *    product, the largest per-row term; bounds the global-sum members
   *    q12/q48/q53/q55).
-  *  - `revenue_sum:{nation,brand,shipyear,suppkey,custkey,orderkey}_group`
-  *    — max per-GROUP sum of each registered grouping over its own join
-  *    (q13/q34/q40/q41, q16, q49, q29/q56, q35, q32/q54), measured on the
-  *    1e-4-scaled 2-FACTOR term those members actually sum (vol4-class) —
+  *  - `revenue_sum:{nation,brand,shipyear,suppkey,custkey,orderkey,
+  *    orderyear,suppnation}_group` — max per-GROUP sum of each registered
+  *    grouping over its own join (q13/q34, q16, q49, q29/q56, q35,
+  *    q32/q54, q40, q41), measured on the 1e-4-scaled 2-FACTOR term those
+  *    members actually sum (vol4-class; suppnation bounds q41's profit4
+  *    with vol4+cost4+2) —
   *    ~100× below the charge-term family ceiling, so the grouped classes
   *    stay exact decades past the global alarm (nation, the coarsest,
   *    reads ~0.15% of 2⁶³ at sf100 and wraps only near sf70000). The
@@ -77,8 +79,14 @@ object OverflowAudit {
     // NaN < 0.10 is false, so the unmeasurable case stays failed-closed.
     def ok: Boolean = fraction < 0.10
     /** Whether a crossed row should still trip the deployment gate given
-      * the engine-level wide-sums switch state. */
-    def gates(wideSumsOn: Boolean): Boolean = !(wideSumsOn && wideSwitchCovers)
+      * the engine-level wide-sums switch state. Only a MEASURED crossing is
+      * releasable: an UNMEASURABLE row (worst = None) signals the audit
+      * itself failed — all-null terms or the audit's own decimal arithmetic
+      * wrapping — which is a measurement/data anomaly the switch does not
+      * remove, so it gates in both modes (ADVICE r14: releasing it would
+      * silently lose the fail-closed property for wide deployments). */
+    def gates(wideSumsOn: Boolean): Boolean =
+      !(wideSumsOn && wideSwitchCovers && worst.isDefined)
     override def toString: String = {
       val qs = if (queries.isEmpty) "" else queries.mkString(" [", ",", "]")
       val cov = if (wideSwitchCovers) " escape=GRAFT_WIDE_SUMS=1" else ""
@@ -186,42 +194,73 @@ object OverflowAudit {
     // the 1e-4-scaled revenue term shared by the grouped members
     val vol4 = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
       .cast("long")
-    // The nation (q13-class — coarsest of the nation/year classes, so it
-    // upper-bounds q34/q40/q41 whose year keys only split finer) and
-    // custkey (q35) rows share ONE fact-fact li⋈ord pass, pre-aggregated
-    // on custkey BELOW the customer dimension — the q35 rule applied to
-    // the audit itself: the join output shrinks to |custkeys| rows before
-    // any dimension touches it (Σ per-custkey Σ per nation ≡ per-nation Σ,
-    // exactly). Fail-closed accounting rides along: a per-custkey group
-    // with dropped per-row terms carries a NULL term into the outer bound,
-    // which groupedSumHeadroom's null check turns into UNMEASURABLE.
-    // BOTH rows measure the 1e-4-scaled 2-factor term their members
+    // The nation (q13 groups by region×CUSTOMER-nation; q34's nation-pair
+    // groups are subsets of one customer nation's rows — both bounded by
+    // the per-customer-nation max), custkey (q35) and orderyear (q40 —
+    // groups by o_year ONLY, summing across every customer nation per
+    // year, so NO nation-refinement bound applies; ADVICE r14) rows share
+    // ONE fact-fact li⋈ord pass, pre-aggregated on (custkey, order-year)
+    // cells below the customer dimension — the q35 rule applied to the
+    // audit itself: the join output shrinks to |cells| rows (≤ |orders|)
+    // before any further grouping, and each row's grouping is a coarsening
+    // of the cell grain (Σ per-cell Σ per custkey/year/nation ≡ the direct
+    // Σ, exactly). Fail-closed accounting rides along: a cell with dropped
+    // per-row terms carries a NULL term into each outer bound, which
+    // groupedSumHeadroom's null check turns into UNMEASURABLE.
+    // All three rows measure the 1e-4-scaled 2-factor term their members
     // actually sum: q13's c2(price)·(100−c2(disc)) equals vol4 up to
-    // rounding, and q34/q40/q41's vol4/profit4 are the same scale. (The
-    // first r14 cut measured the 3-factor CHARGE term here — ~100× every
-    // member's real per-group sum — and fired a false nation alarm at
-    // sf100; the charge class belongs to the GLOBAL row, whose member q12
-    // really does sum it.)
-    val perCust = li
+    // rounding, and q34/q35/q40's vol4 is the same scale. (The first r14
+    // cut measured the 3-factor CHARGE term here — ~100× every member's
+    // real per-group sum — and fired a false nation alarm at sf100; the
+    // charge class belongs to the GLOBAL row, whose member q12 really
+    // does sum it.)
+    val perCell = li
       .select(col("l_orderkey"), abs(vol4).cast("decimal(38,0)").as("tv"))
-      .join(ord.select(col("o_orderkey"), col("o_custkey")),
+      .join(ord.select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
         col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey"))
+      .groupBy(col("o_custkey"), col("o_year"))
       .agg(sum(col("tv")).as("sv"),
         count(lit(1)).as("n"), count(col("tv")).as("ntv"))
-      // materialize once: both rows read this frame; without the pin the
-      // 600M-row fact join would run twice (the d11/s09 rule)
+      // materialize once: three rows read this frame; without the pin the
+      // 600M-row fact join would run three times (the d11/s09 rule). The
+      // cell grain keeps the checkpoint post-aggregation — bounded by
+      // |orders|, in practice |custkeys|×active-years ≪ that
       .localCheckpoint(true)
-    val custSum = when(col("ntv") =!= col("n"), lit(null)).otherwise(col("sv"))
-    val custkey = groupedSumHeadroom("revenue_sum:custkey_group", perCust,
-      Seq(col("o_custkey")), custSum, queries = Seq("q35"),
+    val cellSum = when(col("ntv") =!= col("n"), lit(null)).otherwise(col("sv"))
+    val custkey = groupedSumHeadroom("revenue_sum:custkey_group", perCell,
+      Seq(col("o_custkey")), cellSum, queries = Seq("q35"),
+      wideSwitchCovers = true)
+    val orderyear = groupedSumHeadroom("revenue_sum:orderyear_group", perCell,
+      Seq(col("o_year")), cellSum, queries = Seq("q40"),
       wideSwitchCovers = true)
     val nation = groupedSumHeadroom("revenue_sum:nation_group",
-      perCust.join(Tables.customer(spark, dir)
+      perCell.join(Tables.customer(spark, dir)
           .select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey")),
-      Seq(col("c_nationkey")), custSum,
-      queries = Seq("q13", "q34", "q40", "q41"), wideSwitchCovers = true)
+      Seq(col("c_nationkey")), cellSum,
+      queries = Seq("q13", "q34"), wideSwitchCovers = true)
+    // q41 groups by SUPPLIER nation (× order year, which only splits
+    // finer), summing profit4 = round((price·(1−disc) − 0.1·retail·qty)
+    // ·1e4) — neither a customer-nation nor a vol4 class (ADVICE r14). Its
+    // row measures the supplier-nation grouping over a row-wise upper
+    // bound on |profit4|: |round((a−b)·1e4)| ≤ round(a·1e4) + round(b·1e4)
+    // + 2 for non-negative a, b (each rounding adds ≤ ½). Both dims
+    // broadcast; the 25-way groupBy partial-aggregates map-side, so the
+    // pass is one pruned lineitem scan.
+    val cost4 = round(lit(0.1) * col("p_retailprice") * col("l_quantity") * 10000)
+      .cast("long")
+    val suppnation = groupedSumHeadroom("revenue_sum:suppnation_group",
+      li.select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"),
+          col("l_discount"), col("l_quantity"))
+        .join(broadcast(Tables.part(spark, dir)
+            .select(col("p_partkey"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(spark, dir)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey")),
+      Seq(col("s_nationkey")), abs(vol4) + abs(cost4) + lit(2L),
+      queries = Seq("q41"), wideSwitchCovers = true)
     // orderkey/suppkey/shipyear deliberately re-scan lineitem rather than
     // share one checkpointed projection: materializing a 600M-row 4-column
     // frame (~24 GB of blocks at sf100) costs more than two extra
@@ -291,7 +330,7 @@ object OverflowAudit {
     // form (the gate is long cross-multiplication, not an xsum aggregate)
     val gate = Headroom("gate_cross_mult", gateWorst, queries = Seq("q68"))
     Seq(revenue, nation, brand, yearly, suppkey, custkey, orderkey,
-      priority, acctbal, qty, gate)
+      orderyear, suppnation, priority, acctbal, qty, gate)
   }
 
   /** Table rendering of [[audit]] for ops surfaces: one row per

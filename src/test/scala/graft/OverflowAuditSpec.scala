@@ -17,7 +17,15 @@ class OverflowAuditSpec extends SparkSpec {
       "revenue_sum", "revenue_sum:nation_group", "revenue_sum:brand_group",
       "revenue_sum:shipyear_group", "revenue_sum:suppkey_group",
       "revenue_sum:custkey_group", "revenue_sum:orderkey_group",
+      "revenue_sum:orderyear_group", "revenue_sum:suppnation_group",
       "totalprice_sum:priority_group", "acctbal_sum", "qty_sum", "gate_cross_mult"))
+    // grouping soundness (ADVICE r14): q40 (o_year only) and q41 (supplier
+    // nation) are NOT refinements of customer nation — each is bounded by
+    // a row measuring its OWN grouping, never by the nation row
+    val byFam = hs.map(h => h.family -> h.queries).toMap
+    assert(byFam("revenue_sum:orderyear_group") == Seq("q40"))
+    assert(byFam("revenue_sum:suppnation_group") == Seq("q41"))
+    assert(!byFam("revenue_sum:nation_group").exists(Set("q40", "q41")))
     hs.foreach { h =>
       assert(h.ok, s"family past the 10% alarm line: $h")
       // the documented margin: nothing in the verified range is within
@@ -72,6 +80,15 @@ class OverflowAuditSpec extends SparkSpec {
     // escape is the registered q72 wide form, not the switch)
     assert(!covered.gates(wideSumsOn = true))
     assert(gateRow.gates(wideSumsOn = true))
+    // only a MEASURED crossing is releasable (ADVICE r14): an UNMEASURABLE
+    // covered row signals the audit itself failed — a data/measurement
+    // anomaly the switch does not remove — so it gates in BOTH modes
+    val unmeasurable = OverflowAudit.Headroom("revenue_sum", None,
+      queries = Seq("q13"), wideSwitchCovers = true)
+    assert(!unmeasurable.ok)
+    assert(unmeasurable.gates(wideSumsOn = false))
+    assert(unmeasurable.gates(wideSumsOn = true),
+      "an unmeasurable row must keep gating under wide mode — fail closed")
     // and the Verify-level gate expression over both states
     def gateOk(rows: Seq[OverflowAudit.Headroom], wide: Boolean) =
       rows.forall(h => h.ok || !h.gates(wide))
@@ -128,7 +145,7 @@ class OverflowAuditSpec extends SparkSpec {
 
   test("auditDf: one row per (family, grouping-class) with verdict and members") {
     val rows = OverflowAudit.auditDf(spark, sfDir).collect()
-    assert(rows.length == 11)
+    assert(rows.length == 13)
     assert(rows.forall(_.getBoolean(3)))
     assert(rows.forall(_.getString(4).nonEmpty), "every row must name its queries")
     // exactly one row is NOT released by the wide-sums switch: q68's gate
