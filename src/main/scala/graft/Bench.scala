@@ -44,7 +44,7 @@ object Bench {
     "d01_dedup_exact", "d02_dedup_minhash", "d03_dedup_simhash", "d04_ngram_jaccard",
     "d06_dedup_clusters", "d07_embed_neardup_lsh", "d08_dedup_incremental", "d09_embed_delta",
     "d10_passage_dedup", "d11_semantic_dedup", "d12_dedup_pipeline",
-    "d13_semantic_dedup_trained", "d14_semantic_dedup_scaled",
+    "d13_semantic_dedup_trained", "d14_semantic_dedup_scaled", "d15_semantic_dedup_lloyd",
     "s01_ann_brute", "s02_ann_lsh", "s03_ann_ivf", "s05_range_search", "s06_quantize",
     "s07_mmr_diversify", "s08_pq_encode", "s09_adc_search", "s10_ivfpq", "s11_kmeans_train",
     "s12_ann_ivf_trained",

@@ -714,6 +714,23 @@ object SparkEntry {
       Dedup.semanticDedupScaled(Tables.embeddings(s, dir), "vec_id", "embedding",
         eps = 0.35)
     },
+    "d15_semantic_dedup_lloyd" -> q { (s, dir) =>
+      // d14's production-k quantizer TRAINED: strided-by-id coverage init
+      // + one exact-integer Lloyd round (the s11 recipe at k = max(16,
+      // N/125)) before the two-level assignment — the r14 negative result
+      // isolated magnet-leader bias as d14's scale exposure (the
+      // cell-local prune is quadratic in cell size), and r15 measured its
+      // root as INIT COVERAGE: d14's lowest-id stand-ins leave one sf100
+      // cell holding 61% of the corpus (Σ|cell|² 1.55e12); coverage init
+      // + a Lloyd round read 3.78e10 (41× contained; the quantizer-cost
+      // regimes are measured in Dedup.semanticDedupLloyd's scaladoc).
+      // Training and pruning verify in ONE oracle (the d13/s12 pattern at
+      // production k): the SQL re-runs the strided pick, the two-level
+      // assignment, the integer centroid update, and the re-pick against
+      // the float32 image of the updated integer state.
+      Dedup.semanticDedupLloyd(Tables.embeddings(s, dir), "vec_id", "embedding",
+        eps = 0.35)
+    },
     "s05_range_search" -> q { (s, dir) =>
       // range (threshold) similarity search: all corpus vectors within
       // cos >= 0.35 of each query — banded corpus scan + broadcast banded
@@ -2688,6 +2705,92 @@ object SparkEntry {
         |SELECT a.vec_id, a.cell,
         |       CAST(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM assign a LEFT JOIN rm r ON a.vec_id = r.vec_id""".stripMargin,
+    // d15 = d14's two-level pick (g0..a0), then ONE exact-integer Lloyd
+    // update (s11's cellsx/upd/coalesce at production k; `//` truncates
+    // toward zero = the JVM's long division), then the re-pick against the
+    // float32 image of the updated integer centroids (CAST(... AS REAL)
+    // mirrors the engine's (c6/1e6).toFloat), then the cell-local prune
+    "d15_semantic_dedup_lloyd" ->
+      """WITH p AS (SELECT greatest(16, count(*)//125) AS k FROM embeddings),
+        |p2 AS (SELECT k, CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS c FROM p),
+        |p3 AS (SELECT k, (k + c - 1)//c AS gs FROM p2),
+        |st AS (SELECT greatest(1, (SELECT count(*) FROM embeddings) // (SELECT k FROM p)) AS s),
+        |cent0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ci, vec_id, embedding AS cv
+        |  FROM embeddings WHERE vec_id % (SELECT s FROM st) = 0
+        |  ORDER BY vec_id
+        |  LIMIT (SELECT k FROM p)),
+        |cg0 AS (SELECT ci, ci // (SELECT gs FROM p3) AS gid, cv FROM cent0),
+        |ld0 AS (SELECT gid, cv AS lv FROM cg0 WHERE ci % (SELECT gs FROM p3) = 0),
+        |g0 AS (
+        |  SELECT e.vec_id, e.embedding, l.gid,
+        |         list_sum(list_transform(list_zip(e.embedding, l.lv), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |              * sqrt(list_sum(list_transform(l.lv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings e CROSS JOIN ld0 l),
+        |ga0 AS (
+        |  SELECT vec_id, embedding, gid
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, gid DESC) AS rn
+        |        FROM g0)
+        |  WHERE rn = 1),
+        |s0 AS (
+        |  SELECT a.vec_id, c.ci,
+        |         list_sum(list_transform(list_zip(a.embedding, c.cv), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |              * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        |  FROM ga0 a JOIN cg0 c ON c.gid = a.gid),
+        |a0 AS (
+        |  SELECT vec_id, ci AS cell
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ci DESC) AS rn
+        |        FROM s0)
+        |  WHERE rn = 1),
+        |cellsx AS (
+        |  SELECT vec_id, CAST(i AS BIGINT) AS dim,
+        |         CAST(round(CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE) * 1000000) AS BIGINT) AS x6
+        |  FROM embeddings, range(0, 64) t(i)),
+        |c60 AS (SELECT n.ci, c.dim, c.x6 AS c6 FROM cent0 n JOIN cellsx c USING (vec_id)),
+        |upd AS (
+        |  SELECT a.cell AS ci, c.dim, CAST(sum(c.x6) AS BIGINT) // count(*) AS c6n
+        |  FROM a0 a JOIN cellsx c USING (vec_id) GROUP BY 1, 2),
+        |c61 AS (
+        |  SELECT p.ci, p.dim, coalesce(u.c6n, p.c6) AS c6
+        |  FROM c60 p LEFT JOIN upd u ON p.ci = u.ci AND p.dim = u.dim),
+        |cent1 AS (
+        |  SELECT ci, list(CAST(CAST(c6 AS DOUBLE)/1000000.0 AS REAL) ORDER BY dim) AS cv
+        |  FROM c61 GROUP BY ci),
+        |cg1 AS (SELECT ci, ci // (SELECT gs FROM p3) AS gid, cv FROM cent1),
+        |ld1 AS (SELECT gid, cv AS lv FROM cg1 WHERE ci % (SELECT gs FROM p3) = 0),
+        |g1 AS (
+        |  SELECT e.vec_id, e.embedding, l.gid,
+        |         list_sum(list_transform(list_zip(e.embedding, l.lv), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |              * sqrt(list_sum(list_transform(l.lv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings e CROSS JOIN ld1 l),
+        |ga1 AS (
+        |  SELECT vec_id, embedding, gid
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, gid DESC) AS rn
+        |        FROM g1)
+        |  WHERE rn = 1),
+        |s1 AS (
+        |  SELECT a.vec_id, a.embedding, c.ci,
+        |         list_sum(list_transform(list_zip(a.embedding, c.cv), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |              * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        |  FROM ga1 a JOIN cg1 c ON c.gid = a.gid),
+        |a1 AS (
+        |  SELECT vec_id, embedding, ci AS cell
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ci DESC) AS rn
+        |        FROM s1)
+        |  WHERE rn = 1),
+        |rm AS (
+        |  SELECT DISTINCT a.vec_id
+        |  FROM a1 a JOIN a1 b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |          / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) >= 0.35)
+        |SELECT a.vec_id, a.cell,
+        |       CAST(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM a1 a LEFT JOIN rm r ON a.vec_id = r.vec_id""".stripMargin,
     "s05_range_search" ->
       """WITH p AS (
         |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,

@@ -670,6 +670,132 @@ object Dedup {
     semanticDedupFromAssign(assign, eps)
   }
 
+  /** [[semanticDedupScaled]] with a TRAINED production-k quantizer:
+    * strided-by-id init refined by `lloydRounds` exact-integer Lloyd
+    * rounds (the s11 recipe at k = max(minCells, N/rowsPerCell) instead of
+    * k=8) before the final two-level assignment and cell-local prune.
+    *
+    * Why train at all: the r14 log-depth negative result isolated
+    * MAGNET-LEADER ROUTING BIAS — routing concentrated on a slightly
+    * "magnetic" leader — as the term that dominates this operator: the
+    * cell-local prune is quadratic in cell size, so Σ|cell|² (not
+    * assignment flops) is the scale exposure that matters. r15 measured
+    * the bias' actual root at sf100: d14's LOWEST-ID stand-ins span only
+    * the id-prefix of the corpus, and ONE magnet cell ends up holding 61%
+    * of all vectors (max cell 1.23M of 2M; Σ|cell|² 1.55e12). The fix is
+    * two-stage, both halves measured (r15, min-of-3 isolated per decade):
+    *  - COVERAGE init (strided by id) — the dominant term: sf100 Σ|cell|²
+    *    1.55e12 → 3.78e10 (41×), max cell 1.23M → 66k; sf10 4.73e8 →
+    *    2.65e8, max cell 9.5k → 5.3k.
+    *  - One exact-integer Lloyd round on top re-centers every covered
+    *    centroid on its cell mean (a Lloyd round CANNOT rescue the
+    *    uncovered init alone: the mean of a 61%-of-corpus cell is ~the
+    *    global mean, still a magnet — measured, lowest-id + 1 round left
+    *    Σ|cell|² at 1.33e12).
+    * Wall-time is regime-dependent and measured in both regimes: on the
+    * replica-dense bench corpus (~98% removed — every duplicate
+    * short-circuits its left-semi probe at the first match, so quantizer
+    * imbalance is almost free) d15 pays its training pass: sf10
+    * 1.82 → 2.60 s, sf100 7.13 → 7.87 s vs d14. In the KEEP-dominated
+    * regime a 100 TB curation corpus actually runs (most docs survive;
+    * kept vectors probe their WHOLE cell, so prune work ≈ Σ_kept |cell|),
+    * the containment wins outright: eps=2.0 (everything kept) reads d14
+    * 7.25 s vs d15 5.82 s at sf10; at sf100 d15 measures 589 s while
+    * d14's probe volume is Σ|cell|²/2 ≈ 7.8e11 pairs — 41× d15's, ~6.6 h
+    * at the measured pair rate (see [[graft.DedupRegimeProbe]]; all
+    * readings in BENCH_SF100.json `d15_lloyd_quantizer_r15`).
+    *
+    * Mechanics, all driver-bounded and oracle-mirrorable:
+    *  - Lloyd state lives in 1e-6-scaled INTEGER centroids (s11): the
+    *    per-round update is Σx6 div n with truncating division — exact on
+    *    both engines — and only the derived float matrix (c6/1e6 per
+    *    component, float32-narrowed identically in DuckDB via
+    *    CAST(... AS REAL)) enters the cosine kernel.
+    *  - Each round's assignment uses the SAME two-level strided kernel as
+    *    the final pick (N·2√k cosines — flat N·k training would reinstate
+    *    the quadratic decade ratio the two-level form exists to avoid),
+    *    so the oracle mirrors every round with the proven d14 CTE block.
+    *  - Per-round driver traffic is the (cell, dim) aggregate — k·dim
+    *    longs, a bounded model read of the same envelope as the s08/s09
+    *    codebooks (sf100: 16e3×64 ≈ 1M values).
+    *  - Empty cells keep their previous integer centroid (s11's coalesce),
+    *    so the trajectory is total and deterministic.
+    */
+  def semanticDedupLloyd(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      eps: Double,
+      rowsPerCell: Int = 125,
+      minCells: Int = 16,
+      lloydRounds: Int = 1): DataFrame = {
+    import graft.expressions.VectorExprs
+    require(lloydRounds >= 1)
+    // one corpus scan pinned for: count, init read, every round's
+    // assignment+update pass, and the final assignment (the d11/s09 rule)
+    val base = corpus
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+      .localCheckpoint(true)
+    val n = base.count()
+    val k = math.max(minCells.toLong, n / rowsPerCell).toInt
+    val coarse = math.ceil(math.sqrt(k.toDouble)).toInt
+    val gs = (k + coarse - 1) / coarse
+    val x6 = expr("transform(v, x -> cast(round(cast(x as double) * 1000000) as bigint))")
+    // init = STRIDED by id (vec_id ≡ 0 mod ⌊N/k⌋, 0-based rank by id =
+    // cid; bounded model read): d14's lowest-id stand-ins span only the
+    // id-prefix of the corpus, and on replica-dense data that prefix
+    // covers a small fraction of the direction space — measured at sf100,
+    // lowest-id init leaves ONE magnet cell holding 61% of all vectors
+    // (max cell 1.23M of 2M, Σ|cell|² 1.55e12) that a Lloyd round cannot
+    // dissolve (the mean of 61% of the corpus IS the global mean, still a
+    // magnet). A k-th-id stride samples the whole id range — coverage is
+    // a QUALITY heuristic (assumes ids spread across the corpus; with
+    // pathological id clustering it degrades to d14's prefix, never
+    // breaks correctness) — and is exactly mirrorable (id filter + rank).
+    val stride = math.max(1L, n / k)
+    val init = base.select(col("vec_id"), col("v"), x6.as("v6"))
+      .where(col("vec_id") % lit(stride) === 0L)
+      .orderBy(col("vec_id").asc)
+      .limit(k)
+      .collect()
+      .sortBy(_.getLong(0))
+    var c6: Array[Array[Long]] = init.map(_.getSeq[Long](2).toArray)
+    // round 1 assigns against the RAW stand-in floats (exactly d14's
+    // matrix); every later matrix is the float32 image of the integer state
+    var matrix: Array[Array[Float]] = init.map(_.getSeq[Float](1).toArray)
+    val kEff = matrix.length // corpus smaller than k: windows clamp (d14)
+
+    def assignTo(m: Array[Array[Float]]): DataFrame = base
+      .withColumn("lr", VectorExprs.argmaxCosStride(
+        col("v"), lit(0L), lit(k.toLong), gs, m))
+      .withColumn("cell", VectorExprs.argmaxCosStride(
+        col("v"), col("lr"), least(col("lr") + lit(gs.toLong), lit(k.toLong)), 1, m))
+      .select(col("vec_id"), col("v"), col("cell"))
+
+    for (_ <- 1 to lloydRounds) {
+      val upd = assignTo(matrix)
+        .select(col("cell"), posexplode(x6).as(Seq("dim", "x6")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("x6")).as("sum6"), count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      // Σx6 / n with JVM long division — truncation toward zero, the same
+      // rule as DuckDB's `//` (s11's proven pairing); empty cells coalesce
+      // to the previous integer centroid
+      c6 = Array.tabulate(kEff) { ci =>
+        Array.tabulate(c6(ci).length) { d =>
+          upd.get((ci.toLong, d)) match {
+            case Some((s, cnt)) => s / cnt
+            case None => c6(ci)(d)
+          }
+        }
+      }
+      matrix = c6.map(_.map(l => (l.toDouble / 1e6).toFloat))
+    }
+    semanticDedupFromAssign(assignTo(matrix), eps)
+  }
+
   /** The SemDeDup prune over a precomputed (vec_id, v, cell) assignment:
     * checkpoint once, cell-local LEFT SEMI probe, vector-free roster.
     * Shared by the literal-kernel quantizer ([[semanticDedup]]) and the

@@ -95,7 +95,8 @@ class ExchangeBudgetSpec extends SparkSpec {
     // argmax aggregates left the plan entirely.
     "d09_embed_delta" -> 2, "d10_passage_dedup" -> 3, "d11_semantic_dedup" -> 0,
     "d12_dedup_pipeline" -> 2, "d13_semantic_dedup_trained" -> 0,
-    "d14_semantic_dedup_scaled" -> 0, "s01_ann_brute" -> 1,
+    "d14_semantic_dedup_scaled" -> 0, "d15_semantic_dedup_lloyd" -> 0,
+    "s01_ann_brute" -> 1,
     "s02_ann_lsh" -> 1, "s03_ann_ivf" -> 1, "s05_range_search" -> 0,
     "s06_quantize" -> 2, "s07_mmr_diversify" -> 4, "s08_pq_encode" -> 0,
     "s09_adc_search" -> 1, "s10_ivfpq" -> 1, "s11_kmeans_train" -> 1,

@@ -450,7 +450,7 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("s08/s09/s10/d14: generated code compiles — no silent 64 KB fallback") {
+  test("s08/s09/s10/d14/d15: generated code compiles — no silent 64 KB fallback") {
     // the unrolled 128-dot expression tree used to exceed Janino's 64 KB
     // method limit inside the Generate consume, and Spark FELL BACK to
     // interpreted execution without failing anything. With fallback off,
@@ -459,7 +459,7 @@ class PlanSpec extends SparkSpec {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       Seq("s08_pq_encode", "s09_adc_search", "s10_ivfpq",
-          "d14_semantic_dedup_scaled").foreach { n =>
+          "d14_semantic_dedup_scaled", "d15_semantic_dedup_lloyd").foreach { n =>
         withClue(s"$n: ") { SparkEntry.queries(n)(spark, sfDir).collect() }
       }
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)

@@ -166,6 +166,64 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("d15 Lloyd dedup: trained assignment matches a driver-side mirror of the rounds") {
+    val out = SparkEntry.queries("d15_semantic_dedup_lloyd")(spark, sfDir)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").cast("long"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    assert(out.size == emb.length)
+    val k = math.max(16L, emb.length / 125L).toInt
+    val c = math.ceil(math.sqrt(k.toDouble)).toInt
+    val gs = (k + c - 1) / c
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def pick(v: Array[Float], cent: Array[Array[Float]]): Int = {
+      val nGroups = (cent.length + gs - 1) / gs
+      val gid = (0 until nGroups).map(g => (cos(v, cent(g * gs)), g)).max._2
+      (gid * gs until math.min(gid * gs + gs, cent.length))
+        .map(ci => (cos(v, cent(ci)), ci)).max._2
+    }
+    // round 1: pick against the strided-init centroids (vec_id ≡ 0 mod
+    // ⌊N/k⌋, rank by id = cid); update in 1e-6-scaled integers (Spark SQL
+    // round = HALF_UP on doubles; truncating division); re-derive the
+    // float matrix as the float32 image of the integer state
+    val stride = math.max(1L, emb.length.toLong / k)
+    val cent0 = emb.filter(_._1 % stride == 0L).take(k).map(_._2)
+    def x6(v: Array[Float]): Array[Long] = v.map(x =>
+      BigDecimal(x.toDouble * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val c60 = cent0.map(x6)
+    val byCell = emb.groupBy { case (_, v) => pick(v, cent0) }
+    val c61 = Array.tabulate(cent0.length) { ci =>
+      byCell.get(ci) match {
+        case Some(members) =>
+          val sums = members.map { case (_, v) => x6(v) }
+            .reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+          sums.map(_ / members.length) // JVM long division: truncates
+        case None => c60(ci)
+      }
+    }
+    val cent1 = c61.map(_.map(l => (l.toDouble / 1e6).toFloat))
+    emb.foreach { case (id, v) =>
+      val cell = pick(v, cent1)
+      assert(out(id) == cell.toLong, s"vec $id: operator cell ${out(id)}, mirror cell $cell")
+    }
+    // training must actually move the quantizer: the trained assignment
+    // differs from d14's stand-in assignment for at least one vector
+    val standIn = emb.map { case (id, v) => id -> pick(v, cent0).toLong }.toMap
+    assert(emb.exists { case (id, _) => out(id) != standIn(id) },
+      "Lloyd round produced the identical assignment — training is a no-op here")
+  }
+
   test("q72 widened gate equals q68 below the 64-bit ceiling") {
     // the widening switch must be a pure REPRESENTATION change: wherever
     // 64-bit arithmetic hasn't wrapped, the decimal(38,0) form selects the

@@ -16,7 +16,7 @@ if [ ! -f testdata/sf100/lineitem.parquet ]; then
   python3 tools/gen_scale.py /root/testdata/sf0.1 /root/repo/testdata/sf100 1000 || exit 1
 fi
 
-Q2PASS="q12_pricing_summary,q13_region_revenue,q16_brand_volume,q26_price_percentiles,q29_salted_join,q32_ship_priority,q34_nation_trade,q48_revenue_forecast,q49_promo_share,q52_pagerank,q60_sole_shipper,q61_part_variety,q66_bfs_depths,q68_nation_value,q72_nation_value_wide,q73_pricing_summary_wide,q74_brand_volume_wide,q75_revenue_forecast_wide,q76_promo_share_wide,q70_decile_bins,d01_dedup_exact,d14_semantic_dedup_scaled,s03_ann_ivf,s10_ivfpq,s11_kmeans_train,s12_ann_ivf_trained,t03_tokens,t17_bloom_contamination"
+Q2PASS="q12_pricing_summary,q13_region_revenue,q16_brand_volume,q26_price_percentiles,q29_salted_join,q32_ship_priority,q34_nation_trade,q48_revenue_forecast,q49_promo_share,q52_pagerank,q60_sole_shipper,q61_part_variety,q66_bfs_depths,q68_nation_value,q72_nation_value_wide,q73_pricing_summary_wide,q74_brand_volume_wide,q75_revenue_forecast_wide,q76_promo_share_wide,q70_decile_bins,d01_dedup_exact,d14_semantic_dedup_scaled,d15_semantic_dedup_lloyd,s03_ann_ivf,s10_ivfpq,s11_kmeans_train,s12_ann_ivf_trained,t03_tokens,t17_bloom_contamination"
 Q1PASS="d11_semantic_dedup,d13_semantic_dedup_trained"
 QBAND="q13_region_revenue,q29_salted_join,q60_sole_shipper,q61_part_variety"
 
@@ -63,6 +63,21 @@ SPARK_GRAFT_SF_DIR=/root/repo/testdata/sf100 SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench $Q1PASS" || exit 1
 
 python3 tools/merge_raw.py /tmp/BENCH_SF100_A.json /tmp/BENCH_SF100_B.json BENCH_SF100_RAW.json || exit 1
+
+echo "=== STAGE sf100 broadcast built-size probe (decade-3 reading, r15) $(date) ==="
+# the static-estimate broadcast class is SF-dependent only through the
+# file-estimate threshold, but this closes the guard's last unextrapolated
+# decade (sf10 readings live in BENCH_SF10_BROADCAST.json); exit 3 on any
+# breach of the 1.25 GiB design envelope fails the chain
+rm -rf /dev/shm/spark-local*
+SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
+  sbt -batch "runMain graft.BroadcastProbe /root/repo/testdata/sf100" \
+  > /tmp/broadcast_sf100.log 2>&1
+BCODE=$(grep -oE 'Nonzero exit code returned from runner: [0-9]+' /tmp/broadcast_sf100.log | grep -oE '[0-9]+$' | head -1)
+grep -E '^\{' /tmp/broadcast_sf100.log | tail -1 > /tmp/BENCH_SF100_BROADCAST.json
+cat /tmp/BENCH_SF100_BROADCAST.json
+if [ -n "${BCODE:-}" ]; then echo "BROADCAST PROBE BREACH (exit $BCODE)"; exit 3; fi
+cp /tmp/BENCH_SF100_BROADCAST.json BENCH_SF100_BROADCAST.json
 
 echo "=== OVERFLOW GATE DEMO (expected exit 2: gate tripped, dumps valid) $(date) ==="
 # sbt FLATTENS the forked JVM's exit code to 1 ("Nonzero exit code
