@@ -101,6 +101,11 @@ object BroadcastProbe {
         s"""{"built_bytes":${r.builtBytes},"runtime_sized":${r.runtimeSized},""" +
           s""""inflated_below":${r.inflatedBelow},"carries_array":${r.carriesArray}}""")
         .mkString("[", ",", "]")
+      // per-query partial line the moment the plan's metrics are read: at
+      // big SF a later query in the list can exceed the host (the gen_scale
+      // replica geometry makes pair outputs quadratic in density), and an
+      // all-or-nothing final line would lose every completed reading with it
+      println(s"""{"metric":"broadcast_built_bytes_partial","sf":"$sfDir","query":"$name","readings":$rows}""")
       s""""$name":$rows"""
     }
     spark.stop()

@@ -62,9 +62,30 @@ def renumber_name(t, col, prefix):
 
 
 def replicate(name, transform):
+    # Stream replicas through one ParquetWriter instead of materializing all
+    # F parts: at F=2000 (sf200) the concat form holds ~60 GB of lineitem
+    # arrow buffers before the first byte is written. Flushing every ~8M
+    # buffered rows keeps peak memory at one chunk while still emitting
+    # row groups small enough for a parallel scan (the write() comment's
+    # single-maximal-row-group trap).
     base = read(name)
-    parts = [transform(base, r) for r in range(F)]
-    write(name, pa.concat_tables(parts))
+    total = base.num_rows * F
+    flush_rows = max(min(8_000_000, total // 32), 1024)
+    writer = None
+    buf, buf_rows, groups = [], 0, 0
+    for r in range(F):
+        part = transform(base, r)
+        buf.append(part)
+        buf_rows += part.num_rows
+        if buf_rows >= flush_rows or r == F - 1:
+            chunk = pa.concat_tables(buf)
+            if writer is None:
+                writer = pq.ParquetWriter(f'{dst}/{name}.parquet', chunk.schema)
+            writer.write_table(chunk, row_group_size=flush_rows)
+            groups += 1
+            buf, buf_rows = [], 0
+    writer.close()
+    print(f'{name}: {total} rows (rg={flush_rows}, chunks={groups})')
     return base.num_rows
 
 

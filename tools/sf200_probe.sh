@@ -30,7 +30,7 @@ runner_exit() { # parse the forked JVM's exit code out of an sbt log
 
 rm -rf /dev/shm/spark-local* /tmp/v_sf200_narrow /tmp/v_sf200_wide
 echo "[sf200] narrow q12 dump + audit"
-SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
+SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
   sbt -batch "runMain graft.Verify $SF_DIR /tmp/v_sf200_narrow q12_pricing_summary" \
   > /tmp/v_sf200_narrow.log 2>&1
 NARROW_EXIT=$(runner_exit /tmp/v_sf200_narrow.log)
@@ -39,7 +39,7 @@ echo "[sf200] narrow verify exit: $NARROW_EXIT (2 = gate tripped, expected)"
 
 rm -rf /dev/shm/spark-local*
 echo "[sf200] wide q12 dump (GRAFT_WIDE_SUMS=1)"
-GRAFT_WIDE_SUMS=1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
+GRAFT_WIDE_SUMS=1 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
   sbt -batch "runMain graft.Verify $SF_DIR /tmp/v_sf200_wide q12_pricing_summary" \
   > /tmp/v_sf200_wide.log 2>&1
 WIDE_EXIT=$(runner_exit /tmp/v_sf200_wide.log)
