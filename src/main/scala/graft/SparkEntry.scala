@@ -80,6 +80,43 @@ object SparkEntry {
     */
   private def c2(c: Column): Column = round(c * lit(100)).cast("long")
 
+  /** Exact HALF_UP of a scaled-integer sum to 2 decimals, decided in
+    * INTEGER arithmetic — the determinism rule's missing last step. The
+    * former `round(sum.cast(double)/10^s, 2)` form left the tie-break to
+    * `round(double, 2)`, whose semantics differ across engines (Spark
+    * rounds the shortest-decimal repr HALF_UP, DuckDB rounds the binary
+    * value), and an exact scaled sum DOES land on true ties at production
+    * row counts: first observed at sf200, where q12's A/O group charge sum
+    * ended ...685000 and the engines split .68 vs .69 on the last cent.
+    * Here the dropped digits are carried in decimal(38,0) integer space —
+    * `floor((S + k/2) / k)` with k = 10^(scale-2) — so both engines
+    * compute the identical cent. The division's result scale (≥6) holds
+    * the ≤4 fractional digits exactly; the cents magnitude (~10^15 at
+    * sf200) sits far inside double's 2^53 exact-integer range. Oracle
+    * mirror: `CAST((sum + k/2) // k AS DOUBLE) / 100.0` (positive sums, so
+    * DuckDB's truncating `//` is floor). A wrapped NARROW sum (negative)
+    * floors differently than it truncates — irrelevant: past the ceiling
+    * the value is garbage by definition and the overflow gate names it.
+    */
+  private def cents2(sumI: Column, scale: Int): Column = {
+    val k = math.pow(10, scale - 2).toLong
+    floor((sumI.cast("decimal(38,0)") + lit(k / 2)) / lit(k))
+      .cast("double") / lit(100.0)
+  }
+
+  /** Exact integral division of nonnegative decimals. `floor(a / b)` is
+    * NOT exact on decimals: Spark's decimal division rounds the quotient
+    * to the result scale (≥6 digits) first, so a true quotient within
+    * 5e-7 BELOW a whole number floors one too high. Subtracting the exact
+    * remainder first makes the division itself integral, hence exact at
+    * any result scale. ([[cents2]] doesn't need this: its quotient's
+    * fraction has ≤4 digits, inside the result scale.)
+    */
+  private def idiv(a: Column, b: Column): Column = {
+    val ad = a.cast("decimal(38,0)"); val bd = b.cast("decimal(38,0)")
+    ((ad - pmod(ad, bd)) / bd).cast("decimal(38,0)")
+  }
+
   /** Σ over an exact scaled-integer term with a selectable buffer width —
     * the width parameter VERDICT r11 asked for on the shared aggregation
     * path. `wide = false` is the 64-bit fast path (8-byte agg buffer,
@@ -131,8 +168,8 @@ object SparkEntry {
       .agg(
         round(xsum(c2(col("l_quantity")), wide).cast("double") / lit(100.0), 2).as("sum_qty"),
         round(xsum(c2(col("l_extendedprice")), wide).cast("double") / lit(100.0), 2).as("sum_base_price"),
-        round(xsum(c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount"))), wide).cast("double") / lit(10000.0), 2).as("sum_disc_price"),
-        round(xsum(c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount"))) * (lit(100L) + c2(col("l_tax"))), wide).cast("double") / lit(1000000.0), 2).as("sum_charge"),
+        cents2(xsum(c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount"))), wide), 4).as("sum_disc_price"),
+        cents2(xsum(c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount"))) * (lit(100L) + c2(col("l_tax"))), wide), 6).as("sum_charge"),
         round(xsum(c2(col("l_quantity")), wide).cast("double") / lit(100.0) / count(lit(1)).cast("double"), 4).as("avg_qty"),
         round(xsum(c2(col("l_extendedprice")), wide).cast("double") / lit(100.0) / count(lit(1)).cast("double"), 4).as("avg_price"),
         round(xsum(c2(col("l_discount")), wide).cast("double") / lit(100.0) / count(lit(1)).cast("double"), 4).as("avg_disc"),
@@ -145,7 +182,7 @@ object SparkEntry {
       .groupBy(col("p_brand"))
       .agg(
         round(xsum(c2(col("l_quantity")), wide).cast("double") / lit(100.0), 2).as("sum_qty"),
-        round(xsum(c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount"))), wide).cast("double") / lit(10000.0), 2).as("revenue"),
+        cents2(xsum(c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount"))), wide), 4).as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -283,7 +320,7 @@ object SparkEntry {
         // groups of the global sum cross 2⁶³ near sf1000 — the q13-class
         // bound OverflowAudit's grouped audit measures
         .agg(
-          round(xsum(c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount"))), wideSums(s)).cast("double") / lit(10000.0), 2).as("revenue"),
+          cents2(xsum(c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount"))), wideSums(s)), 4).as("revenue"),
           count(lit(1)).as("n_items"))
     },
     "q14_top_customers" -> q { (s, dir) =>
@@ -525,15 +562,27 @@ object SparkEntry {
     },
     "q27_age_metrics" -> q { (s, dir) =>
       // parquet_row_age_s analog: row age vs the newest row, exact integer
-      // sums so the double division is bit-identical across engines
+      // sums so the double division is bit-identical across engines.
+      // The age sum is an INTERVAL family, not a monetary one, and it is
+      // the engine's earliest 64-bit crossing: worst per-type Σ(mx−ts_us)
+      // measured 0.29% of 2⁶³ at sf0.1 — linear in rows AND in span, so it
+      // passes 100% near sf35 and reads 573% at sf200 (where the narrow
+      // sum is garbage while DuckDB's HUGEINT is not — caught r15 by the
+      // sf200 probe). Hence xsum under the same engine switch as the
+      // monetary families, and OverflowAudit carries an age_sum row naming
+      // this query. Rounding is exact-integer HALF_UP both columns: the
+      // avg via [[idiv]] on (S + n·5000) / (n·10⁴) — n·5000 is integral
+      // for every n, so no ×2 widening of the narrow term — and the max
+      // via [[cents2]].
       val ev = Tables.events(s, dir)
       val mx = ev.agg(max(col("ts_us")).as("mx"))
       ev.crossJoin(broadcast(mx))
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          round(sum(col("mx") - col("ts_us")).cast("double") / count(lit(1)).cast("double") / lit(1000000.0), 2).as("avg_age_s"),
-          round(max(col("mx") - col("ts_us")).cast("double") / lit(1000000.0), 2).as("max_age_s"))
+          (idiv(xsum(col("mx") - col("ts_us"), wideSums(s)) + count(lit(1)) * lit(5000L),
+            count(lit(1)) * lit(10000L)).cast("double") / lit(100.0)).as("avg_age_s"),
+          cents2(max(col("mx") - col("ts_us")), 6).as("max_age_s"))
     },
     "s03_ann_ivf" -> q { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -767,7 +816,7 @@ object SparkEntry {
         .orderBy(col("rev4i").desc, col("o_orderkey").asc)
         .limit(10)
         .select(col("o_orderkey"), col("o_orderdate").cast("date").cast("string").as("o_date"),
-          round(col("rev4i").cast("double") / lit(10000.0), 2).as("revenue"))
+          cents2(col("rev4i"), 4).as("revenue"))
     },
     "q34_nation_trade" -> q { (s, dir) =>
       // TPC-H Q7 shape: bidirectional trade volume between a nation pair by
@@ -2195,8 +2244,8 @@ object SparkEntry {
         |SELECT l_returnflag, l_linestatus,
         |       round(CAST(sum(q2) AS DOUBLE) / 100.0, 2) AS sum_qty,
         |       round(CAST(sum(p2) AS DOUBLE) / 100.0, 2) AS sum_base_price,
-        |       round(CAST(sum(p2 * (100 - d2)) AS DOUBLE) / 10000.0, 2) AS sum_disc_price,
-        |       round(CAST(sum(p2 * (100 - d2) * (100 + t2)) AS DOUBLE) / 1000000.0, 2) AS sum_charge,
+        |       CAST((sum(p2 * (100 - d2)) + 50) // 100 AS DOUBLE) / 100.0 AS sum_disc_price,
+        |       CAST((sum(p2 * (100 - d2) * (100 + t2)) + 5000) // 10000 AS DOUBLE) / 100.0 AS sum_charge,
         |       round(CAST(sum(q2) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE), 4) AS avg_qty,
         |       round(CAST(sum(p2) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE), 4) AS avg_price,
         |       round(CAST(sum(d2) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE), 4) AS avg_disc,
@@ -2204,8 +2253,8 @@ object SparkEntry {
         |FROM s GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q13_region_revenue" ->
       """SELECT r_name, n_name,
-        |       round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
-        |                     * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0, 2) AS revenue,
+        |       CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |                 * (100 - CAST(round(l_discount*100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -2240,8 +2289,8 @@ object SparkEntry {
     "q16_brand_volume" ->
       """SELECT p_brand,
         |       round(CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_qty,
-        |       round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
-        |                     * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0, 2) AS revenue,
+        |       CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |                 * (100 - CAST(round(l_discount*100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS revenue,
         |       count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
@@ -2821,7 +2870,7 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
     "q32_ship_priority" ->
       """SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date,
-        |  round(CAST(rev4i AS DOUBLE) / 10000.0, 2) AS revenue
+        |  CAST((rev4i + 50) // 100 AS DOUBLE) / 100.0 AS revenue
         |FROM (
         |  SELECT o_orderkey, o_orderdate,
         |         sum(CAST(round(l_extendedprice*100) AS BIGINT)
@@ -3553,8 +3602,8 @@ object SparkEntry {
     "q27_age_metrics" ->
       """WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events)
         |SELECT event_type, count(*) AS n,
-        |       round(CAST(sum(mx - epoch_us(ts)) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 2) AS avg_age_s,
-        |       round(CAST(max(mx - epoch_us(ts)) AS DOUBLE) / 1000000.0, 2) AS max_age_s
+        |       CAST((sum(mx - epoch_us(ts)) + count(*)*5000) // (count(*)*10000) AS DOUBLE) / 100.0 AS avg_age_s,
+        |       CAST((max(mx - epoch_us(ts)) + 5000) // 10000 AS DOUBLE) / 100.0 AS max_age_s
         |FROM events, m GROUP BY event_type""".stripMargin,
     "t03_tokens" ->
       """SELECT doc_id,

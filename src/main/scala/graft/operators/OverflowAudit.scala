@@ -329,8 +329,24 @@ object OverflowAudit {
     // NOT wide-switch-covered: q68's escape is the registered q72 wide
     // form (the gate is long cross-multiplication, not an xsum aggregate)
     val gate = Headroom("gate_cross_mult", gateWorst, queries = Seq("q68"))
+    // q27's event-age sums: Σ(max(ts)−ts_us) per event_type — an INTERVAL
+    // family, not a monetary one, and the engine's EARLIEST 64-bit
+    // crossing: the per-row term grows with the data's time span while the
+    // row count grows with volume, so the sum scales ~quadratically in SF
+    // on the replication sets (span × rows) where the monetary families
+    // scale linearly. Measured 0.29% of 2⁶³ at sf0.1 → past 100% near
+    // sf35 → 573% at sf200, where narrow q27 was the suite's one silently
+    // garbage answer (caught r15 by the sf200 probe; every monetary
+    // family's worst REGISTERED grouping was still under 62% there).
+    // q27 aggregates through xsum, so the engine switch releases it.
+    val ev = Tables.events(spark, dir)
+    val mxTs = ev.agg(max(col("ts_us")).as("mx"))
+    val age = groupedSumHeadroom("age_sum:eventtype_group",
+      ev.select(col("event_type"), col("ts_us")).crossJoin(broadcast(mxTs)),
+      Seq(col("event_type")), col("mx") - col("ts_us"),
+      queries = Seq("q27"), wideSwitchCovers = true)
     Seq(revenue, nation, brand, yearly, suppkey, custkey, orderkey,
-      orderyear, suppnation, priority, acctbal, qty, gate)
+      orderyear, suppnation, priority, acctbal, qty, age, gate)
   }
 
   /** Table rendering of [[audit]] for ops surfaces: one row per

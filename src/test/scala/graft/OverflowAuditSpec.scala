@@ -18,7 +18,8 @@ class OverflowAuditSpec extends SparkSpec {
       "revenue_sum:shipyear_group", "revenue_sum:suppkey_group",
       "revenue_sum:custkey_group", "revenue_sum:orderkey_group",
       "revenue_sum:orderyear_group", "revenue_sum:suppnation_group",
-      "totalprice_sum:priority_group", "acctbal_sum", "qty_sum", "gate_cross_mult"))
+      "totalprice_sum:priority_group", "acctbal_sum", "qty_sum",
+      "age_sum:eventtype_group", "gate_cross_mult"))
     // grouping soundness (ADVICE r14): q40 (o_year only) and q41 (supplier
     // nation) are NOT refinements of customer nation — each is bounded by
     // a row measuring its OWN grouping, never by the nation row
@@ -145,7 +146,7 @@ class OverflowAuditSpec extends SparkSpec {
 
   test("auditDf: one row per (family, grouping-class) with verdict and members") {
     val rows = OverflowAudit.auditDf(spark, sfDir).collect()
-    assert(rows.length == 13)
+    assert(rows.length == 14)
     assert(rows.forall(_.getBoolean(3)))
     assert(rows.forall(_.getString(4).nonEmpty), "every row must name its queries")
     // exactly one row is NOT released by the wide-sums switch: q68's gate

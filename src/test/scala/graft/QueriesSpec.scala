@@ -269,16 +269,25 @@ class QueriesSpec extends SparkSpec {
       "q32_ship_priority", "q34_nation_trade", "q35_returned_items",
       "q40_market_share", "q41_product_profit", "q48_revenue_forecast",
       "q49_promo_share", "q53_small_order_revenue", "q54_large_orders",
-      "q55_disjunctive_revenue", "q56_top_supplier", "q67_excess_shippers")
+      "q55_disjunctive_revenue", "q56_top_supplier", "q67_excess_shippers",
+      // the age_sum family (r15): q27's interval sums are the engine's
+      // earliest 64-bit crossing (~sf35 on the replication sets) and ride
+      // the same switch
+      "q27_age_metrics")
     try {
       // liveness first: the flag must actually reach the aggregate buffer,
       // otherwise the ≡ comparison below passes vacuously on two narrow runs
       spark.conf.set("spark.graft.wideSums", "true")
       assert(SparkEntry.wideSums(spark))
+      // the buffer-width marker is the cast INSIDE the sum ("sum(cast(…
+      // as decimal(38,0))"); a bare decimal(38,0) substring no longer
+      // distinguishes the modes — since r15 the narrow plan also carries
+      // decimal in the final PROJECTION (cents2's exact-integer HALF_UP of
+      // the already-computed long sum), which is not the aggregate buffer
       val q13wide = SparkEntry.queries("q13_region_revenue")(spark, sfDir)
         .queryExecution.optimizedPlan.toString
-      assert(q13wide.contains("decimal(38,0)"),
-        "wide flag on, but q13's plan has no decimal(38,0) aggregate — the switch is dead")
+      assert(q13wide.contains("sum(cast(") && q13wide.contains("decimal(38,0)"),
+        "wide flag on, but q13's plan has no decimal(38,0) aggregate buffer — the switch is dead")
       // the flip must be a pure BUFFER change: same exchanges, same joins —
       // only the agg buffer widens 8→16 bytes (the q72/q73 precedent,
       // asserted instead of narrated)
@@ -297,7 +306,7 @@ class QueriesSpec extends SparkSpec {
       assert(!SparkEntry.wideSums(spark))
       val q13narrow = SparkEntry.queries("q13_region_revenue")(spark, sfDir)
         .queryExecution.optimizedPlan.toString
-      assert(!q13narrow.contains("decimal(38,0)"),
+      assert(!q13narrow.contains("sum(cast("),
         "wide flag off, but q13's plan still aggregates in decimal — the narrow fast path is gone")
       val narrowShape = Seq("q13_region_revenue", "q40_market_share").map(shape)
       assert(wideShape == narrowShape,
