@@ -82,11 +82,34 @@ rm -rf /dev/shm/spark-local*
 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g SPARK_GRAFT_SHUFFLE_PARTITIONS=256 \
   sbt -batch "runMain graft.BroadcastProbe /root/repo/testdata/sf100 s02_ann_lsh,s05_range_search,m07_frame_neardup" \
   > /tmp/broadcast_sf100.log 2>&1
+BRC=$?
 BCODE=$(grep -oE 'Nonzero exit code returned from runner: [0-9]+' /tmp/broadcast_sf100.log | grep -oE '[0-9]+$' | head -1)
-grep -E '^\{' /tmp/broadcast_sf100.log | tail -1 > /tmp/BENCH_SF100_BROADCAST.json
+# anchor the artifact grep on the FINAL line's metric name, not any '{':
+# the probe also prints per-query partial lines, and if sbt itself dies
+# (OOM killer) there is no "runner: N" line — BCODE stays empty and a
+# bare '^{' grep would bless a partial line as the artifact (ADVICE r15)
+grep '"metric":"broadcast_built_bytes"' /tmp/broadcast_sf100.log | tail -1 > /tmp/BENCH_SF100_BROADCAST.json
 cat /tmp/BENCH_SF100_BROADCAST.json
 if [ -n "${BCODE:-}" ]; then echo "BROADCAST PROBE BREACH (exit $BCODE)"; exit 3; fi
-cp /tmp/BENCH_SF100_BROADCAST.json BENCH_SF100_BROADCAST.json
+if [ "$BRC" -ne 0 ] || [ ! -s /tmp/BENCH_SF100_BROADCAST.json ]; then
+  echo "BROADCAST PROBE DIED WITHOUT A FINAL LINE (sbt rc=$BRC)"; exit 3
+fi
+# merge step (ADVICE r15): the committed artifact carries analyst
+# annotations (host-infeasible exclusion, derived worst static build)
+# that the probe itself never emits — a bare cp would silently clobber
+# them. Derive worst_static_built_bytes from the readings; take the
+# exclusion notes from the tracked notes file.
+python3 - <<'EOF' || exit 3
+import json
+d = json.load(open('/tmp/BENCH_SF100_BROADCAST.json'))
+notes = json.load(open('tools/broadcast_sf100_notes.json'))
+d['worst_static_built_bytes'] = max(
+    r['built_bytes'] for q in d['queries'].values() for r in q
+    if not r.get('runtime_sized'))
+d['infeasible_on_host'] = notes['infeasible_on_host']
+d['protocol'] = d.get('protocol', '') + '; ' + notes['protocol_note']
+json.dump(d, open('BENCH_SF100_BROADCAST.json', 'w'), indent=1)
+EOF
 
 echo "=== OVERFLOW GATE DEMO (expected exit 2: gate tripped, dumps valid) $(date) ==="
 # sbt FLATTENS the forked JVM's exit code to 1 ("Nonzero exit code
