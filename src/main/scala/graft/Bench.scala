@@ -35,6 +35,8 @@ object Bench {
     // 64-bit form" stays a measured round-over-round claim, not a one-off
     "q73_pricing_summary_wide", "q74_brand_volume_wide",
     "q75_revenue_forecast_wide", "q76_promo_share_wide",
+    // the integer-cents cast-fidelity escape (r16): same scan class as q73
+    "q77_pricing_summary_cents",
     // s04 re-runs d06's whole candidate+closure pipeline (already benched
     // via d06); m04/m05 are constant-size generators, not SF-scaled —
     // benching them would measure nothing about the data path

@@ -21,6 +21,13 @@ import org.apache.spark.sql.SparkSession
   * Exit 0 always — this is an instrument, not a gate; readings land in
   * the round's BENCH notes.
   *
+  * Variants: `d14` / `d15` / `d15r2` (lloydRounds = 2 — the VERDICT r15
+  * item-5 knee question) time the full operator; `cells_d14` /
+  * `cells_d15` / `cells_d15r2` grade the QUANTIZER alone — Σ|cell|²
+  * (the prune's worst-case pair volume), max|cell| and n off the
+  * assignment stage, never paying the prune — and land in a separate
+  * `cells` map in the JSON line.
+  *
   * Usage: runMain graft.DedupRegimeProbe <sfDir> [eps] [passes] [variantsCsv]
   * Env: SPARK_GRAFT_CPUS, SPARK_GRAFT_SHUFFLE_PARTITIONS
   */
@@ -46,16 +53,27 @@ object DedupRegimeProbe {
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.prep(spark)
     val emb = Tables.embeddings(spark, sfDir)
-    def run(variant: String): Long = variant match {
+    def run(variant: String): Unit = variant match {
       case "d14" => operators.Dedup
         .semanticDedupScaled(emb, "vec_id", "embedding", eps = eps)
-        .write.format("noop").mode("overwrite").save(); 0L
+        .write.format("noop").mode("overwrite").save()
       case "d15" => operators.Dedup
         .semanticDedupLloyd(emb, "vec_id", "embedding", eps = eps)
-        .write.format("noop").mode("overwrite").save(); 0L
-      case other => sys.error(s"unknown variant '$other' (d14|d15)")
+        .write.format("noop").mode("overwrite").save()
+      case "d15r2" => operators.Dedup
+        .semanticDedupLloyd(emb, "vec_id", "embedding", eps = eps, lloydRounds = 2)
+        .write.format("noop").mode("overwrite").save()
+      case other => sys.error(s"unknown variant '$other' (d14|d15|d15r2|cells_*)")
     }
-    val mins = variants.map { v =>
+    def assignment(variant: String) = variant match {
+      case "cells_d14" => operators.Dedup.scaledAssignment(emb, "vec_id", "embedding")
+      case "cells_d15" => operators.Dedup.lloydAssignment(emb, "vec_id", "embedding")
+      case "cells_d15r2" =>
+        operators.Dedup.lloydAssignment(emb, "vec_id", "embedding", lloydRounds = 2)
+      case other => sys.error(s"unknown cells variant '$other'")
+    }
+    val (cellVariants, wallVariants) = variants.partition(_.startsWith("cells_"))
+    val mins = wallVariants.map { v =>
       val ts = (1 to passes).map { p =>
         val t0 = System.nanoTime()
         run(v)
@@ -65,9 +83,26 @@ object DedupRegimeProbe {
       }
       v -> ts.min
     }
+    val cells = cellVariants.map { v =>
+      import org.apache.spark.sql.functions._
+      // Σc² is itself the audit's span-growing class (a product of two
+      // counts): computed in decimal(38,0) so the instrument can't wrap
+      val r = assignment(v)
+        .groupBy(col("cell")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c").cast("decimal(38,0)") * col("c").cast("decimal(38,0)"))
+            .as("sumsq"), max(col("c")).as("mx"),
+          sum(col("c")).as("n"), count(lit(1)).as("k_used")).head()
+      val sumsq = BigDecimal(r.getDecimal(0))
+      System.err.println(s"[regime-probe] $v sumsq=$sumsq max=${r.getLong(1)} " +
+        s"n=${r.getLong(2)} cells_used=${r.getLong(3)}")
+      v -> ((sumsq, r.getLong(1), r.getLong(2), r.getLong(3)))
+    }
     spark.stop()
     val qs = mins.map { case (v, t) => f""""$v":$t%.3f""" }.mkString(",")
+    val cs = cells.map { case (v, (sq, mx, n, ku)) =>
+      s""""$v":{"sumsq":$sq,"max_cell":$mx,"n":$n,"cells_used":$ku}"""
+    }.mkString(",")
     println(s"""{"metric":"dedup_regime_probe","sf":"$sfDir","eps":$eps,""" +
-      s""""passes":$passes,"queries":{$qs}}""")
+      s""""passes":$passes,"queries":{$qs},"cells":{$cs}}""")
   }
 }

@@ -160,9 +160,11 @@ object OracleHashSql {
        |  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id),
        |est AS (
        |  SELECT c.a, c.b,
-       |    len(list_filter(range(1, 65), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) / 64.0 AS e
+       |    len(list_filter(range(1, 65), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS m
        |  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b)
-       |SELECT a, b, round(e, 4) AS est_jaccard FROM est WHERE e >= 0.5""".stripMargin
+       |SELECT a, b,
+       |       CAST((2*m*10000 + 64) // 128 AS DOUBLE) / 10000.0 AS est_jaccard
+       |FROM est WHERE m >= 32""".stripMargin
   }
 
   /** s02: 64-bit hyperplane signatures (the engine's seeded ±1 planes

@@ -91,8 +91,13 @@ object SparkEntry {
     * Here the dropped digits are carried in decimal(38,0) integer space —
     * `floor((S + k/2) / k)` with k = 10^(scale-2) — so both engines
     * compute the identical cent. The division's result scale (≥6) holds
-    * the ≤4 fractional digits exactly; the cents magnitude (~10^15 at
-    * sf200) sits far inside double's 2^53 exact-integer range. Oracle
+    * the ≤4 fractional digits exactly. The final `.cast("double")` is the
+    * LAST exactness boundary and its headroom is REAL, not comfortable:
+    * the measured family-ceiling cents at sf200 are 6.28e15 — already 70%
+    * of double's 2^53 = 9.007e15 exact-integer range — so a wide sum
+    * growing linearly wraps the cast near sf~285. OverflowAudit carries a
+    * `cents_double` row against the 2^53 ceiling for exactly this cast
+    * (escape: emit integer cents — the q77 registered form). Oracle
     * mirror: `CAST((sum + k/2) // k AS DOUBLE) / 100.0` (positive sums, so
     * DuckDB's truncating `//` is floor). A wrapped NARROW sum (negative)
     * floors differently than it truncates — irrelevant: past the ceiling
@@ -115,6 +120,32 @@ object SparkEntry {
   private def idiv(a: Column, b: Column): Column = {
     val ad = a.cast("decimal(38,0)"); val bd = b.cast("decimal(38,0)")
     ((ad - pmod(ad, bd)) / bd).cast("decimal(38,0)")
+  }
+
+  /** Exact HALF_UP of an integer quotient `num / den` to `d` decimal
+    * places, decided wholly in decimal(38,0) integer arithmetic:
+    * `floor((2·num·10^d + den) / (2·den)) / 10^d` — the [[cents2]] rule
+    * generalized to ARBITRARY denominators (ADVICE r15: the tie-break
+    * class fixed for sums still lived on the quotient columns; a
+    * round(double, d) of a quotient splits engines whenever the true
+    * value lands on a 10^-(d+1)·5 boundary, which count/count and
+    * sum/count ratios genuinely hit — e.g. 68/128 = 0.53125 ties at
+    * d=4). The ×2 form keeps the half-step integral for every den (q27's
+    * +den/2 shortcut needs den even). Precondition: num ≥ 0, den > 0 —
+    * all registered ratio sites are count/sum-of-nonnegative quotients
+    * (floor-based HALF_UP rounds toward +∞ at negative ties, which
+    * Spark/DuckDB round() do not). Oracle mirror:
+    * `CAST((2·num·10^d + den) // (2·den) AS DOUBLE) / 10^d` — positive
+    * operands, so DuckDB's truncating `//` is floor, and BIGINT sums are
+    * HUGEINT there so the ×2·10^d blow-up cannot wrap either engine.
+    * The quotient result itself is ≤ 10^d·(num/den) — every registered
+    * ratio is ≤ ~10^4·avg-magnitude, far inside double's 2^53.
+    */
+  private def rdiv(num: Column, den: Column, d: Int): Column = {
+    val p = math.pow(10, d).toLong
+    idiv(num.cast("decimal(38,0)") * lit(2L * p) + den.cast("decimal(38,0)"),
+        den.cast("decimal(38,0)") * lit(2L))
+      .cast("double") / lit(p.toDouble)
   }
 
   /** Σ over an exact scaled-integer term with a selectable buffer width —
@@ -170,9 +201,9 @@ object SparkEntry {
         round(xsum(c2(col("l_extendedprice")), wide).cast("double") / lit(100.0), 2).as("sum_base_price"),
         cents2(xsum(c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount"))), wide), 4).as("sum_disc_price"),
         cents2(xsum(c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount"))) * (lit(100L) + c2(col("l_tax"))), wide), 6).as("sum_charge"),
-        round(xsum(c2(col("l_quantity")), wide).cast("double") / lit(100.0) / count(lit(1)).cast("double"), 4).as("avg_qty"),
-        round(xsum(c2(col("l_extendedprice")), wide).cast("double") / lit(100.0) / count(lit(1)).cast("double"), 4).as("avg_price"),
-        round(xsum(c2(col("l_discount")), wide).cast("double") / lit(100.0) / count(lit(1)).cast("double"), 4).as("avg_disc"),
+        rdiv(xsum(c2(col("l_quantity")), wide), count(lit(1)) * lit(100L), 4).as("avg_qty"),
+        rdiv(xsum(c2(col("l_extendedprice")), wide), count(lit(1)) * lit(100L), 4).as("avg_price"),
+        rdiv(xsum(c2(col("l_discount")), wide), count(lit(1)) * lit(100L), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   private def brandVolume(s: SparkSession, dir: String, wide: Boolean): DataFrame = {
@@ -216,7 +247,7 @@ object SparkEntry {
         xsum(when(col("p_type") === "PROMO", col("vol4")).otherwise(0L), wide).as("p4"),
         xsum(col("vol4"), wide).as("a4"))
       .select(col("l_year"),
-        round(col("p4").cast("double") / col("a4").cast("double"), 6).as("promo_share"),
+        rdiv(col("p4"), col("a4"), 6).as("promo_share"),
         (col("p4").cast("double") / 10000.0).as("promo_revenue"))
   }
 
@@ -370,7 +401,7 @@ object SparkEntry {
         .where(unix_millis(col("o_orderdate").cast("timestamp")).between(788918400000L, 796694399999L))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
-          round(xsum(c2(col("o_totalprice")), wideSums(s)).cast("double") / lit(100.0) / count(lit(1)).cast("double"), 2).as("avg_price"))
+          rdiv(xsum(c2(col("o_totalprice")), wideSums(s)), count(lit(1)) * lit(100L), 2).as("avg_price"))
     },
     "q18_nation_rollup" -> q { (s, dir) =>
       val c = Tables.customer(s, dir)
@@ -600,8 +631,14 @@ object SparkEntry {
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
     },
     "d02_dedup_minhash" -> q { (s, dir) =>
+      // est_jaccard is matches/64 — exact in double (power-of-two
+      // denominator), so ·64 recovers the integer match count and rdiv
+      // decides the 4-decimal tie in integer space (m=34 → 0.53125 is a
+      // REAL tie at d=4 that round(double, 4) would split across engines)
       Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text", minEstJaccard = 0.5)
-        .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .select(col("a"), col("b"),
+          rdiv(round(col("est_jaccard") * lit(64)).cast("long"), lit(64L), 4)
+            .as("est_jaccard"))
     },
     "d03_dedup_simhash" -> q { (s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
@@ -666,7 +703,7 @@ object SparkEntry {
         .agg(sum(col("c")).as("n_passages"),
           sum(when(col("n_docs") >= 2, col("c")).otherwise(0L)).as("n_dup_passages"))
         .select(col("doc_id"), col("n_passages"), col("n_dup_passages"),
-          round(col("n_dup_passages").cast("double") / col("n_passages"), 4).as("dup_frac"))
+          rdiv(col("n_dup_passages"), col("n_passages"), 4).as("dup_frac"))
     },
     "s07_mmr_diversify" -> q { (s, dir) =>
       // MMR diversified retrieval: top-20 relevance pool per query, greedy
@@ -984,12 +1021,12 @@ object SparkEntry {
       st.select(
         col("doc_id"),
         nToks.as("n_tokens"),
-        round(when(nToks > 0, lenSum.cast("double") / nToks.cast("double")).otherwise(0.0), 4)
+        when(nToks > 0, rdiv(lenSum, nToks, 4)).otherwise(0.0)
           .as("mean_token_len"),
-        round(when(length(col("text")) > 0,
-          regexp_count(col("text"), lit("[.,!?;:]")).cast("double") / length(col("text")).cast("double"))
-          .otherwise(0.0), 4).as("punct_ratio"),
-        round(when(nToks > 0, nStop.cast("double") / nToks.cast("double")).otherwise(0.0), 4)
+        when(length(col("text")) > 0,
+          rdiv(regexp_count(col("text"), lit("[.,!?;:]")), length(col("text")), 4))
+          .otherwise(0.0).as("punct_ratio"),
+        when(nToks > 0, rdiv(nStop, nToks, 4)).otherwise(0.0)
           .as("stopword_ratio"))
     },
     "t03_tokens" -> q { (s, dir) =>
@@ -1077,7 +1114,7 @@ object SparkEntry {
           xsum(when(col("supp_nation") === target, col("vol4")).otherwise(0L), wideSums(s)).as("t4"),
           xsum(col("vol4"), wideSums(s)).as("a4"))
         .select(col("o_year"),
-          round(col("t4").cast("double") / col("a4").cast("double"), 6).as("mkt_share"),
+          rdiv(col("t4"), col("a4"), 6).as("mkt_share"),
           (col("a4").cast("double") / 10000.0).as("total_revenue"))
     },
     "q41_product_profit" -> q { (s, dir) =>
@@ -1582,8 +1619,10 @@ object SparkEntry {
           count(lit(1)).as("n_distinct"),
           max(col("c")).as("top_count"))
         .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-          round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4).as("dup_token_frac"),
-          round(col("top_count").cast("double") / col("n_tokens"), 4).as("top_token_frac"))
+          // 1 − d/n ≡ (n−d)/n exactly in the rationals, so the integer
+          // form preserves the documented semantics while deciding ties
+          rdiv(col("n_tokens") - col("n_distinct"), col("n_tokens"), 4).as("dup_token_frac"),
+          rdiv(col("top_count"), col("n_tokens"), 4).as("top_token_frac"))
     },
     "t08_contamination" -> q { (s, dir) =>
       // eval-set contamination screening — the n-gram collision check a
@@ -1858,6 +1897,31 @@ object SparkEntry {
     "q74_brand_volume_wide" -> q(brandVolume(_, _, wide = true)),
     "q75_revenue_forecast_wide" -> q(revenueForecast(_, _, wide = true)),
     "q76_promo_share_wide" -> q(promoShare(_, _, wide = true)),
+    // q77: the INTEGER-CENTS escape for the 2^53 cast-fidelity boundary
+    // (OverflowAudit's cast_double rows, ADVICE r15). The wide switch
+    // moves where the SUM lives; the final `.cast("double")/10^s` still
+    // rounds once the integer passes 2^53 (~sf285 for q12's charge cents,
+    // measured 70% at sf200) — drift, not garbage, and still hash-
+    // identical cross-engine, but no longer the exact ledger amount. This
+    // form emits the HALF_UP cents themselves as BIGINT (exact until
+    // 2^63 cents ≈ 9.2e16 dollars, ~10^3× the 2^53 line) and always sums
+    // wide — it exists precisely for deployments past the narrow regime.
+    // avg columns are omitted: their magnitudes (per-row means) never
+    // approach 2^53.
+    "q77_pricing_summary_cents" -> q { (s, dir) =>
+      val disc = c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount")))
+      Tables.lineitem(s, dir)
+        .where(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          xsum(c2(col("l_quantity")), wide = true).cast("long").as("sum_qty_c2"),
+          xsum(c2(col("l_extendedprice")), wide = true).cast("long").as("sum_base_price_c2"),
+          idiv(xsum(disc, wide = true) + lit(50L), lit(100L))
+            .cast("long").as("sum_disc_price_c2"),
+          idiv(xsum(disc * (lit(100L) + c2(col("l_tax"))), wide = true) + lit(5000L),
+            lit(10000L)).cast("long").as("sum_charge_c2"),
+          count(lit(1)).as("count_order"))
+    },
     "q69_kmv_intersection" -> q { (s, dir) =>
       // sketch set-algebra completed: INTERSECTION cardinality from two
       // persisted KMV states (Dasgupta et al.'s theta-sketch estimator —
@@ -2158,7 +2222,25 @@ object SparkEntry {
       "q73_pricing_summary_wide" -> base("q12_pricing_summary"),
       "q74_brand_volume_wide" -> base("q16_brand_volume"),
       "q75_revenue_forecast_wide" -> base("q48_revenue_forecast"),
-      "q76_promo_share_wide" -> base("q49_promo_share"))
+      "q76_promo_share_wide" -> base("q49_promo_share"),
+      // q77's cents stay in DuckDB's native HUGEINT until the final
+      // BIGINT cast — exact wherever the output contract (cents < 2^63)
+      // holds, i.e. everywhere the Spark form is defined
+      "q77_pricing_summary_cents" ->
+        """WITH s AS (
+          |  SELECT l_returnflag, l_linestatus,
+          |         CAST(round(l_quantity*100) AS BIGINT) AS q2,
+          |         CAST(round(l_extendedprice*100) AS BIGINT) AS p2,
+          |         CAST(round(l_discount*100) AS BIGINT) AS d2,
+          |         CAST(round(l_tax*100) AS BIGINT) AS t2
+          |  FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02')
+          |SELECT l_returnflag, l_linestatus,
+          |       CAST(sum(q2) AS BIGINT) AS sum_qty_c2,
+          |       CAST(sum(p2) AS BIGINT) AS sum_base_price_c2,
+          |       CAST((sum(p2 * (100 - d2)) + 50) // 100 AS BIGINT) AS sum_disc_price_c2,
+          |       CAST((sum(p2 * (100 - d2) * (100 + t2)) + 5000) // 10000 AS BIGINT) AS sum_charge_c2,
+          |       count(*) AS count_order
+          |FROM s GROUP BY l_returnflag, l_linestatus""".stripMargin)
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
@@ -2246,9 +2328,9 @@ object SparkEntry {
         |       round(CAST(sum(p2) AS DOUBLE) / 100.0, 2) AS sum_base_price,
         |       CAST((sum(p2 * (100 - d2)) + 50) // 100 AS DOUBLE) / 100.0 AS sum_disc_price,
         |       CAST((sum(p2 * (100 - d2) * (100 + t2)) + 5000) // 10000 AS DOUBLE) / 100.0 AS sum_charge,
-        |       round(CAST(sum(q2) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE), 4) AS avg_qty,
-        |       round(CAST(sum(p2) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE), 4) AS avg_price,
-        |       round(CAST(sum(d2) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE), 4) AS avg_disc,
+        |       CAST((2*sum(q2)*10000 + count(*)*100) // (2*count(*)*100) AS DOUBLE) / 10000.0 AS avg_qty,
+        |       CAST((2*sum(p2)*10000 + count(*)*100) // (2*count(*)*100) AS DOUBLE) / 10000.0 AS avg_price,
+        |       CAST((2*sum(d2)*10000 + count(*)*100) // (2*count(*)*100) AS DOUBLE) / 10000.0 AS avg_disc,
         |       count(*) AS count_order
         |FROM s GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q13_region_revenue" ->
@@ -2296,7 +2378,7 @@ object SparkEntry {
         |GROUP BY p_brand""".stripMargin,
     "q17_priority_counts" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
-        |       round(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE), 2) AS avg_price
+        |       CAST((2*sum(CAST(round(o_totalprice*100) AS BIGINT))*100 + count(*)*100) // (2*count(*)*100) AS DOUBLE) / 100.0 AS avg_price
         |FROM orders
         |WHERE epoch_ms(o_orderdate) BETWEEN 788918400000 AND 796694399999
         |GROUP BY o_orderpriority""".stripMargin,
@@ -2453,7 +2535,7 @@ object SparkEntry {
         |SELECT doc_id,
         |       CAST(sum(c) AS BIGINT) AS n_passages,
         |       CAST(sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_passages,
-        |       round(CAST(sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 4) AS dup_frac
+        |       CAST((2*sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END)*10000 + sum(c)) // (2*sum(c)) AS DOUBLE) / 10000.0 AS dup_frac
         |FROM nd GROUP BY doc_id""".stripMargin,
     // PQ oracle: codebook re-derived from the 16 lowest-id vectors; the
     // argmin key m and err are written with EXACTLY the kernel's FP
@@ -2998,9 +3080,9 @@ object SparkEntry {
       val stopArr = TextFns.langMarkers.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
       s"""SELECT doc_id,
          |  CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  round(CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS mean_token_len,
-         |  round(CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) ELSE 0.0 END, 4) AS punct_ratio,
-         |  round(CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains($stopArr, t))) AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS stopword_ratio
+         |  CASE WHEN len(toks) > 0 THEN CAST((2*CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT)*10000 + len(toks)) // (2*len(toks)) AS DOUBLE) / 10000.0 ELSE 0.0 END AS mean_token_len,
+         |  CASE WHEN length(text) > 0 THEN CAST((2*CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)*10000 + length(text)) // (2*length(text)) AS DOUBLE) / 10000.0 ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN len(toks) > 0 THEN CAST((2*CAST(len(list_filter(toks, t -> list_contains($stopArr, t))) AS BIGINT)*10000 + len(toks)) // (2*len(toks)) AS DOUBLE) / 10000.0 ELSE 0.0 END AS stopword_ratio
          |FROM (SELECT doc_id, text, $tokSql AS toks FROM documents)""".stripMargin
     },
     "q20_json_struct" ->
@@ -3061,8 +3143,8 @@ object SparkEntry {
         |SELECT doc_id,
         |       CAST(sum(c) AS BIGINT) AS n_tokens,
         |       count(*) AS n_distinct,
-        |       round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 4) AS dup_token_frac,
-        |       round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_token_frac
+        |       CAST((2*(sum(c) - count(*))*10000 + sum(c)) // (2*sum(c)) AS DOUBLE) / 10000.0 AS dup_token_frac,
+        |       CAST((2*max(c)*10000 + sum(c)) // (2*sum(c)) AS DOUBLE) / 10000.0 AS top_token_frac
         |FROM c GROUP BY doc_id""".stripMargin,
     // same set-identity trick as d04: the kernel's shingle hashing is a
     // collision-free set identity on this corpus, so the oracle works on
@@ -3213,7 +3295,7 @@ object SparkEntry {
         |WHERE rn = 1""".stripMargin,
     "q40_market_share" ->
       """SELECT o_year,
-        |       round(CAST(t4 AS DOUBLE) / CAST(a4 AS DOUBLE), 6) AS mkt_share,
+        |       CAST((2*t4*1000000 + a4) // (2*a4) AS DOUBLE) / 1000000.0 AS mkt_share,
         |       CAST(a4 AS DOUBLE) / 10000.0 AS total_revenue
         |FROM (
         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -3296,7 +3378,7 @@ object SparkEntry {
         |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin,
     "q49_promo_share" ->
       """SELECT l_year,
-        |       round(CAST(p4 AS DOUBLE) / CAST(a4 AS DOUBLE), 6) AS promo_share,
+        |       CAST((2*p4*1000000 + a4) // (2*a4) AS DOUBLE) / 1000000.0 AS promo_share,
         |       CAST(p4 AS DOUBLE) / 10000.0 AS promo_revenue
         |FROM (
         |  SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,

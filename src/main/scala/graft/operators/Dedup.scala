@@ -639,6 +639,19 @@ object Dedup {
       vecCol: String,
       eps: Double,
       rowsPerCell: Int = 125,
+      minCells: Int = 16): DataFrame =
+    semanticDedupFromAssign(
+      scaledAssignment(corpus, idCol, vecCol, rowsPerCell, minCells), eps)
+
+  /** [[semanticDedupScaled]]'s quantizer stage alone — (vec_id, v, cell).
+    * Exposed for the regime/containment probes: cell-size statistics
+    * (Σ|cell|², max|cell|) are a pure function of this assignment and
+    * grading them must not pay the prune. */
+  private[graft] def scaledAssignment(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      rowsPerCell: Int = 125,
       minCells: Int = 16): DataFrame = {
     import graft.expressions.VectorExprs
     val n = corpus.count()
@@ -661,19 +674,23 @@ object Dedup {
     // contiguous cells [leader, leader+gs) ∩ [0, k). Both in the row's
     // own projection: no joins, no aggregates, no intermediate rows.
     val vecs = corpus.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
-    val assign = vecs
+    vecs
       .withColumn("lr", VectorExprs.argmaxCosStride(
         col("v"), lit(0L), lit(k.toLong), gs, matrix))
       .withColumn("cell", VectorExprs.argmaxCosStride(
         col("v"), col("lr"), least(col("lr") + lit(gs.toLong), lit(k.toLong)), 1, matrix))
       .select(col("vec_id"), col("v"), col("cell"))
-    semanticDedupFromAssign(assign, eps)
   }
 
-  /** [[semanticDedupScaled]] with a TRAINED production-k quantizer:
-    * strided-by-id init refined by `lloydRounds` exact-integer Lloyd
-    * rounds (the s11 recipe at k = max(minCells, N/rowsPerCell) instead of
-    * k=8) before the final two-level assignment and cell-local prune.
+  /** THE PRODUCTION SemDeDup-at-k ENTRY POINT (d15): [[semanticDedupScaled]]
+    * with a TRAINED quantizer — strided-by-id init refined by `lloydRounds`
+    * exact-integer Lloyd rounds (the s11 recipe at k = max(minCells,
+    * N/rowsPerCell) instead of k=8) before the final two-level assignment
+    * and cell-local prune. [[semanticDedupScaled]] (d14) stays registered
+    * as the UNTRAINED baseline — the regime probe's control arm and the
+    * oracle lineage's first stage — not as a deployment path: its
+    * lowest-id stand-in init leaves a magnet cell at scale (61% of the
+    * corpus at sf100) that makes keep-dominated corpora infeasible.
     *
     * Why train at all: the r14 log-depth negative result isolated
     * MAGNET-LEADER ROUTING BIAS — routing concentrated on a slightly
@@ -726,6 +743,18 @@ object Dedup {
       idCol: String,
       vecCol: String,
       eps: Double,
+      rowsPerCell: Int = 125,
+      minCells: Int = 16,
+      lloydRounds: Int = 1): DataFrame =
+    semanticDedupFromAssign(
+      lloydAssignment(corpus, idCol, vecCol, rowsPerCell, minCells, lloydRounds), eps)
+
+  /** [[semanticDedupLloyd]]'s trained quantizer stage alone — see
+    * [[scaledAssignment]] for why the probes read this directly. */
+  private[graft] def lloydAssignment(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
       rowsPerCell: Int = 125,
       minCells: Int = 16,
       lloydRounds: Int = 1): DataFrame = {
@@ -793,7 +822,7 @@ object Dedup {
       }
       matrix = c6.map(_.map(l => (l.toDouble / 1e6).toFloat))
     }
-    semanticDedupFromAssign(assignTo(matrix), eps)
+    assignTo(matrix)
   }
 
   /** The SemDeDup prune over a precomputed (vec_id, v, cell) assignment:

@@ -45,10 +45,64 @@ import graft.Tables
   *    engine switch, so it gates regardless of wide mode.
   * Sketch/hash arithmetic (KMV, Bloom, band keys) is scale-independent —
   * bounded by k/mBits/2⁶⁴, never by data volume — and has no audit entry.
+  *
+  * == Exhaustiveness of the span-growing families (r16, VERDICT r15 §6) ==
+  *
+  * q27's age family was found by a PROBE, not by this audit — so the class
+  * "Σ over terms whose magnitude grows with the data" is here closed by
+  * classification, not anecdote. Rule: a 64-bit Σ over N rows wraps at
+  * Σ|term| ≥ 2⁶³; with per-row |term| ≤ B (a data-independent bound) the
+  * sum is LINEAR in rows and the ceiling sits at 2⁶³/B rows — for every
+  * monetary/qty/value term (B ≤ ~10¹¹ for the 3-factor charge) that is
+  * sf10³–10⁵ and the families above measure it. A sum is SUPERLINEAR only
+  * when the TERM itself grows with the dataset, which in this engine can
+  * arise four ways: (1) a timestamp/sequence delta against a global
+  * extremum, (2) a rank/row_number-derived term, (3) a product of two
+  * aggregates, (4) a cumulative sum re-summed. The r16 pass over every
+  * registered aggregate (SparkEntry + the operators and streaming trees):
+  *  - class (1): q27's `max(ts)−ts_us` — the ONLY member; audited
+  *    (`age_sum:eventtype_group`, xsum-swept). q15/q45's lag/min deltas
+  *    are compared or flag-summed, never magnitude-summed; q44/q47 and
+  *    the streaming TrailingWindow/StatefulSessions sum bounded `v2`
+  *    terms over span-bounded frames (24h/day/session), so their frame
+  *    sums are rate-linear with bounded terms, not span-growing.
+  *  - class (2): no member — Binning's rn/ntile and q14/q26/q54's ranks
+  *    gate or select rows; no registered aggregate sums a rank.
+  *  - class (3): q68's `value4 · n_parts` — audited (`gate_cross_mult`);
+  *    its registered escape is q72's decimal form. (The DedupRegimeProbe
+  *    instrument's Σ|cell|² is the same class and computes in
+  *    decimal(38,0) for the same reason.)
+  *  - class (4): no member — Binning/Sampling's cumulative offsets
+  *    (`_off`, sequence-pack token cumsums) are bounded by the GLOBAL
+  *    total of a bounded per-row term (≤ total rows × B, the linear
+  *    class measured by their family rows) and are consumed as values,
+  *    never re-summed.
+  *  - everything else sums terms bounded per row: scaled prices/
+  *    quantities/values (the measured families), counts/flags (Σ ≤ rows;
+  *    2⁶³ rows ≈ 9.2e18 ≫ any deployment), per-doc token/length stats
+  *    (B ≤ doc size), embedding components (|x6| ≤ 1e6 per dim — Lloyd/
+  *    s11 state), payload bytes (B = row payload).
+  * Claim: every span-growing 64-bit sum family has an audit row. A NEW
+  * aggregate joins the audit iff its per-row term derives from a global
+  * extremum delta, a rank, an aggregate product, or a re-summed cumsum —
+  * the four shapes above; bounded-term sums stay covered by their
+  * family's linear rows.
   */
 object OverflowAudit {
 
   val Ceiling: BigDecimal = BigDecimal(Long.MaxValue)
+
+  /** Double's exact-integer ceiling (2^53): the LAST exactness boundary of
+    * the engine's output path — every scaled-integer sum ends in a
+    * `.cast("double") / 10^s`, and past 2^53 the cast itself rounds.
+    * Distinct failure mode from 2^63: a wrapped 64-bit sum is GARBAGE
+    * (sign flips, arbitrary error), a >2^53 cast is sub-unit DRIFT on a
+    * still-exact integer — and it stays cross-engine HASH-IDENTICAL
+    * (both engines round the same exact value to the same nearest
+    * double), so only absolute value fidelity degrades, not determinism.
+    * Hence the `cast_double` rows alarm at 100% (the true boundary), not
+    * the 10% early line sized for data-skew surprise on sum wrap. */
+  val Ceiling53: BigDecimal = BigDecimal(2).pow(53)
 
   /** One (family, grouping-class)'s worst-case magnitude on the audited
     * data. `fraction` is worst/2⁶³; [[ok]] holds while it stays under the
@@ -74,10 +128,11 @@ object OverflowAudit {
     * render says UNMEASURABLE instead of silently reporting zero.
     */
   final case class Headroom(family: String, worst: Option[BigDecimal],
-      queries: Seq[String] = Nil, wideSwitchCovers: Boolean = false) {
-    def fraction: Double = worst.map(w => (w / Ceiling).toDouble).getOrElse(Double.NaN)
-    // NaN < 0.10 is false, so the unmeasurable case stays failed-closed.
-    def ok: Boolean = fraction < 0.10
+      queries: Seq[String] = Nil, wideSwitchCovers: Boolean = false,
+      ceiling: BigDecimal = Ceiling, alarmAt: Double = 0.10) {
+    def fraction: Double = worst.map(w => (w / ceiling).toDouble).getOrElse(Double.NaN)
+    // NaN < alarmAt is false, so the unmeasurable case stays failed-closed.
+    def ok: Boolean = fraction < alarmAt
     /** Whether a crossed row should still trip the deployment gate given
       * the engine-level wide-sums switch state. Only a MEASURED crossing is
       * releasable: an UNMEASURABLE row (worst = None) signals the audit
@@ -90,8 +145,9 @@ object OverflowAudit {
     override def toString: String = {
       val qs = if (queries.isEmpty) "" else queries.mkString(" [", ",", "]")
       val cov = if (wideSwitchCovers) " escape=GRAFT_WIDE_SUMS=1" else ""
+      val ceil = if (ceiling == Ceiling53) "2^53" else "2^63"
       worst match {
-        case Some(w) => f"$family: worst=$w%.3e (${fraction * 100}%.4f%% of 2^63)$qs$cov"
+        case Some(w) => f"$family: worst=$w%.3e (${fraction * 100}%.4f%% of $ceil, alarm at ${alarmAt * 100}%.0f%%)$qs$cov"
         case None => s"$family: UNMEASURABLE (null aggregate over non-empty input — failing closed)$qs$cov"
       }
     }
@@ -345,8 +401,84 @@ object OverflowAudit {
       ev.select(col("event_type"), col("ts_us")).crossJoin(broadcast(mxTs)),
       Seq(col("event_type")), col("mx") - col("ts_us"),
       queries = Seq("q27"), wideSwitchCovers = true)
+    // --- the 2^53 cast-fidelity rows (ADVICE r15 / the cents2 boundary) --
+    // Every output ends in `.cast("double") / 10^s`; these rows watch the
+    // INTEGER magnitude that enters that cast (see [[Ceiling53]]: alarm at
+    // the true 100% boundary — drift, not garbage, and still hash-
+    // identical cross-engine). Escape: emit the scaled integer itself (the
+    // registered q77 integer-cents form), NOT the wide-sums switch — a
+    // decimal(38,0) buffer only moves where the sum lives, the final
+    // double cast still rounds. Coverage rule: a grouped/framed cast is
+    // bounded by its family's GLOBAL row (terms are nonnegative), so the
+    // global rows here bound q13/q16/q74's per-group cents, q54's
+    // per-order qty, q44/q47's per-user/day frames, etc.
+    // cents2 class: q12's per-group charge cents ≤ W_revenue/10^4; every
+    // other cents2 member (per-group Σvol4/10^2 with vol4 ≤ charge/10^2
+    // row-wise) sits under the same bound.
+    val centsDouble = Headroom("cast_double:cents2",
+      revenue.worst.map(_ / BigDecimal(10000)),
+      queries = Seq("q12", "q13", "q16", "q73", "q74"),
+      ceiling = Ceiling53, alarmAt = 1.0)
+    // direct 1e-2/1e-4 casts of value sums: each member's OWN filtered
+    // term (the r14 nation-row lesson — an unfiltered Σvol4 bound would
+    // read 100% of 2^53 near sf3 while q48's actual one-year/band/
+    // price·disc sum crosses only near sf~2500: a 1000× false alarm).
+    // q53's below-avg cut is bounded by its brand scope (the filter only
+    // shrinks); q12's per-group Σp2/Σq2 are bounded by the global Σp2
+    // (qty ≤ 50 ≪ price row-wise). Three conditional sums in ONE
+    // broadcast-dim scan + the events-value family in one more.
+    val disc4 = abs(round(col("l_extendedprice") * col("l_discount") * lit(10000))
+      .cast("decimal(38,0)"))
+    val tP2 = abs(c2(col("l_extendedprice")))
+    val tV4 = abs(vol4).cast("decimal(38,0)")
+    val q2i = round(col("l_quantity") * lit(100)).cast("long")
+    val c48 = col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+      col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24
+    val c53 = col("p_brand") === "Brand#1"
+    val c55 =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+        q2i.between(500L, 2000L)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(5, 20) &&
+        q2i.between(1000L, 3000L)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(10, 40) &&
+        q2i.between(2000L, 5000L))
+    // q12's group casts: the whole-scan Σp2 bounds every group
+    val c12 = lit(true)
+    // LEFT join: an inner join would silently drop fact rows with no part
+    // match from the q12/q48 whole-scan bounds (a null p_brand/p_size just
+    // falls out of the c53/c55 conditions, which is those members' own
+    // inner-join semantics)
+    val castScan = li.join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+      col("l_partkey") === col("p_partkey"), "left")
+    val castTerms = Seq(
+      ("q48", c48, disc4), ("q53", c53, tP2), ("q55", c55, tV4), ("q12", c12, tP2))
+    val cr = castScan.agg(
+      count(lit(1)).as("n"),
+      castTerms.flatMap { case (m, cond, t) => Seq(
+        sum(when(cond, t).otherwise(lit(0))).as(s"s_$m"),
+        // fail-closed accounting: a selected row whose term is null would
+        // be silently skipped by sum — count those directly
+        count(when(cond && t.isNull, lit(1))).as(s"null_$m"))
+      }: _*).head()
+    val cRows = cr.getLong(0)
+    def castW(m: String): Option[BigDecimal] =
+      if (cRows == 0L) Some(BigDecimal(0))
+      else if (cr.getLong(cr.fieldIndex(s"null_$m")) != 0L) None
+      else Option(cr.getDecimal(cr.fieldIndex(s"s_$m"))).map(BigDecimal(_))
+    val castWorsts = castTerms.map { case (m, _, _) => castW(m) }
+    val valueDouble = Headroom("cast_double:value_sums",
+      if (castWorsts.exists(_.isEmpty)) None else Some(castWorsts.flatten.max),
+      queries = Seq("q12", "q48", "q53", "q55", "q73", "q75"),
+      ceiling = Ceiling53, alarmAt = 1.0)
+    val evDouble = sumHeadroom("cast_double:event_value",
+      ev, round(col("value") * lit(100)),
+      queries = Seq("q11", "q23", "q30", "q44", "q47"))
+      .copy(ceiling = Ceiling53, alarmAt = 1.0)
     Seq(revenue, nation, brand, yearly, suppkey, custkey, orderkey,
-      orderyear, suppnation, priority, acctbal, qty, age, gate)
+      orderyear, suppnation, priority, acctbal, qty, age, gate,
+      centsDouble, valueDouble, evDouble)
   }
 
   /** Table rendering of [[audit]] for ops surfaces: one row per

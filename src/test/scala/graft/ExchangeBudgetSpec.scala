@@ -78,7 +78,8 @@ class ExchangeBudgetSpec extends SparkSpec {
     "q69_kmv_intersection" -> 2,
     // the widened revenue family costs exactly its narrow counterpart's
     // exchanges — the width switch is a buffer-type change, not a plan change
-    "q73_pricing_summary_wide" -> 1, "q74_brand_volume_wide" -> 1,
+    "q73_pricing_summary_wide" -> 1, "q77_pricing_summary_cents" -> 1,
+    "q74_brand_volume_wide" -> 1,
     "q75_revenue_forecast_wide" -> 1, "q76_promo_share_wide" -> 1,
     "q70_decile_bins" -> 4, "q71_sketch_bins" -> 1, "d01_dedup_exact" -> 1,
     // d04: +1 round 9 — exactJaccardOnCandidates' shingle sets moved

@@ -19,7 +19,8 @@ class OverflowAuditSpec extends SparkSpec {
       "revenue_sum:custkey_group", "revenue_sum:orderkey_group",
       "revenue_sum:orderyear_group", "revenue_sum:suppnation_group",
       "totalprice_sum:priority_group", "acctbal_sum", "qty_sum",
-      "age_sum:eventtype_group", "gate_cross_mult"))
+      "age_sum:eventtype_group", "gate_cross_mult",
+      "cast_double:cents2", "cast_double:value_sums", "cast_double:event_value"))
     // grouping soundness (ADVICE r14): q40 (o_year only) and q41 (supplier
     // nation) are NOT refinements of customer nation — each is bounded by
     // a row measuring its OWN grouping, never by the nation row
@@ -146,11 +147,16 @@ class OverflowAuditSpec extends SparkSpec {
 
   test("auditDf: one row per (family, grouping-class) with verdict and members") {
     val rows = OverflowAudit.auditDf(spark, sfDir).collect()
-    assert(rows.length == 14)
+    assert(rows.length == 17)
     assert(rows.forall(_.getBoolean(3)))
     assert(rows.forall(_.getString(4).nonEmpty), "every row must name its queries")
-    // exactly one row is NOT released by the wide-sums switch: q68's gate
-    assert(rows.filterNot(_.getBoolean(5)).map(_.getString(0)).toSeq == Seq("gate_cross_mult"))
+    // rows NOT released by the wide-sums switch: q68's gate (escape = the
+    // registered q72 decimal form) and the 2^53 cast-fidelity rows
+    // (escape = the registered q77 integer-cents form — widening the SUM
+    // buffer cannot un-round the output cast)
+    assert(rows.filterNot(_.getBoolean(5)).map(_.getString(0)).toSet == Set(
+      "gate_cross_mult", "cast_double:cents2", "cast_double:value_sums",
+      "cast_double:event_value"))
   }
 
   test("Verify exit-code contract: 1=dumps incomplete, 2=gate tripped, 0=clean") {

@@ -222,6 +222,20 @@ class QueriesSpec extends SparkSpec {
     val standIn = emb.map { case (id, v) => id -> pick(v, cent0).toLong }.toMap
     assert(emb.exists { case (id, _) => out(id) != standIn(id) },
       "Lloyd round produced the identical assignment — training is a no-op here")
+    // VERDICT r15 item 4: pin the containment PROPERTY, not just the r15
+    // artifact numbers (41× Σ|cell|² at sf100). The cell-local prune is
+    // quadratic per cell, so d15's entire value is that no magnet cell
+    // survives training — d14's failure mode held 61% of the corpus in
+    // ONE cell. A generous balance bound (max|cell| ≤ 8·N/k, and never a
+    // d14-style majority cell) keeps a future quantizer edit from
+    // silently reintroducing the magnet while leaving room for the
+    // natural lumpiness of real direction clusters.
+    val n = emb.length
+    val maxCell = out.values.groupBy(identity).values.map(_.size).max
+    val bound = math.max(8.0 * n / k, 0.25 * n)
+    assert(maxCell <= bound,
+      s"d15 magnet cell: max|cell| = $maxCell of $n (bound $bound, k=$k) — " +
+        "the trained quantizer lost its containment property")
   }
 
   test("q72 widened gate equals q68 below the 64-bit ceiling") {
@@ -279,14 +293,25 @@ class QueriesSpec extends SparkSpec {
       // otherwise the ≡ comparison below passes vacuously on two narrow runs
       spark.conf.set("spark.graft.wideSums", "true")
       assert(SparkEntry.wideSums(spark))
-      // the buffer-width marker is the cast INSIDE the sum ("sum(cast(…
-      // as decimal(38,0))"); a bare decimal(38,0) substring no longer
-      // distinguishes the modes — since r15 the narrow plan also carries
-      // decimal in the final PROJECTION (cents2's exact-integer HALF_UP of
-      // the already-computed long sum), which is not the aggregate buffer
-      val q13wide = SparkEntry.queries("q13_region_revenue")(spark, sfDir)
-        .queryExecution.optimizedPlan.toString
-      assert(q13wide.contains("sum(cast(") && q13wide.contains("decimal(38,0)"),
+      // the buffer-width marker is the SUM AGGREGATE's input type — read
+      // structurally off the optimized plan's Aggregate nodes (ADVICE r15:
+      // the earlier "sum(cast(" substring match was one pretty-print paren
+      // away from a false positive — the narrow term prints as
+      // "sum((cast(…" — and breaks across Spark versions); a decimal in
+      // the final PROJECTION (cents2/rdiv's exact-integer HALF_UP of the
+      // already-computed long sum) is NOT an aggregate buffer and does not
+      // register here
+      def sumInputTypes(name: String): Set[org.apache.spark.sql.types.DataType] = {
+        import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+        SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan.collect {
+          case a: Aggregate => a.aggregateExpressions.flatMap(_.collect {
+            case ae: AggregateExpression => ae.aggregateFunction
+          }).collect { case su: Sum => su.child.dataType }
+        }.flatten.toSet
+      }
+      import org.apache.spark.sql.types.DecimalType
+      assert(sumInputTypes("q13_region_revenue").exists(_.isInstanceOf[DecimalType]),
         "wide flag on, but q13's plan has no decimal(38,0) aggregate buffer — the switch is dead")
       // the flip must be a pure BUFFER change: same exchanges, same joins —
       // only the agg buffer widens 8→16 bytes (the q72/q73 precedent,
@@ -304,9 +329,7 @@ class QueriesSpec extends SparkSpec {
       // the test environment — the spec must not depend on the process env)
       spark.conf.set("spark.graft.wideSums", "false")
       assert(!SparkEntry.wideSums(spark))
-      val q13narrow = SparkEntry.queries("q13_region_revenue")(spark, sfDir)
-        .queryExecution.optimizedPlan.toString
-      assert(!q13narrow.contains("sum(cast("),
+      assert(!sumInputTypes("q13_region_revenue").exists(_.isInstanceOf[DecimalType]),
         "wide flag off, but q13's plan still aggregates in decimal — the narrow fast path is gone")
       val narrowShape = Seq("q13_region_revenue", "q40_market_share").map(shape)
       assert(wideShape == narrowShape,
