@@ -116,6 +116,47 @@ class OverflowAuditSpec extends SparkSpec {
     assert(OverflowAudit.sumHeadroom("small", small, col("a")).ok)
   }
 
+  test("cast_double: past 2^53 the double cast rounds; the integer-cents form does not") {
+    import spark.implicits._
+    // The exact claim the cast_double rows (ceiling = 2^53, alarm at 100%)
+    // watch, and the q77 escape's raison d'être, demonstrated on the real
+    // output shapes: an exact decimal(38,0) cents sum landing just PAST
+    // 2^53 (odd, hence not representable — doubles there are even
+    // integers) loses its last cent in `.cast("double")` while the BIGINT
+    // cents output carries it exactly; the same sum just BELOW 2^53 is
+    // cast-exact. (Cross-engine hash identity is untouched either way —
+    // both engines round the same exact integer to the same nearest
+    // double — which is why these rows guard FIDELITY, not determinism,
+    // and why their escape is a representation change, not the wide
+    // switch.)
+    val past = (BigDecimal(2).pow(53) + 1).toLong // odd: between 2^53 and 2^53+2
+    val below = (BigDecimal(2).pow(53) - 1).toLong // all ints < 2^53 are exact
+    def castPair(c: Long): (Double, Long) = {
+      val r = Seq(c - 7L, 7L).toDF("cents")
+        .agg(sum(col("cents").cast("decimal(38,0)")).as("s"))
+        .select(col("s").cast("double").as("d"), col("s").cast("long").as("l"))
+        .head()
+      (r.getDouble(0), r.getLong(1))
+    }
+    val (dPast, lPast) = castPair(past)
+    assert(lPast == past, "BIGINT cents must carry the exact sum")
+    assert(BigDecimal(dPast) != BigDecimal(past),
+      f"double($past%d) should have rounded past 2^53 but read $dPast%.1f")
+    val (dBelow, lBelow) = castPair(below)
+    assert(lBelow == below)
+    assert(BigDecimal(dBelow) == BigDecimal(below),
+      "below 2^53 the double cast must be exact")
+    // Headroom semantics for the rows that watch this: alarm at the TRUE
+    // boundary (alarmAt = 1.0, ceiling = 2^53), not the 10% line
+    val watch = OverflowAudit.Headroom("cast", Some(BigDecimal(2).pow(53) / 2),
+      queries = Seq("q"), ceiling = OverflowAudit.Ceiling53, alarmAt = 1.0)
+    assert(watch.ok, s"50% of 2^53 must NOT alarm at alarmAt=1.0: $watch")
+    val crossed = watch.copy(worst = Some(BigDecimal(2).pow(53) * 1.05))
+    assert(!crossed.ok, s"105% of 2^53 must alarm: $crossed")
+    assert(crossed.gates(wideSumsOn = true),
+      "the wide switch must NOT release a cast-fidelity crossing")
+  }
+
   test("audit fails closed: a null aggregate over non-empty input is never ok") {
     import spark.implicits._
     // all-null terms: rows exist, the sum is null — the audit must refuse
