@@ -3295,7 +3295,7 @@ object SparkEntry {
         |WHERE rn = 1""".stripMargin,
     "q40_market_share" ->
       """SELECT o_year,
-        |       CAST((2*t4*1000000 + a4) // (2*a4) AS DOUBLE) / 1000000.0 AS mkt_share,
+        |       CAST((2*CAST(t4 AS HUGEINT)*1000000 + a4) // (2*a4) AS DOUBLE) / 1000000.0 AS mkt_share,
         |       CAST(a4 AS DOUBLE) / 10000.0 AS total_revenue
         |FROM (
         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -3378,7 +3378,7 @@ object SparkEntry {
         |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin,
     "q49_promo_share" ->
       """SELECT l_year,
-        |       CAST((2*p4*1000000 + a4) // (2*a4) AS DOUBLE) / 1000000.0 AS promo_share,
+        |       CAST((2*CAST(p4 AS HUGEINT)*1000000 + a4) // (2*a4) AS DOUBLE) / 1000000.0 AS promo_share,
         |       CAST(p4 AS DOUBLE) / 10000.0 AS promo_revenue
         |FROM (
         |  SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,

@@ -99,7 +99,9 @@ object Verify {
         "of ceiling (or unmeasurable) for: " +
         crossed.map(h => s"${h.family}${h.queries.mkString(" [", ",", "]")}").mkString("; ") +
         ". Escapes: GRAFT_WIDE_SUMS=1 flips every xsum-swept grouped member to " +
-        "decimal(38,0); q68's gate has the registered wide form q72_nation_value_wide.")
+        "decimal(38,0); q68's gate has the registered wide form q72_nation_value_wide; " +
+        "the cast_double rows (2^53 output-cast fidelity) have the registered " +
+        "integer-cents form q77_pricing_summary_cents.")
     }
     if (dumpFailures > 0)
       System.err.println(s"[verify] $dumpFailures query dump(s) FAILED — artifacts incomplete")
