@@ -59,8 +59,12 @@ wide = json.load(open('/tmp/sf300_wide.json'))
 audit = [l.strip() for l in open('/tmp/v_sf300_wide.log', errors='replace')
          if 'overflow-audit' in l]
 def row(fam):
+    # a released row prints "[CROSSED (released: wide sums on)]" — match
+    # every state, and an exact family name (the bare "revenue_sum" prefix
+    # must not capture its grouped-class rows)
     return next((l.split('overflow-audit', 1)[1].strip() for l in audit
-                 if re.search(r'\[(ok|ALARM)\] ' + re.escape(fam) + ':', l)), '')
+                 if re.search(r'\[(ok|ALARM|CROSSED[^\]]*)\] ' +
+                              re.escape(fam) + r': ', l)), '')
 def pct(line, ceil):
     m = re.search(r'\(([\d.]+)% of ' + re.escape(ceil) + r'\b', line)
     return float(m.group(1)) if m else None
@@ -81,7 +85,7 @@ out = {
     'audit_cast_double_cents2_row': cents_row,
     'audit_cast_double_pct_of_2e53': pct(cents_row, '2^53'),
     'audit_revenue_sum_row': row('revenue_sum'),
-    'audit_age_sum_row': row('age_sum'),
+    'audit_age_sum_row': row('age_sum:eventtype_group'),
     'audit_gate_cross_mult_row': row('gate_cross_mult'),
 }
 st = lambda d: (d or {}).get('status')
