@@ -159,6 +159,32 @@ object Bench {
       "\"" + n + f"""\":{"n":${xs.length},"min":${xs.min}%.3f,"med":${med(xs)}%.3f,"max":${xs.max}%.3f}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Host-climate stamp (r16): the rig's multi-minute throttle windows
+    // have twice produced committed artifacts 1.1-1.3x over the previous
+    // round on plan-identical queries (r15's 1.29x, diagnosed climate by
+    // the interleaved A/B in BENCH_AB_R14R15.json). Make the diagnosis
+    // machine-readable IN the artifact: ratio each plan-stable control
+    // query's run min against its committed quiet-window minimum
+    // (BENCH_CONTROLS.json) and emit the per-control ratios + geomean. A
+    // uniform geomean >> 1.1 marks the SESSION slow; per-query regressions
+    // only mean something against a near-1.0 climate. sf-dependent: the
+    // controls are sf0.1 minima, so the stamp only emits on sf0.1 runs.
+    val resultMap = results.toMap
+    val climate: Option[String] =
+      if (!sfDir.endsWith("sf0.1")) None
+      else try {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get("BENCH_CONTROLS.json"))
+        val entry = """"(q[0-9]+[a-z0-9_]*|t[0-9]+[a-z0-9_]*)":\s*([0-9.]+)""".r
+        val ratios = entry.findAllMatchIn(txt).flatMap { m =>
+          resultMap.get(m.group(1)).map(v => m.group(1) -> v / m.group(2).toDouble)
+        }.toSeq.sortBy(_._1)
+        if (ratios.isEmpty) None
+        else {
+          val geo = math.exp(ratios.map(r => math.log(r._2)).sum / ratios.size)
+          val per = ratios.map { case (k, r) => "\"" + k + f"""\":$r%.2f""" }.mkString("{", ",", "}")
+          Some(f"""{"geomean":$geo%.3f,"controls":$per,"baseline":"BENCH_CONTROLS.json"}""")
+        }
+      } catch { case _: Exception => None }
     // the run's ACTUAL knobs, in-artifact (ADVICE r11: the sf100 probe ran
     // shuffle.partitions=256 / outlier=10000s while the derived report's
     // hardcoded config string claimed 32 — the artifact must self-describe
@@ -171,8 +197,9 @@ object Bench {
       s"untimed sf0.001 warmup; $passes interleaved full passes; " +
       s">${outlierSec}s outliers re-sampled until 2 consecutive samples within 10% of best (max +6); " +
       "queries=per-query min over all samples; stats=per-query n/min/med/max"
+    val climateField = climate.map(c => s""","climate":$c""").getOrElse("")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":"$protocol","config":$config,"queries":$qJson,"stats":$sJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","protocol":"$protocol","config":$config$climateField,"queries":$qJson,"stats":$sJson,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r{N}.json keeps only the last 2,000 chars of
     // output — the first ~40 query timings fall off every round. Persist
@@ -194,7 +221,8 @@ object Bench {
     val slow = results.sortBy(-_._2).take(8)
       .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",""" +
-      s""""n_queries":${results.length},"slowest":$slow,"queries_artifact":"$outPath","config":$config}""")
+      s""""n_queries":${results.length},"slowest":$slow,"queries_artifact":"$outPath"""" +
+      s"""$climateField,"config":$config}""")
     spark.stop()
   }
 }
