@@ -84,18 +84,11 @@ object DedupRegimeProbe {
       v -> ts.min
     }
     val cells = cellVariants.map { v =>
-      import org.apache.spark.sql.functions._
-      // Σc² is itself the audit's span-growing class (a product of two
-      // counts): computed in decimal(38,0) so the instrument can't wrap
-      val r = assignment(v)
-        .groupBy(col("cell")).agg(count(lit(1)).as("c"))
-        .agg(sum(col("c").cast("decimal(38,0)") * col("c").cast("decimal(38,0)"))
-            .as("sumsq"), max(col("c")).as("mx"),
-          sum(col("c")).as("n"), count(lit(1)).as("k_used")).head()
-      val sumsq = BigDecimal(r.getDecimal(0))
-      System.err.println(s"[regime-probe] $v sumsq=$sumsq max=${r.getLong(1)} " +
-        s"n=${r.getLong(2)} cells_used=${r.getLong(3)}")
-      v -> ((sumsq, r.getLong(1), r.getLong(2), r.getLong(3)))
+      // the shared, spec-pinned stats kernel (Dedup.cellStats): Σ|cell|²
+      // in decimal(38,0) — the instrument must not wrap at any N
+      val (sumsq, mx, n, kUsed) = operators.Dedup.cellStats(assignment(v))
+      System.err.println(s"[regime-probe] $v sumsq=$sumsq max=$mx n=$n cells_used=$kUsed")
+      v -> ((sumsq, mx, n, kUsed))
     }
     spark.stop()
     val qs = mins.map { case (v, t) => f""""$v":$t%.3f""" }.mkString(",")

@@ -749,6 +749,24 @@ object Dedup {
     semanticDedupFromAssign(
       lloydAssignment(corpus, idCol, vecCol, rowsPerCell, minCells, lloydRounds), eps)
 
+  /** Cell-size profile of a quantizer assignment: (Σ|cell|², max|cell|,
+    * n, cells_used). Σ|cell|² is the cell-local prune's worst-case pair
+    * volume — THE scale exposure the d15 training exists to contain — so
+    * the number that grades quantizers must come from one shared,
+    * spec-pinned implementation (used by [[graft.DedupRegimeProbe]] and
+    * QueriesSpec). Computed in decimal(38,0): a product of two counts is
+    * the audit's span-growing class (OverflowAudit shape 3) and the
+    * instrument itself must not wrap at any N.
+    */
+  private[graft] def cellStats(assign: DataFrame): (BigDecimal, Long, Long, Long) = {
+    val r = assign
+      .groupBy(col("cell")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c").cast("decimal(38,0)") * col("c").cast("decimal(38,0)"))
+          .as("sumsq"), max(col("c")).as("mx"),
+        sum(col("c")).as("n"), count(lit(1)).as("k_used")).head()
+    (BigDecimal(r.getDecimal(0)), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
   /** [[semanticDedupLloyd]]'s trained quantizer stage alone — see
     * [[scaledAssignment]] for why the probes read this directly. */
   private[graft] def lloydAssignment(

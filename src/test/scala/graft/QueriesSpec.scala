@@ -231,11 +231,23 @@ class QueriesSpec extends SparkSpec {
     // silently reintroducing the magnet while leaving room for the
     // natural lumpiness of real direction clusters.
     val n = emb.length
-    val maxCell = out.values.groupBy(identity).values.map(_.size).max
+    val cellSizes = out.values.groupBy(identity).values.map(_.size.toLong).toSeq
+    val maxCell = cellSizes.max
     val bound = math.max(8.0 * n / k, 0.25 * n)
     assert(maxCell <= bound,
       s"d15 magnet cell: max|cell| = $maxCell of $n (bound $bound, k=$k) — " +
         "the trained quantizer lost its containment property")
+    // pin the cells INSTRUMENT (Dedup.cellStats, the number that grades
+    // quantizers in BENCH_LLOYD_ROUNDS/DedupRegimeProbe) against this
+    // independent driver-side recount of the same assignment
+    val (sumsq, mx, nStat, kUsed) = operators.Dedup.cellStats(
+      operators.Dedup.lloydAssignment(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding"))
+    assert(mx == maxCell && nStat == n.toLong && kUsed == cellSizes.size.toLong,
+      s"cellStats ($mx, $nStat, $kUsed) disagrees with the driver-side recount " +
+        s"($maxCell, $n, ${cellSizes.size})")
+    assert(sumsq == BigDecimal(cellSizes.map(c => BigInt(c) * BigInt(c)).sum),
+      "cellStats Σ|cell|² disagrees with the driver-side recount")
   }
 
   test("q72 widened gate equals q68 below the 64-bit ceiling") {
