@@ -80,6 +80,21 @@ final case class GraftSettings(env: Map[String, String]) {
   val wideSums: Boolean =
     get("GRAFT_WIDE_SUMS").exists(v => v == "1" || v.equalsIgnoreCase("true"))
 
+  /** GRAFT_CENTS_OUT=1 — the engine-level integer-cents OUTPUT switch:
+    * every member of OverflowAudit's `cast_double:cents2` row (q12, q13,
+    * q16, q73, q74) emits HALF_UP cents as BIGINT with always-wide sums
+    * instead of the `.cast(double)/10^s` dollar form. Flip when the
+    * cast-fidelity audit row crosses its TRUE 100%-of-2^53 line (~sf285
+    * for the charge-cents family; fired in anger on the sf300 probe) —
+    * past it the double output drifts sub-unit while the cents stay exact
+    * to 2^63 cents (~$9.2e16). Output-form change, not a representation
+    * change: schema differs (`_c2` BIGINT columns, avgs omitted), and the
+    * always-on registered forms are q77/q78/q79. The runtime conf
+    * `spark.graft.centsOut` overrides this env default in-process.
+    */
+  val centsOut: Boolean =
+    get("GRAFT_CENTS_OUT").exists(v => v == "1" || v.equalsIgnoreCase("true"))
+
   val targetName: String = get("TARGET_NAME").getOrElse("unknown")
 
   /** CU accounting mode → emitted metric name (CuMode.metric,

@@ -187,33 +187,114 @@ object SparkEntry {
       .map(v => v == "1" || v.equalsIgnoreCase("true"))
       .getOrElse(GraftSettings.fromEnv().wideSums)
 
+  /** The ENGINE-LEVEL integer-cents OUTPUT switch (VERDICT r16 task 1,
+    * generalizing q77 beyond the pricing-summary family). The wide-sums
+    * switch moves where the SUM lives; the final `.cast("double")/10^s`
+    * still rounds once the integer passes 2^53 (~sf285 for q12's charge
+    * cents, measured 70% at sf200, fired in anger at sf300) — drift, not
+    * garbage, and still hash-identical cross-engine, but no longer the
+    * exact ledger amount. Flipping `GRAFT_CENTS_OUT=1` (env; GraftSettings)
+    * or `spark.graft.centsOut` (runtime conf, takes precedence) routes
+    * EVERY member of OverflowAudit's `cast_double:cents2` row — q12, q13,
+    * q16 and their forced-wide forms q73, q74 — to its integer-cents
+    * output form: HALF_UP cents as BIGINT (exact to 2^63 cents ≈ $9.2e16,
+    * ~10^3× the 2^53 line), sums always wide (the escape exists precisely
+    * for deployments past the narrow regime). Unlike the wide switch this
+    * is an OUTPUT-FORM change (schema differs: `_c2` BIGINT columns, avg
+    * columns omitted — per-row means never approach 2^53), so each family
+    * also has a registered always-on escape query with its own HUGEINT
+    * oracle: q77 (pricing summary), q78 (region revenue), q79 (brand
+    * volume). QueriesSpec pins switch-flipped q12/q13/q16 ≡ q77/q78/q79.
+    */
+  private[graft] def centsOut(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.centsOut")
+      .map(v => v == "1" || v.equalsIgnoreCase("true"))
+      .getOrElse(GraftSettings.fromEnv().centsOut)
+
+  /** HALF_UP integer cents of a nonnegative 10^scale-scaled integer sum —
+    * the BIGINT output column of the cents escape forms ([[centsOut]]):
+    * `floor((S + k/2) / k)` with k = 10^(scale-2), the [[cents2]] rule
+    * minus its final double cast. Exact to 2^63 cents. */
+  private def centsI(sumI: Column, scale: Int): Column = {
+    val k = math.pow(10, scale - 2).toLong
+    idiv(sumI.cast("decimal(38,0)") + lit(k / 2), lit(k)).cast("long")
+  }
+
   // The revenue_sum family (q12/q16/q48/q49-class global scaled-integer
   // sums), width-parameterized: registered narrow under the original names
   // and wide as q73–q76 — the production switch for data past the
   // OverflowAudit alarm (revenue_sum crossed 10% of 2⁶³ between sf1 and
-  // sf10 on the replication sets, and WRAPPED at sf100).
-  private def pricingSummary(s: SparkSession, dir: String, wide: Boolean): DataFrame =
-    Tables.lineitem(s, dir)
+  // sf10 on the replication sets, and WRAPPED at sf100). The cents2
+  // members (q12/q13/q16 — OverflowAudit's `cast_double:cents2` row)
+  // additionally carry the `cents` output-form parameter ([[centsOut]]):
+  // cents=true emits HALF_UP cents as BIGINT (always-wide sums) — the
+  // 2^53 cast-fidelity escape, registered always-on as q77/q78/q79.
+  private def pricingSummary(s: SparkSession, dir: String, wide: Boolean,
+      cents: Boolean = false): DataFrame = {
+    val base = Tables.lineitem(s, dir)
       .where(to_date(col("l_shipdate")) <= lit("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(
+    val disc = c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount")))
+    if (cents)
+      // avg columns omitted: per-row means never approach 2^53
+      base.agg(
+        xsum(c2(col("l_quantity")), wide = true).cast("long").as("sum_qty_c2"),
+        xsum(c2(col("l_extendedprice")), wide = true).cast("long").as("sum_base_price_c2"),
+        centsI(xsum(disc, wide = true), 4).as("sum_disc_price_c2"),
+        centsI(xsum(disc * (lit(100L) + c2(col("l_tax"))), wide = true), 6).as("sum_charge_c2"),
+        count(lit(1)).as("count_order"))
+    else
+      base.agg(
         round(xsum(c2(col("l_quantity")), wide).cast("double") / lit(100.0), 2).as("sum_qty"),
         round(xsum(c2(col("l_extendedprice")), wide).cast("double") / lit(100.0), 2).as("sum_base_price"),
-        cents2(xsum(c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount"))), wide), 4).as("sum_disc_price"),
-        cents2(xsum(c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount"))) * (lit(100L) + c2(col("l_tax"))), wide), 6).as("sum_charge"),
+        cents2(xsum(disc, wide), 4).as("sum_disc_price"),
+        cents2(xsum(disc * (lit(100L) + c2(col("l_tax"))), wide), 6).as("sum_charge"),
         rdiv(xsum(c2(col("l_quantity")), wide), count(lit(1)) * lit(100L), 4).as("avg_qty"),
         rdiv(xsum(c2(col("l_extendedprice")), wide), count(lit(1)) * lit(100L), 4).as("avg_price"),
         rdiv(xsum(c2(col("l_discount")), wide), count(lit(1)) * lit(100L), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
+  }
 
-  private def brandVolume(s: SparkSession, dir: String, wide: Boolean): DataFrame = {
+  private def brandVolume(s: SparkSession, dir: String, wide: Boolean,
+      cents: Boolean = false): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val p = Tables.part(s, dir)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    val base = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
-      .agg(
+    val disc = c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount")))
+    if (cents)
+      base.agg(
+        xsum(c2(col("l_quantity")), wide = true).cast("long").as("sum_qty_c2"),
+        centsI(xsum(disc, wide = true), 4).as("revenue_c2"),
+        count(lit(1)).as("n_items"))
+    else
+      base.agg(
         round(xsum(c2(col("l_quantity")), wide).cast("double") / lit(100.0), 2).as("sum_qty"),
-        cents2(xsum(c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount"))), wide), 4).as("revenue"),
+        cents2(xsum(disc, wide), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private def regionRevenue(s: SparkSession, dir: String, wide: Boolean,
+      cents: Boolean = false): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    val base = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+    // grouped revenue sum on the engine-level width switch: 25-nation
+    // groups of the global sum cross 2⁶³ near sf1000 — the q13-class
+    // bound OverflowAudit's grouped audit measures
+    val disc = c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount")))
+    if (cents)
+      base.agg(centsI(xsum(disc, wide = true), 4).as("revenue_c2"),
+        count(lit(1)).as("n_items"))
+    else
+      base.agg(cents2(xsum(disc, wide), 4).as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -335,25 +416,10 @@ object SparkEntry {
     // the narrow family registrations follow the engine-level switch: wide
     // only when GRAFT_WIDE_SUMS / spark.graft.wideSums flips them (q73–q76
     // below stay FORCED wide — the always-on form the switch promotes to)
-    "q12_pricing_summary" -> q((s, dir) => pricingSummary(s, dir, wide = wideSums(s))),
-    "q13_region_revenue" -> q { (s, dir) =>
-      val li = Tables.lineitem(s, dir)
-      val o = Tables.orders(s, dir)
-      val c = Tables.customer(s, dir)
-      val n = Tables.nation(s, dir)
-      val r = Tables.region(s, dir)
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
-        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .groupBy(col("r_name"), col("n_name"))
-        // grouped revenue sum on the engine-level width switch: 25-nation
-        // groups of the global sum cross 2⁶³ near sf1000 — the q13-class
-        // bound OverflowAudit's grouped audit measures
-        .agg(
-          cents2(xsum(c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount"))), wideSums(s)), 4).as("revenue"),
-          count(lit(1)).as("n_items"))
-    },
+    "q12_pricing_summary" -> q((s, dir) =>
+      pricingSummary(s, dir, wide = wideSums(s), cents = centsOut(s))),
+    "q13_region_revenue" -> q((s, dir) =>
+      regionRevenue(s, dir, wide = wideSums(s), cents = centsOut(s))),
     "q14_top_customers" -> q { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       Tables.orders(s, dir)
@@ -395,7 +461,8 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           round(xsum(c2(col("l_extendedprice")), wideSums(s)).cast("double") / lit(100.0), 2).as("sum_price"))
     },
-    "q16_brand_volume" -> q((s, dir) => brandVolume(s, dir, wide = wideSums(s))),
+    "q16_brand_volume" -> q((s, dir) =>
+      brandVolume(s, dir, wide = wideSums(s), cents = centsOut(s))),
     "q17_priority_counts" -> q { (s, dir) =>
       Tables.orders(s, dir)
         .where(unix_millis(col("o_orderdate").cast("timestamp")).between(788918400000L, 796694399999L))
@@ -1893,35 +1960,29 @@ object SparkEntry {
     // the replication sets — the 64-bit q12-class sums WRAP there). Same
     // code as the narrow forms via the shared width parameter (xsum);
     // QueriesSpec pins each ≡ its 64-bit form below the ceiling.
-    "q73_pricing_summary_wide" -> q(pricingSummary(_, _, wide = true)),
-    "q74_brand_volume_wide" -> q(brandVolume(_, _, wide = true)),
+    "q73_pricing_summary_wide" -> q((s, dir) =>
+      pricingSummary(s, dir, wide = true, cents = centsOut(s))),
+    "q74_brand_volume_wide" -> q((s, dir) =>
+      brandVolume(s, dir, wide = true, cents = centsOut(s))),
     "q75_revenue_forecast_wide" -> q(revenueForecast(_, _, wide = true)),
     "q76_promo_share_wide" -> q(promoShare(_, _, wide = true)),
-    // q77: the INTEGER-CENTS escape for the 2^53 cast-fidelity boundary
-    // (OverflowAudit's cast_double rows, ADVICE r15). The wide switch
-    // moves where the SUM lives; the final `.cast("double")/10^s` still
-    // rounds once the integer passes 2^53 (~sf285 for q12's charge cents,
-    // measured 70% at sf200) — drift, not garbage, and still hash-
-    // identical cross-engine, but no longer the exact ledger amount. This
-    // form emits the HALF_UP cents themselves as BIGINT (exact until
-    // 2^63 cents ≈ 9.2e16 dollars, ~10^3× the 2^53 line) and always sums
-    // wide — it exists precisely for deployments past the narrow regime.
-    // avg columns are omitted: their magnitudes (per-row means) never
-    // approach 2^53.
-    "q77_pricing_summary_cents" -> q { (s, dir) =>
-      val disc = c2(col("l_extendedprice")) * (lit(100L) - c2(col("l_discount")))
-      Tables.lineitem(s, dir)
-        .where(to_date(col("l_shipdate")) <= lit("1998-09-02"))
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          xsum(c2(col("l_quantity")), wide = true).cast("long").as("sum_qty_c2"),
-          xsum(c2(col("l_extendedprice")), wide = true).cast("long").as("sum_base_price_c2"),
-          idiv(xsum(disc, wide = true) + lit(50L), lit(100L))
-            .cast("long").as("sum_disc_price_c2"),
-          idiv(xsum(disc * (lit(100L) + c2(col("l_tax"))), wide = true) + lit(5000L),
-            lit(10000L)).cast("long").as("sum_charge_c2"),
-          count(lit(1)).as("count_order"))
-    },
+    // q77–q79: the INTEGER-CENTS escapes for the 2^53 cast-fidelity
+    // boundary (OverflowAudit's `cast_double:cents2` row, ADVICE r15 /
+    // VERDICT r16 task 1). The wide switch moves where the SUM lives; the
+    // final `.cast("double")/10^s` still rounds once the integer passes
+    // 2^53 (~sf285 for q12's charge cents, measured 70% at sf200, fired
+    // in anger at sf300) — drift, not garbage, and still hash-identical
+    // cross-engine, but no longer the exact ledger amount. These forms
+    // emit the HALF_UP cents themselves as BIGINT (exact until 2^63 cents
+    // ≈ 9.2e16 dollars, ~10^3× the 2^53 line) and always sum wide — they
+    // exist precisely for deployments past the narrow regime. One per
+    // alarm-row family: q77 ← q12/q73 (pricing summary), q78 ← q13
+    // (region revenue), q79 ← q16/q74 (brand volume). The engine-level
+    // GRAFT_CENTS_OUT / spark.graft.centsOut switch routes the original
+    // five members to these same output forms in place ([[centsOut]]).
+    "q77_pricing_summary_cents" -> q(pricingSummary(_, _, wide = true, cents = true)),
+    "q78_region_revenue_cents" -> q(regionRevenue(_, _, wide = true, cents = true)),
+    "q79_brand_volume_cents" -> q(brandVolume(_, _, wide = true, cents = true)),
     "q69_kmv_intersection" -> q { (s, dir) =>
       // sketch set-algebra completed: INTERSECTION cardinality from two
       // persisted KMV states (Dasgupta et al.'s theta-sketch estimator —
@@ -2240,7 +2301,27 @@ object SparkEntry {
           |       CAST((sum(p2 * (100 - d2)) + 50) // 100 AS BIGINT) AS sum_disc_price_c2,
           |       CAST((sum(p2 * (100 - d2) * (100 + t2)) + 5000) // 10000 AS BIGINT) AS sum_charge_c2,
           |       count(*) AS count_order
-          |FROM s GROUP BY l_returnflag, l_linestatus""".stripMargin)
+          |FROM s GROUP BY l_returnflag, l_linestatus""".stripMargin,
+      // q78/q79: same HUGEINT-until-the-final-BIGINT-cast contract as q77
+      "q78_region_revenue_cents" ->
+        """SELECT r_name, n_name,
+          |       CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT)
+          |                 * (100 - CAST(round(l_discount*100) AS BIGINT))) + 50) // 100 AS BIGINT) AS revenue_c2,
+          |       count(*) AS n_items
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name, n_name""".stripMargin,
+      "q79_brand_volume_cents" ->
+        """SELECT p_brand,
+          |       CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c2,
+          |       CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT)
+          |                 * (100 - CAST(round(l_discount*100) AS BIGINT))) + 50) // 100 AS BIGINT) AS revenue_c2,
+          |       count(*) AS n_items
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |GROUP BY p_brand""".stripMargin)
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -80,28 +80,34 @@ object Verify {
     // queries each row bounds; any row past the 10%-of-2⁶³ alarm line (or
     // unmeasurable — the audit fails closed) exits nonzero, UNLESS the
     // engine-level wide-sums switch is on and covers that row's members
-    // (their 64-bit ceiling no longer exists then). Runs AFTER the dumps so
-    // a tripped gate never zeroes the round's correctness artifacts.
+    // (their 64-bit ceiling no longer exists then), or the integer-cents
+    // output switch is on and covers them (their 2^53 double cast no
+    // longer exists then). Runs AFTER the dumps so a tripped gate never
+    // zeroes the round's correctness artifacts.
     val wideOn = SparkEntry.wideSums(spark)
+    val centsOn = SparkEntry.centsOut(spark)
     val headrooms = operators.OverflowAudit.audit(spark, sfDir)
     headrooms.foreach { h =>
       val state =
         if (h.ok) "ok"
-        else if (!h.gates(wideOn)) "CROSSED (released: wide sums on)"
+        else if (!h.gates(wideOn, centsOn))
+          "CROSSED (released: " +
+            (if (wideOn && h.wideSwitchCovers) "wide sums on" else "cents output on") + ")"
         else "ALARM"
       println(s"[verify] overflow-audit [$state] $h")
     }
     spark.stop()
-    val gateOk = headrooms.forall(h => h.ok || !h.gates(wideOn))
+    val gateOk = headrooms.forall(h => h.ok || !h.gates(wideOn, centsOn))
     if (!gateOk) {
-      val crossed = headrooms.filter(h => !h.ok && h.gates(wideOn))
+      val crossed = headrooms.filter(h => !h.ok && h.gates(wideOn, centsOn))
       System.err.println("[verify] OVERFLOW GATE TRIPPED — 64-bit arithmetic past 10% " +
         "of ceiling (or unmeasurable) for: " +
         crossed.map(h => s"${h.family}${h.queries.mkString(" [", ",", "]")}").mkString("; ") +
         ". Escapes: GRAFT_WIDE_SUMS=1 flips every xsum-swept grouped member to " +
         "decimal(38,0); q68's gate has the registered wide form q72_nation_value_wide; " +
-        "the cast_double rows (2^53 output-cast fidelity) have the registered " +
-        "integer-cents form q77_pricing_summary_cents.")
+        "the cast_double:cents2 row (2^53 output-cast fidelity) is released by " +
+        "GRAFT_CENTS_OUT=1, which routes q12/q73 to q77's integer-cents form, " +
+        "q13 to q78's and q16/q74 to q79's (also registered always-on).")
     }
     if (dumpFailures > 0)
       System.err.println(s"[verify] $dumpFailures query dump(s) FAILED — artifacts incomplete")

@@ -129,22 +129,34 @@ object OverflowAudit {
     */
   final case class Headroom(family: String, worst: Option[BigDecimal],
       queries: Seq[String] = Nil, wideSwitchCovers: Boolean = false,
-      ceiling: BigDecimal = Ceiling, alarmAt: Double = 0.10) {
+      ceiling: BigDecimal = Ceiling, alarmAt: Double = 0.10,
+      // r17 (VERDICT r16 task 1): rows whose EVERY member has a registered
+      // integer-cents output form routed by the engine-level GRAFT_CENTS_OUT
+      // switch (SparkEntry.centsOut) — the 2^53 cast-fidelity escape. With
+      // that switch on the members' final `.cast(double)/10^s` no longer
+      // exists, so the row stops gating (same measured-crossing-only rule
+      // as wideSwitchCovers).
+      centsSwitchCovers: Boolean = false) {
     def fraction: Double = worst.map(w => (w / ceiling).toDouble).getOrElse(Double.NaN)
     // NaN < alarmAt is false, so the unmeasurable case stays failed-closed.
     def ok: Boolean = fraction < alarmAt
     /** Whether a crossed row should still trip the deployment gate given
-      * the engine-level wide-sums switch state. Only a MEASURED crossing is
-      * releasable: an UNMEASURABLE row (worst = None) signals the audit
-      * itself failed — all-null terms or the audit's own decimal arithmetic
-      * wrapping — which is a measurement/data anomaly the switch does not
-      * remove, so it gates in both modes (ADVICE r14: releasing it would
-      * silently lose the fail-closed property for wide deployments). */
-    def gates(wideSumsOn: Boolean): Boolean =
-      !(wideSumsOn && wideSwitchCovers && worst.isDefined)
+      * the engine-level switch states (wide sums; integer-cents output).
+      * Only a MEASURED crossing is releasable: an UNMEASURABLE row
+      * (worst = None) signals the audit itself failed — all-null terms or
+      * the audit's own decimal arithmetic wrapping — which is a
+      * measurement/data anomaly no switch removes, so it gates in every
+      * mode (ADVICE r14: releasing it would silently lose the fail-closed
+      * property for wide deployments). */
+    def gates(wideSumsOn: Boolean, centsOutOn: Boolean = false): Boolean =
+      !(((wideSumsOn && wideSwitchCovers) || (centsOutOn && centsSwitchCovers))
+        && worst.isDefined)
     override def toString: String = {
       val qs = if (queries.isEmpty) "" else queries.mkString(" [", ",", "]")
-      val cov = if (wideSwitchCovers) " escape=GRAFT_WIDE_SUMS=1" else ""
+      val cov = (if (wideSwitchCovers) " escape=GRAFT_WIDE_SUMS=1" else "") +
+        (if (centsSwitchCovers)
+           " escape=GRAFT_CENTS_OUT=1 (integer-cents forms q77/q78/q79)"
+         else "")
       val ceil = if (ceiling == Ceiling53) "2^53" else "2^63"
       worst match {
         case Some(w) => f"$family: worst=$w%.3e (${fraction * 100}%.4f%% of $ceil, alarm at ${alarmAt * 100}%.0f%%)$qs$cov"
@@ -415,10 +427,14 @@ object OverflowAudit {
     // cents2 class: q12's per-group charge cents ≤ W_revenue/10^4; every
     // other cents2 member (per-group Σvol4/10^2 with vol4 ≤ charge/10^2
     // row-wise) sits under the same bound.
+    // Every cents2 member has its integer-cents escape (r17): the
+    // engine-level GRAFT_CENTS_OUT switch routes q12/q73 → q77's form,
+    // q13 → q78's, q16/q74 → q79's (HALF_UP cents as BIGINT, always-wide
+    // sums — no double cast left), so this row releases under that switch.
     val centsDouble = Headroom("cast_double:cents2",
       revenue.worst.map(_ / BigDecimal(10000)),
       queries = Seq("q12", "q13", "q16", "q73", "q74"),
-      ceiling = Ceiling53, alarmAt = 1.0)
+      ceiling = Ceiling53, alarmAt = 1.0, centsSwitchCovers = true)
     // direct 1e-2/1e-4 casts of value sums: each member's OWN filtered
     // term (the r14 nation-row lesson — an unfiltered Σvol4 bound would
     // read 100% of 2^53 near sf3 while q48's actual one-year/band/
@@ -487,8 +503,8 @@ object OverflowAudit {
     import spark.implicits._
     audit(spark, dir)
       .map(h => (h.family, h.worst.map(_.toDouble).getOrElse(Double.NaN), h.fraction,
-        h.ok, h.queries.mkString(","), h.wideSwitchCovers))
+        h.ok, h.queries.mkString(","), h.wideSwitchCovers, h.centsSwitchCovers))
       .toDF("family", "worst_case", "fraction_of_ceiling", "ok",
-        "queries", "wide_switch_covers")
+        "queries", "wide_switch_covers", "cents_switch_covers")
   }
 }

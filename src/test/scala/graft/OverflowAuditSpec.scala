@@ -155,6 +155,19 @@ class OverflowAuditSpec extends SparkSpec {
     assert(!crossed.ok, s"105% of 2^53 must alarm: $crossed")
     assert(crossed.gates(wideSumsOn = true),
       "the wide switch must NOT release a cast-fidelity crossing")
+    // r17: the integer-cents OUTPUT switch is the escape that does release
+    // a cents2 crossing — the members' double cast no longer exists — but
+    // only rows whose every member has a registered cents form, and only
+    // MEASURED crossings (same fail-closed rule as the wide switch)
+    val centsCovered = crossed.copy(centsSwitchCovers = true)
+    assert(!centsCovered.gates(wideSumsOn = false, centsOutOn = true),
+      "GRAFT_CENTS_OUT must release a covered cents2 crossing")
+    assert(centsCovered.gates(wideSumsOn = true, centsOutOn = false),
+      "without the cents switch the cents2 crossing keeps gating")
+    assert(crossed.gates(wideSumsOn = false, centsOutOn = true),
+      "the cents switch must NOT release rows it does not cover (value_sums/event_value)")
+    assert(centsCovered.copy(worst = None).gates(wideSumsOn = false, centsOutOn = true),
+      "an unmeasurable row must keep gating under the cents switch — fail closed")
   }
 
   test("audit fails closed: a null aggregate over non-empty input is never ok") {
@@ -193,11 +206,17 @@ class OverflowAuditSpec extends SparkSpec {
     assert(rows.forall(_.getString(4).nonEmpty), "every row must name its queries")
     // rows NOT released by the wide-sums switch: q68's gate (escape = the
     // registered q72 decimal form) and the 2^53 cast-fidelity rows
-    // (escape = the registered q77 integer-cents form — widening the SUM
+    // (escape = the registered integer-cents forms — widening the SUM
     // buffer cannot un-round the output cast)
     assert(rows.filterNot(_.getBoolean(5)).map(_.getString(0)).toSet == Set(
       "gate_cross_mult", "cast_double:cents2", "cast_double:value_sums",
       "cast_double:event_value"))
+    // rows released by the integer-cents output switch (r17): exactly the
+    // cents2 row — every member (q12/q13/q16/q73/q74) has a registered
+    // cents form (q77/q78/q79) the switch routes to; value_sums/event_value
+    // members do not, so the switch must not release them
+    assert(rows.filter(_.getBoolean(6)).map(_.getString(0)).toSet ==
+      Set("cast_double:cents2"))
   }
 
   test("Verify exit-code contract: 1=dumps incomplete, 2=gate tripped, 0=clean") {

@@ -369,6 +369,51 @@ class QueriesSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.wideSums")
   }
 
+  test("engine-level integer-cents output switch: flipped members ≡ registered escapes") {
+    // VERDICT r16 task 1: GRAFT_CENTS_OUT / spark.graft.centsOut routes
+    // every cast_double:cents2 member (q12/q13/q16 and the forced-wide
+    // q73/q74) to its integer-cents output form — the same shape registered
+    // always-on as q77/q78/q79. Pins: (a) the flag is live; (b) each
+    // flipped member ≡ its escape query in schema AND rows; (c) below 2^53
+    // the cents columns are exactly the HALF_UP cents of the double form's
+    // dollar columns (the value-fidelity theorem the escape exists for).
+    val pairs = Seq(
+      "q12_pricing_summary" -> "q77_pricing_summary_cents",
+      "q13_region_revenue" -> "q78_region_revenue_cents",
+      "q16_brand_volume" -> "q79_brand_volume_cents",
+      "q73_pricing_summary_wide" -> "q77_pricing_summary_cents",
+      "q74_brand_volume_wide" -> "q79_brand_volume_cents")
+    try {
+      spark.conf.set("spark.graft.centsOut", "true")
+      assert(SparkEntry.centsOut(spark))
+      val flipped = pairs.map(_._1).distinct.map { m =>
+        val df = SparkEntry.queries(m)(spark, sfDir)
+        m -> (df.schema, df.collect().toSet)
+      }.toMap
+      spark.conf.set("spark.graft.centsOut", "false")
+      assert(!SparkEntry.centsOut(spark))
+      pairs.foreach { case (m, esc) =>
+        val e = SparkEntry.queries(esc)(spark, sfDir)
+        val (fs, fr) = flipped(m)
+        assert(fs == e.schema,
+          s"$m under centsOut: schema != $esc (the escape and the switch must be ONE form)")
+        val er = e.collect().toSet
+        assert(er.nonEmpty, s"$esc returned no rows at test SF")
+        assert(fr == er, s"$m under centsOut: rows != $esc")
+      }
+      // and the dollar form is the cents form's double rendering: below
+      // 2^53 revenue (2-decimal HALF_UP dollars) * 100 == revenue_c2
+      val dollars = SparkEntry.queries("q13_region_revenue")(spark, sfDir)
+        .select(col("r_name"), col("n_name"),
+          round(col("revenue") * 100).cast("long").as("c"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val cents = SparkEntry.queries("q78_region_revenue_cents")(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(dollars.nonEmpty && cents == dollars,
+        "q78 revenue_c2 != 100× q13 revenue below 2^53 — the escape changed the value, not just the form")
+    } finally spark.conf.unset("spark.graft.centsOut")
+  }
+
   test("xsum wide buffer stays exact where the 64-bit sum wraps") {
     // the ≡-below-the-ceiling pin above proves the widening is a pure
     // representation change; THIS proves the property the variants exist
