@@ -28,6 +28,16 @@ import org.apache.spark.sql.SparkSession
   * assignment stage, never paying the prune — and land in a separate
   * `cells` map in the JSON line.
   *
+  * `split_d14` / `split_d15` / `split_d15r2` (r17, VERDICT r16 item 5)
+  * time the two phases SEPARATELY — assignment wall (quantizer train +
+  * assign, materialized via eager localCheckpoint) vs prune wall
+  * (cell-local left-semi over the materialized assignment) — and land in
+  * a `split` map. This is the instrument for d15's parked Θ(N^1.5)
+  * residual: its N·2√k assignment only deserves the log-depth descent
+  * (the r14 negative result) if a decade measurement shows
+  * assign_wall, not prune_wall, dominating at production k — a number
+  * in the artifact, not a judgment call.
+  *
   * Usage: runMain graft.DedupRegimeProbe <sfDir> [eps] [passes] [variantsCsv]
   * Env: SPARK_GRAFT_CPUS, SPARK_GRAFT_SHUFFLE_PARTITIONS
   */
@@ -65,14 +75,15 @@ object DedupRegimeProbe {
         .write.format("noop").mode("overwrite").save()
       case other => sys.error(s"unknown variant '$other' (d14|d15|d15r2|cells_*)")
     }
-    def assignment(variant: String) = variant match {
-      case "cells_d14" => operators.Dedup.scaledAssignment(emb, "vec_id", "embedding")
-      case "cells_d15" => operators.Dedup.lloydAssignment(emb, "vec_id", "embedding")
-      case "cells_d15r2" =>
+    def assignment(variant: String) = variant.split('_').drop(1).mkString("_") match {
+      case "d14" => operators.Dedup.scaledAssignment(emb, "vec_id", "embedding")
+      case "d15" => operators.Dedup.lloydAssignment(emb, "vec_id", "embedding")
+      case "d15r2" =>
         operators.Dedup.lloydAssignment(emb, "vec_id", "embedding", lloydRounds = 2)
-      case other => sys.error(s"unknown cells variant '$other'")
+      case other => sys.error(s"unknown assignment variant '$variant'")
     }
-    val (cellVariants, wallVariants) = variants.partition(_.startsWith("cells_"))
+    val (cellVariants, rest) = variants.partition(_.startsWith("cells_"))
+    val (splitVariants, wallVariants) = rest.partition(_.startsWith("split_"))
     val mins = wallVariants.map { v =>
       val ts = (1 to passes).map { p =>
         val t0 = System.nanoTime()
@@ -90,12 +101,35 @@ object DedupRegimeProbe {
       System.err.println(s"[regime-probe] $v sumsq=$sumsq max=$mx n=$n cells_used=$kUsed")
       v -> ((sumsq, mx, n, kUsed))
     }
+    // the two-phase wall split (VERDICT r16 item 5): assignment is
+    // materialized by the SAME eager localCheckpoint the operator itself
+    // uses (semanticDedupFromAssign re-checkpoints a checkpointed plan for
+    // one cheap cached pass), so assign_wall + prune_wall decomposes the
+    // full-operator wall, it doesn't re-model it
+    val splits = splitVariants.map { v =>
+      val ts = (1 to passes).map { p =>
+        val t0 = System.nanoTime()
+        val assign = assignment(v).localCheckpoint(true)
+        val tA = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        operators.Dedup.semanticDedupFromAssign(assign, eps)
+          .write.format("noop").mode("overwrite").save()
+        val tP = (System.nanoTime() - t1) / 1e9
+        System.err.println(f"[regime-probe] pass$p $v assign=$tA%.2fs prune=$tP%.2fs")
+        assign.unpersist(blocking = true)
+        (tA, tP)
+      }
+      v -> ((ts.map(_._1).min, ts.map(_._2).min))
+    }
     spark.stop()
     val qs = mins.map { case (v, t) => f""""$v":$t%.3f""" }.mkString(",")
     val cs = cells.map { case (v, (sq, mx, n, ku)) =>
       s""""$v":{"sumsq":$sq,"max_cell":$mx,"n":$n,"cells_used":$ku}"""
     }.mkString(",")
+    val ss = splits.map { case (v, (a, pr)) =>
+      f""""$v":{"assign_wall":$a%.3f,"prune_wall":$pr%.3f}"""
+    }.mkString(",")
     println(s"""{"metric":"dedup_regime_probe","sf":"$sfDir","eps":$eps,""" +
-      s""""passes":$passes,"queries":{$qs},"cells":{$cs}}""")
+      s""""passes":$passes,"queries":{$qs},"cells":{$cs},"split":{$ss}}""")
   }
 }

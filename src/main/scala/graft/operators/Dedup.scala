@@ -764,7 +764,10 @@ object Dedup {
       .agg(sum(col("c").cast("decimal(38,0)") * col("c").cast("decimal(38,0)"))
           .as("sumsq"), max(col("c")).as("mx"),
         sum(col("c")).as("n"), count(lit(1)).as("k_used")).head()
-    (BigDecimal(r.getDecimal(0)), r.getLong(1), r.getLong(2), r.getLong(3))
+    // ADVICE r16: zero cells (empty assignment) makes every aggregate null
+    // — that's a measured zero-exposure profile, not an NPE
+    if (r.getLong(3) == 0L) (BigDecimal(0), 0L, 0L, 0L)
+    else (BigDecimal(r.getDecimal(0)), r.getLong(1), r.getLong(2), r.getLong(3))
   }
 
   /** [[semanticDedupLloyd]]'s trained quantizer stage alone — see
@@ -860,7 +863,7 @@ object Dedup {
     * The materialized footprint equals what the exchange shipped — (id,
     * vec, cell) once — read three times instead of recomputed.
     */
-  private def semanticDedupFromAssign(assign0: DataFrame, eps: Double): DataFrame = {
+  private[graft] def semanticDedupFromAssign(assign0: DataFrame, eps: Double): DataFrame = {
     import graft.expressions.VectorExprs
     val assign = assign0.localCheckpoint(true)
     val peers = assign.select(col("cell").as("pcell"), col("vec_id").as("peer_id"), col("v").as("pv"))

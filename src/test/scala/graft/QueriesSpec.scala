@@ -248,6 +248,12 @@ class QueriesSpec extends SparkSpec {
         s"($maxCell, $n, ${cellSizes.size})")
     assert(sumsq == BigDecimal(cellSizes.map(c => BigInt(c) * BigInt(c)).sum),
       "cellStats Σ|cell|² disagrees with the driver-side recount")
+    // ADVICE r16: an empty assignment is a measured zero-exposure profile,
+    // not an NPE (zero cells → every aggregate null)
+    import spark.implicits._
+    assert(operators.Dedup.cellStats(
+        Seq.empty[(Long, Long)].toDF("vec_id", "cell")) ==
+      (BigDecimal(0), 0L, 0L, 0L))
   }
 
   test("q72 widened gate equals q68 below the 64-bit ceiling") {

@@ -26,14 +26,21 @@ for side in ("A", "B"):
 
 qa, qb = sides["A"]["queries"], sides["B"]["queries"]
 shared = sorted(set(qa) & set(qb))
+# ADVICE r16: a zero side-A min is a degenerate sample (a timer can't read
+# 0.0s on a real query) — exclude it from the comparison and SAY so in the
+# artifact instead of crashing on round(None, 3)/max(None) below
+degenerate = [q for q in shared if qa[q]["min"] <= 0 or qb[q]["min"] <= 0]
+shared = [q for q in shared if q not in degenerate]
 rows = {}
 for q in shared:
-    ratio = qb[q]["min"] / qa[q]["min"] if qa[q]["min"] > 0 else None
+    ratio = qb[q]["min"] / qa[q]["min"]
     rows[q] = {
         "r14_min": round(qa[q]["min"], 3), "head_min": round(qb[q]["min"], 3),
         "ratio": round(ratio, 3), "n_r14": qa[q]["n"], "n_head": qb[q]["n"],
         "r14_max": round(qa[q]["max"], 3), "head_max": round(qb[q]["max"], 3),
     }
+if not rows:
+    sys.exit("ab_merge: no comparable queries (all shared samples degenerate)")
 tot_a = sum(qa[q]["min"] for q in shared)
 tot_b = sum(qb[q]["min"] for q in shared)
 worst = max(rows.values(), key=lambda r: r["ratio"])["ratio"]
@@ -45,6 +52,7 @@ doc = {
     "r14_total_sec": round(tot_a, 3), "head_total_sec": round(tot_b, 3),
     "total_ratio": round(tot_b / tot_a, 3), "worst_query_ratio": worst,
     "plan_attributable": bool(tot_b / tot_a > 1.1),
+    "queries_excluded_degenerate": degenerate,
     "queries": rows,
 }
 with open(out, "w") as f:

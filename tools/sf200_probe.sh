@@ -81,7 +81,7 @@ def row(fam):
     return next((l.split('overflow-audit', 1)[1].strip() for l in audit
                  if re.search(r'\[(ok|ALARM)\] ' + re.escape(fam) + ':', l)), '')
 def pct(line):
-    m = re.search(r'\(([\d.]+)% of 2\^63\)', line)
+    m = re.search(r'\(([\d.]+)% of 2\^63\b', line)
     return float(m.group(1)) if m else None
 out = {
     'metric': 'wrap_demo_sf200',
