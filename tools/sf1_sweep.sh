@@ -9,16 +9,18 @@
 # result as CORRECTNESS_SF1.json with an explicit, justified exclusion list.
 #
 # Exclusions (oracle-side only — Spark dumps ALL queries):
-#   d06_dedup_clusters  DuckDB's one-statement recursive-CTE closure is
-#                       O(component^2) in the reach table and does not
-#                       terminate on sf1's giant component (r9). The sf1
-#                       closure proof lives in tools/sf1_closure_check.py
-#                       (iterative label-propagation + pointer-jumping,
-#                       validated against the CTE at sf0.01) and passed r9;
-#                       d06's plan is otherwise identical to the swept d07.
+#   d06_dedup_clusters,  DuckDB's one-statement recursive-CTE closure is
+#   s04_cluster_centroids  O(component^2) in the reach table and does not
+#                       terminate on sf1's giant cos>=0.35 component
+#                       (observed r17: >25 min in s04's reach before kill).
+#                       The sf1 proof for BOTH lives in
+#                       tools/sf1_closure_check.py (iterative label
+#                       propagation + pointer jumping, validated against
+#                       the CTE at sf0.01): run it alongside this sweep and
+#                       quote its result in the artifact note.
 # Everything else — including d05's declared-quadratic cartesian baseline
-# (20k vectors -> 2e8 ordered pairs; the norm-hoisted oracle measured ~44 s
-# in r9) — runs.
+# (20k vectors -> 2e8 ordered pairs; norm-hoisted, measured 33 s r17) and
+# d12/q66 whose RECURSIVE CTEs are depth-bounded, not closures — runs.
 #
 # Exit codes: Verify may exit 2 at sf1 (age_sum crosses the 10% alarm line
 # around sf3.5 by the measured quadratic; the gate exists to say so) —
@@ -28,7 +30,7 @@ cd /root/repo
 SF=${1:-/root/repo/testdata/sf1}
 OUT=${2:-/tmp/verify_sf1}
 ART=${3:-CORRECTNESS_SF1.json}
-SKIP_ORACLE="d06_dedup_clusters"
+SKIP_ORACLE="d06_dedup_clusters,s04_cluster_centroids"
 
 rm -rf "$OUT"
 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=64g SPARK_GRAFT_SHUFFLE_PARTITIONS=64 \
