@@ -19,6 +19,17 @@ fi
 Q2PASS="q12_pricing_summary,q13_region_revenue,q16_brand_volume,q26_price_percentiles,q29_salted_join,q32_ship_priority,q34_nation_trade,q48_revenue_forecast,q49_promo_share,q52_pagerank,q60_sole_shipper,q61_part_variety,q66_bfs_depths,q68_nation_value,q72_nation_value_wide,q73_pricing_summary_wide,q74_brand_volume_wide,q75_revenue_forecast_wide,q76_promo_share_wide,q70_decile_bins,d01_dedup_exact,d14_semantic_dedup_scaled,d15_semantic_dedup_lloyd,s03_ann_ivf,s10_ivfpq,s11_kmeans_train,s12_ann_ivf_trained,t03_tokens,t17_bloom_contamination"
 Q1PASS="d11_semantic_dedup,d13_semantic_dedup_trained"
 QBAND="q13_region_revenue,q29_salted_join,q60_sole_shipper,q61_part_variety"
+# the 8 plan-stable climate controls (BENCH_CONTROLS.json) — keep in sync
+QCONTROLS="q01_latest_wins,q03_rowfilter,q06_json_extract,q14_top_customers,q17_priority_counts,q24_scd2_intervals,q47_gap_fill,t03_tokens"
+
+echo "=== STAGE climate stamp (sf0.1 controls warmup, VERDICT r16 item 4) $(date) ==="
+# the sf100 wall numbers are just as climate-exposed as the sf0.1 bench
+# was in r15 — stamp the probe session itself. Subset run ⇒ the stamp is
+# an UPPER BOUND on the climate factor (BENCH_CONTROLS.json doc); it is
+# attached to BENCH_SF100_RAW.json as warmup_climate after the merge.
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_BENCH_PASSES=2 SPARK_GRAFT_BENCH_OUT=/tmp/SF100_CLIMATE.json \
+  sbt -batch "runMain graft.Bench $QCONTROLS" || exit 1
 
 echo "=== STAGE sf100 2-pass $(date) ==="
 grep -E ' (sd[a-z]+|nvme[0-9a-z]+|vd[a-z]+) ' /proc/diskstats > /tmp/diskstats_A0.txt
@@ -63,6 +74,18 @@ SPARK_GRAFT_SF_DIR=/root/repo/testdata/sf100 SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench $Q1PASS" || exit 1
 
 python3 tools/merge_raw.py /tmp/BENCH_SF100_A.json /tmp/BENCH_SF100_B.json BENCH_SF100_RAW.json || exit 1
+# attach the session's climate stamp (upper bound — subset run)
+python3 - <<'EOF' || exit 1
+import json
+d = json.load(open('BENCH_SF100_RAW.json'))
+c = json.load(open('/tmp/SF100_CLIMATE.json')).get('climate')
+d['warmup_climate'] = c
+d['warmup_climate_note'] = ('sf0.1 controls-only run at probe start; subset '
+    'runs read hot vs the in-suite minima, so this is an UPPER BOUND on the '
+    'session climate factor')
+json.dump(d, open('BENCH_SF100_RAW.json', 'w'), indent=1)
+print('warmup_climate:', c)
+EOF
 
 echo "=== STAGE sf100 broadcast built-size probe (decade-3 reading, r15) $(date) ==="
 # the static-estimate broadcast class is SF-dependent only through the
