@@ -389,15 +389,28 @@ class QueriesSpec extends SparkSpec {
       "q16_brand_volume" -> "q79_brand_volume_cents",
       "q73_pricing_summary_wide" -> "q77_pricing_summary_cents",
       "q74_brand_volume_wide" -> "q79_brand_volume_cents")
+    def shape(name: String): (Int, Int) = {
+      val p = SparkEntry.queries(name)(spark, sfDir).queryExecution
+        .executedPlan.toString
+      ("Exchange".r.findAllIn(p).length, "Join".r.findAllIn(p).length)
+    }
     try {
       spark.conf.set("spark.graft.centsOut", "true")
       assert(SparkEntry.centsOut(spark))
+      val centsShape = Seq("q13_region_revenue", "q16_brand_volume").map(shape)
       val flipped = pairs.map(_._1).distinct.map { m =>
         val df = SparkEntry.queries(m)(spark, sfDir)
         m -> (df.schema, df.collect().toSet)
       }.toMap
       spark.conf.set("spark.graft.centsOut", "false")
       assert(!SparkEntry.centsOut(spark))
+      // the escape must be an OUTPUT-form change only: same exchanges,
+      // same joins — pushdown/broadcast/partial-final agg shape untouched
+      // (the wide-switch precedent's shape pin, applied to cents mode)
+      val narrowShape = Seq("q13_region_revenue", "q16_brand_volume").map(shape)
+      assert(centsShape == narrowShape,
+        s"cents mode changed the plan SHAPE (exchanges/joins), not just the " +
+          s"output form: cents=$centsShape narrow=$narrowShape")
       pairs.foreach { case (m, esc) =>
         val e = SparkEntry.queries(esc)(spark, sfDir)
         val (fs, fr) = flipped(m)
