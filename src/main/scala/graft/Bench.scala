@@ -174,10 +174,19 @@ object Bench {
       if (!sfDir.endsWith("sf0.1")) None
       else try {
         val txt = java.nio.file.Files.readString(java.nio.file.Paths.get("BENCH_CONTROLS.json"))
-        val entry = """"(q[0-9]+[a-z0-9_]*|t[0-9]+[a-z0-9_]*)":\s*([0-9.]+)""".r
-        val ratios = entry.findAllMatchIn(txt).flatMap { m =>
-          resultMap.get(m.group(1)).map(v => m.group(1) -> v / m.group(2).toDouble)
-        }.toSeq.sortBy(_._1)
+        // parse as real JSON and keep only TOP-LEVEL numeric fields (the
+        // minima): a text regex re-matched control names inside the nested
+        // _confirmations log (r17) and produced duplicate bogus ratios
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = mapper.readTree(txt)
+        val names = root.fieldNames()
+        val minima = Iterator.continually(names)
+          .takeWhile(_.hasNext).map(_.next())
+          .filter(k => !k.startsWith("_") && root.get(k).isNumber)
+          .map(k => k -> root.get(k).asDouble()).toSeq
+        val ratios = minima.flatMap { case (k, base) =>
+          resultMap.get(k).map(v => k -> v / base)
+        }.sortBy(_._1)
         if (ratios.isEmpty) None
         else {
           val geo = math.exp(ratios.map(r => math.log(r._2)).sum / ratios.size)
