@@ -35,8 +35,10 @@ object Bench {
     // 64-bit form" stays a measured round-over-round claim, not a one-off
     "q73_pricing_summary_wide", "q74_brand_volume_wide",
     "q75_revenue_forecast_wide", "q76_promo_share_wide",
-    // the integer-cents cast-fidelity escape (r16): same scan class as q73
-    "q77_pricing_summary_cents",
+    // the integer-cents cast-fidelity escapes (r16/r17): same scan classes
+    // as q73 (q77) and q13/q16 (q78/q79)
+    "q77_pricing_summary_cents", "q78_region_revenue_cents",
+    "q79_brand_volume_cents",
     // s04 re-runs d06's whole candidate+closure pipeline (already benched
     // via d06); m04/m05 are constant-size generators, not SF-scaled —
     // benching them would measure nothing about the data path
