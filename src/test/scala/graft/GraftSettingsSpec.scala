@@ -57,6 +57,21 @@ class GraftSettingsSpec extends SparkSpec {
     assert(GraftSettings(Map.empty[String, String]).cuMetric.isEmpty)
   }
 
+  test("engine switches parse their env forms: GRAFT_WIDE_SUMS / GRAFT_CENTS_OUT") {
+    // the conf-override path is pinned in QueriesSpec; this pins the env
+    // default both switches fall back to (deployment's documented home)
+    for (v <- Seq("1", "true", "TRUE")) {
+      assert(GraftSettings(Map("GRAFT_WIDE_SUMS" -> v)).wideSums, s"wideSums($v)")
+      assert(GraftSettings(Map("GRAFT_CENTS_OUT" -> v)).centsOut, s"centsOut($v)")
+    }
+    for (v <- Seq("0", "false", "", "yes")) {
+      assert(!GraftSettings(Map("GRAFT_WIDE_SUMS" -> v)).wideSums, s"wideSums($v)")
+      assert(!GraftSettings(Map("GRAFT_CENTS_OUT" -> v)).centsOut, s"centsOut($v)")
+    }
+    assert(!GraftSettings(Map.empty[String, String]).wideSums)
+    assert(!GraftSettings(Map.empty[String, String]).centsOut)
+  }
+
   test("empty TABLES means every registered table") {
     val s = GraftSettings(Map.empty[String, String])
     assert(s.tables == Registry.syncTables.keys.toSeq.sorted)
