@@ -39,6 +39,8 @@ object Bench {
     // as q73 (q77) and q13/q16 (q78/q79)
     "q77_pricing_summary_cents", "q78_region_revenue_cents",
     "q79_brand_volume_cents",
+    // r18 cents escapes: q48's scan class (q80) and q23's (q81)
+    "q80_revenue_forecast_cents", "q81_tumbling_daily_cents",
     // s04 re-runs d06's whole candidate+closure pipeline (already benched
     // via d06); m04/m05 are constant-size generators, not SF-scaled —
     // benching them would measure nothing about the data path

@@ -195,16 +195,24 @@ object SparkEntry {
     * garbage, and still hash-identical cross-engine, but no longer the
     * exact ledger amount. Flipping `GRAFT_CENTS_OUT=1` (env; GraftSettings)
     * or `spark.graft.centsOut` (runtime conf, takes precedence) routes
-    * EVERY member of OverflowAudit's `cast_double:cents2` row — q12, q13,
-    * q16 and their forced-wide forms q73, q74 — to its integer-cents
-    * output form: HALF_UP cents as BIGINT (exact to 2^63 cents ≈ $9.2e16,
-    * ~10^3× the 2^53 line), sums always wide (the escape exists precisely
-    * for deployments past the narrow regime). Unlike the wide switch this
-    * is an OUTPUT-FORM change (schema differs: `_c2` BIGINT columns, avg
-    * columns omitted — per-row means never approach 2^53), so each family
-    * also has a registered always-on escape query with its own HUGEINT
-    * oracle: q77 (pricing summary), q78 (region revenue), q79 (brand
-    * volume). QueriesSpec pins switch-flipped q12/q13/q16 ≡ q77/q78/q79.
+    * EVERY member of OverflowAudit's three `cast_double` rows to its
+    * integer-cents output form: the `cents2` row (q12, q13, q16 and their
+    * forced-wide forms q73, q74), and — r18, VERDICT r17 item 3 — the
+    * `value_sums` row (q48/q75, q53, q55) and the `event_value` row (q11,
+    * q23, q30, q44, q47). The form is HALF_UP cents as BIGINT (exact to
+    * 2^63 cents ≈ $9.2e16, ~10^3× the 2^53 line), sums always wide where
+    * the internal scale exceeds 2 (the escape exists precisely for
+    * deployments past the narrow regime; q30's fold state is already the
+    * 64-bit cents ledger, so its escape only drops the cast). Unlike the
+    * wide switch this is an OUTPUT-FORM change (schema differs: `_c2`
+    * BIGINT columns, avg columns omitted — per-row means never approach
+    * 2^53), so each FAMILY has a registered always-on escape query with
+    * its own HUGEINT oracle: q77 (pricing summary), q78 (region revenue),
+    * q79 (brand volume), q80 (revenue forecast — the value_sums
+    * representative), q81 (tumbling daily — the event_value
+    * representative); the in-place-routed members verify against their
+    * own cents oracle texts via [[oracleSqlFor]]. QueriesSpec pins the
+    * switch-flipped members ≡ their registered/cents forms.
     */
   private[graft] def centsOut(s: SparkSession): Boolean =
     s.conf.getOption("spark.graft.centsOut")
@@ -298,19 +306,43 @@ object SparkEntry {
         count(lit(1)).as("n_items"))
   }
 
-  private def revenueForecast(s: SparkSession, dir: String, wide: Boolean): DataFrame =
+  private def revenueForecast(s: SparkSession, dir: String, wide: Boolean,
+      cents: Boolean = false): DataFrame = {
     // TPC-H Q6 shape: the what-if revenue scan — every predicate
     // (shipdate range, discount band, quantity cap) pushes to the
     // parquet scan, the aggregate is a single exact scaled-integer sum;
-    // zero shuffles beyond the final scalar reduce.
-    Tables.lineitem(s, dir)
+    // zero shuffles beyond the final scalar reduce. cents=true is the
+    // 2^53 output-cast escape (the q77 pattern): HALF_UP cents as BIGINT,
+    // sum always wide — registered always-on as q80, routed in place for
+    // q48/q75 by [[centsOut]].
+    val base = Tables.lineitem(s, dir)
       .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
-      .agg(
-        (xsum(round(col("l_extendedprice") * col("l_discount") * 10000).cast("long"), wide)
-          .cast("double") / 10000.0).as("revenue"),
+    val disc4 = round(col("l_extendedprice") * col("l_discount") * 10000).cast("long")
+    if (cents)
+      base.agg(centsI(xsum(disc4, wide = true), 4).as("revenue_c2"),
         count(lit(1)).as("n_items"))
+    else
+      base.agg(
+        (xsum(disc4, wide).cast("double") / 10000.0).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** q23's tumbling-daily rollup, output-form parameterized ([[centsOut]]):
+    * cents=true emits the value sum as BIGINT cents (wide accumulate, the
+    * q77 rule) — registered always-on as q81, routed in place for q23. */
+  private def tumblingDaily(s: SparkSession, dir: String,
+      cents: Boolean = false): DataFrame = {
+    val base = Tables.events(s, dir)
+      .groupBy(expr("ts_us div 86400000000").as("day_idx"))
+    if (cents)
+      base.agg(count(lit(1)).as("n"),
+        xsum(c2(col("value")), wide = true).cast("long").as("sum_value_c2"))
+    else
+      base.agg(count(lit(1)).as("n"),
+        round(sum(c2(col("value"))).cast("double") / lit(100.0), 2).as("sum_value"))
+  }
 
   private def promoShare(s: SparkSession, dir: String, wide: Boolean): DataFrame = {
     // TPC-H Q14 shape: promo revenue share by ship year — the part dim
@@ -442,11 +474,18 @@ object SparkEntry {
       // hot-key-safe two-stage aggregation (Skew.saltedSumCount); result is
       // identical to a plain groupBy — the oracle proves exactly that
       // value pre-scaled to exact 1e-2 integers so the two salted stages sum
-      // longs — a double would accumulate differently per salt bucket count
-      Skew.saltedSumCount(
+      // longs — a double would accumulate differently per salt bucket count.
+      // centsOut routes to the integer-cents output form (BIGINT cents,
+      // wide salted stages) — the 2^53 cast escape, in place (r18).
+      val cents = centsOut(s)
+      val agg = Skew.saltedSumCount(
         Tables.events(s, dir).withColumn("v2", c2(col("value"))), Seq("event_type"), "v2",
-        buckets = 8, saltSource = Seq("event_id"))
-        .select(col("event_type"), col("n_rows"),
+        buckets = 8, saltSource = Seq("event_id"), wide = cents)
+      if (cents)
+        agg.select(col("event_type"), col("n_rows"),
+          col("sum_v2").cast("long").as("sum_value_c2"))
+      else
+        agg.select(col("event_type"), col("n_rows"),
           round(col("sum_v2").cast("double") / lit(100.0), 2).as("sum_value"))
     },
     "q29_salted_join" -> q { (s, dir) =>
@@ -686,12 +725,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
     },
-    "q23_tumbling_daily" -> q { (s, dir) =>
-      Tables.events(s, dir)
-        .groupBy(expr("ts_us div 86400000000").as("day_idx"))
-        .agg(count(lit(1)).as("n"),
-          round(sum(c2(col("value"))).cast("double") / lit(100.0), 2).as("sum_value"))
-    },
+    "q23_tumbling_daily" -> q((s, dir) => tumblingDaily(s, dir, cents = centsOut(s))),
 
     // --- training-data pipeline ---------------------------------------------
     "d01_dedup_exact" -> q { (s, dir) =>
@@ -1017,8 +1051,16 @@ object SparkEntry {
           "event_type STRING, n_rows BIGINT, sum_v2 BIGINT"))
       val folded = slices.foldLeft(empty)((st, sl) =>
         MergeOps.foldAggState(st, sl, Seq("event_type"), Seq("v2")))
-      folded.select(col("event_type"), col("n_rows"),
-        round(col("sum_v2").cast("double") / lit(100.0), 2).as("sum_value"))
+      // centsOut (r18): emit the 64-bit cents ledger DIRECTLY — the fold
+      // state's BIGINT width IS the cents output contract (exact to 2^63
+      // cents), so the escape here is dropping the double cast, nothing
+      // else; the re-mergeable state schema is untouched.
+      if (centsOut(s))
+        folded.select(col("event_type"), col("n_rows"),
+          col("sum_v2").as("sum_value_c2"))
+      else
+        folded.select(col("event_type"), col("n_rows"),
+          round(col("sum_v2").cast("double") / lit(100.0), 2).as("sum_value"))
     },
     "d06_dedup_clusters" -> q { (s, dir) =>
       // pairs → transitive near-dup clusters: the decision step of a dedup
@@ -1262,9 +1304,16 @@ object SparkEntry {
         col("ts_us"), round(col("value") * 100).cast("long").as("v2"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
         .rangeBetween(-86400000000L, 0L)
-      ev.select(col("user_id"), col("event_id"), col("ts_us"),
-        count(lit(1)).over(w).as("n_24h"),
-        (sum(col("v2")).over(w).cast("double") / 100.0).as("sum_value_24h"))
+      // centsOut (r18): frame sum as BIGINT cents (wide window accumulate,
+      // the q77 always-wide rule) instead of the 2^53-bounded double cast
+      if (centsOut(s))
+        ev.select(col("user_id"), col("event_id"), col("ts_us"),
+          count(lit(1)).over(w).as("n_24h"),
+          xsum(col("v2"), wide = true).over(w).cast("long").as("sum_value_24h_c2"))
+      else
+        ev.select(col("user_id"), col("event_id"), col("ts_us"),
+          count(lit(1)).over(w).as("n_24h"),
+          (sum(col("v2")).over(w).cast("double") / 100.0).as("sum_value_24h"))
     },
     "q45_funnel" -> q { (s, dir) =>
       // signup → click → purchase conversion funnel: per user, the stage
@@ -1323,23 +1372,28 @@ object SparkEntry {
       // calendar distributed-side (rows ∝ output, no driver loop), and the
       // fill is one last(ignoreNulls) running window — every stage keyed
       // by user, so at scale this is co-keyed shuffles + one sort.
+      // centsOut (r18): the daily sum accumulates wide and the LOCF carries
+      // cents to a BIGINT output — the 2^53 cast escape, in place
+      val cents = centsOut(s)
       val daily = Tables.events(s, dir)
         .groupBy(col("user_id"), expr("ts_us div 86400000000").as("day"))
         .agg(count(lit(1)).as("n_events"),
-          sum(round(col("value") * 100).cast("long")).as("v2"))
+          xsum(round(col("value") * 100).cast("long"), wide = cents).as("v2"))
       val spans = daily.groupBy(col("user_id"))
         .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       val allDays = spans.select(col("user_id"),
         explode(sequence(col("d0"), col("d1"))).as("day"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val filled = last(col("v2"), ignoreNulls = true).over(w)
       allDays.join(daily, Seq("user_id", "day"), "left")
         .select(col("user_id"), col("day").as("day_idx"),
           coalesce(col("n_events"), lit(0L)).as("n_events"),
-          (last(col("v2"), ignoreNulls = true).over(w).cast("double") / 100.0)
-            .as("filled_value"))
+          (if (cents) filled.cast("long").as("filled_value_c2")
+           else (filled.cast("double") / 100.0).as("filled_value")))
     },
-    "q48_revenue_forecast" -> q((s, dir) => revenueForecast(s, dir, wide = wideSums(s))),
+    "q48_revenue_forecast" -> q((s, dir) =>
+      revenueForecast(s, dir, wide = wideSums(s), cents = centsOut(s))),
     "q49_promo_share" -> q((s, dir) => promoShare(s, dir, wide = wideSums(s))),
     "q50_rolling_active" -> q { (s, dir) =>
       // DAU / rolling-7-day WAU: count-DISTINCT over a sliding window has
@@ -1381,9 +1435,15 @@ object SparkEntry {
       val liBrand = li.join(broadcast(brandParts), Seq("l_partkey"), "left_semi")
       val perPart = liBrand.groupBy(col("l_partkey"))
         .agg(xsum(col("q2"), wideSums(s)).as("sumq2"), count(lit(1)).as("cnt"))
-      liBrand.join(broadcast(perPart), Seq("l_partkey"))
+      val filtered = liBrand.join(broadcast(perPart), Seq("l_partkey"))
         .where(lit(5L) * col("q2") * col("cnt") < col("sumq2"))
-        .agg((xsum(col("p2"), wideSums(s)).cast("double") / 100.0).as("below_avg_revenue"),
+      // centsOut (r18): p2 is already cents — the escape is the wide sum
+      // cast straight to BIGINT, no division (the q77 sum_base_price rule)
+      if (centsOut(s))
+        filtered.agg(xsum(col("p2"), wide = true).cast("long").as("below_avg_revenue_c2"),
+          count(lit(1)).as("n_items"))
+      else
+        filtered.agg((xsum(col("p2"), wideSums(s)).cast("double") / 100.0).as("below_avg_revenue"),
           count(lit(1)).as("n_items"))
     },
     "q54_large_orders" -> q { (s, dir) =>
@@ -1415,7 +1475,7 @@ object SparkEntry {
         round(col("l_quantity") * 100).cast("long").as("q2"),
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
           .cast("long").as("vol4"))
-      li.join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_size"))),
+      val matched = li.join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_size"))),
           col("l_partkey") === col("p_partkey"))
         .where(
           (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
@@ -1424,7 +1484,12 @@ object SparkEntry {
             col("q2").between(1000L, 3000L)) ||
           (col("p_brand") === "Brand#3" && col("p_size").between(10, 40) &&
             col("q2").between(2000L, 5000L)))
-        .agg((xsum(col("vol4"), wideSums(s)).cast("double") / 10000.0).as("revenue"),
+      // centsOut (r18): HALF_UP cents of the scale-4 volume sum as BIGINT
+      if (centsOut(s))
+        matched.agg(centsI(xsum(col("vol4"), wide = true), 4).as("revenue_c2"),
+          count(lit(1)).as("n_items"))
+      else
+        matched.agg((xsum(col("vol4"), wideSums(s)).cast("double") / 10000.0).as("revenue"),
           count(lit(1)).as("n_items"))
     },
     "q56_top_supplier" -> q { (s, dir) =>
@@ -1964,7 +2029,8 @@ object SparkEntry {
       pricingSummary(s, dir, wide = true, cents = centsOut(s))),
     "q74_brand_volume_wide" -> q((s, dir) =>
       brandVolume(s, dir, wide = true, cents = centsOut(s))),
-    "q75_revenue_forecast_wide" -> q(revenueForecast(_, _, wide = true)),
+    "q75_revenue_forecast_wide" -> q((s, dir) =>
+      revenueForecast(s, dir, wide = true, cents = centsOut(s))),
     "q76_promo_share_wide" -> q(promoShare(_, _, wide = true)),
     // q77–q79: the INTEGER-CENTS escapes for the 2^53 cast-fidelity
     // boundary (OverflowAudit's `cast_double:cents2` row, ADVICE r15 /
@@ -1983,6 +2049,15 @@ object SparkEntry {
     "q77_pricing_summary_cents" -> q(pricingSummary(_, _, wide = true, cents = true)),
     "q78_region_revenue_cents" -> q(regionRevenue(_, _, wide = true, cents = true)),
     "q79_brand_volume_cents" -> q(brandVolume(_, _, wide = true, cents = true)),
+    // q80/q81 (r18, VERDICT r17 item 3): the registered always-on cents
+    // representatives for the OTHER two 2^53 rows — `cast_double:value_sums`
+    // (q48/q75, plus q53/q55 routed in place) and `cast_double:event_value`
+    // (q23, plus q11/q30/q44/q47 routed in place). The remaining members'
+    // cents forms flip under the same GRAFT_CENTS_OUT switch and verify
+    // against their own HUGEINT oracles via oracleSqlFor — one registered
+    // escape per family proves the form cross-engine; the switch covers all.
+    "q80_revenue_forecast_cents" -> q(revenueForecast(_, _, wide = true, cents = true)),
+    "q81_tumbling_daily_cents" -> q(tumblingDaily(_, _, cents = true)),
     "q69_kmv_intersection" -> q { (s, dir) =>
       // sketch set-algebra completed: INTERSECTION cardinality from two
       // persisted KMV states (Dasgupta et al.'s theta-sketch estimator —
@@ -2321,7 +2396,112 @@ object SparkEntry {
           |                 * (100 - CAST(round(l_discount*100) AS BIGINT))) + 50) // 100 AS BIGINT) AS revenue_c2,
           |       count(*) AS n_items
           |FROM lineitem JOIN part ON l_partkey = p_partkey
-          |GROUP BY p_brand""".stripMargin)
+          |GROUP BY p_brand""".stripMargin,
+      // q80/q81: the value_sums / event_value cents representatives — same
+      // HUGEINT-until-the-final-BIGINT-cast contract as q77
+      "q80_revenue_forecast_cents" -> centsOracleSql("q48_revenue_forecast"),
+      "q81_tumbling_daily_cents" -> centsOracleSql("q23_tumbling_daily"))
+  }
+
+  /** The oracle map a Verify dump must be compared against GIVEN the
+    * engine switches in effect (ADVICE r17): [[centsOut]] changes the
+    * OUTPUT FORM of q12/q73, q13 and q16/q74 (BIGINT `_c2` columns, avg
+    * columns omitted), so their dollar-form oracle texts cannot match a
+    * cents-mode dump — remap them to the registered cents oracles, the
+    * same texts q77/q78/q79 verify against. The WIDE switch needs no
+    * remap: DuckDB's BIGINT sums are natively HUGEINT, so the narrow
+    * oracle text already computes the wide semantics (the q73→q12 rule
+    * above). Verify writes this map, so a GRAFT_CENTS_OUT=1 sweep
+    * compares every routed member against the form it actually emitted. */
+  def oracleSqlFor(centsOn: Boolean): Map[String, String] = {
+    val base = oracleSql
+    if (!centsOn) base
+    else base ++ Map(
+      "q12_pricing_summary" -> base("q77_pricing_summary_cents"),
+      "q73_pricing_summary_wide" -> base("q77_pricing_summary_cents"),
+      "q13_region_revenue" -> base("q78_region_revenue_cents"),
+      "q16_brand_volume" -> base("q79_brand_volume_cents"),
+      "q74_brand_volume_wide" -> base("q79_brand_volume_cents")) ++
+      // r18: the value_sums / event_value members the switch routes in
+      // place — each verifies against its own cents oracle text
+      centsOracleSql ++ Map(
+        "q75_revenue_forecast_wide" -> centsOracleSql("q48_revenue_forecast"))
+  }
+
+  /** Cents-form oracle texts for the [[centsOut]]-routed members of the
+    * `cast_double:value_sums` and `cast_double:event_value` audit rows
+    * (r18, VERDICT r17 item 3) — the dollar oracles minus their final
+    * double division, sums in DuckDB's native HUGEINT cast to BIGINT at
+    * the output (the q77 contract). Keys are the ROUTED member names;
+    * [[oracleSqlFor]] overlays them in cents mode, and q80/q81 register
+    * the q48/q23 texts always-on. */
+  private val centsOracleSql: Map[String, String] = {
+    val eventTypeCents =
+      """SELECT event_type, count(*) AS n_rows,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c2
+        |FROM events GROUP BY event_type""".stripMargin
+    Map(
+      "q48_revenue_forecast" ->
+        """SELECT CAST((sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) + 50) // 100 AS BIGINT) AS revenue_c2,
+          |       count(*) AS n_items
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin,
+      "q53_small_order_revenue" ->
+        """WITH li AS (
+          |  SELECT l_partkey,
+          |         CAST(round(l_quantity * 100) AS BIGINT) AS q2,
+          |         CAST(round(l_extendedprice * 100) AS BIGINT) AS p2
+          |  FROM lineitem),
+          |pp AS (SELECT l_partkey, CAST(sum(q2) AS BIGINT) AS sumq2, count(*) AS cnt
+          |       FROM li GROUP BY 1)
+          |SELECT CAST(sum(li.p2) AS BIGINT) AS below_avg_revenue_c2,
+          |       count(*) AS n_items
+          |FROM li
+          |JOIN part ON li.l_partkey = p_partkey AND p_brand = 'Brand#1'
+          |JOIN pp ON li.l_partkey = pp.l_partkey
+          |WHERE 5 * li.q2 * pp.cnt < pp.sumq2""".stripMargin,
+      "q55_disjunctive_revenue" ->
+        """WITH li AS (
+          |  SELECT l_partkey,
+          |         CAST(round(l_quantity * 100) AS BIGINT) AS q2,
+          |         CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT) AS vol4
+          |  FROM lineitem)
+          |SELECT CAST((sum(vol4) + 50) // 100 AS BIGINT) AS revenue_c2, count(*) AS n_items
+          |FROM li JOIN part ON l_partkey = p_partkey
+          |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND q2 BETWEEN 500 AND 2000)
+          |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND q2 BETWEEN 1000 AND 3000)
+          |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40 AND q2 BETWEEN 2000 AND 5000)""".stripMargin,
+      "q11_salted_agg" -> eventTypeCents,
+      "q30_incremental_agg" -> eventTypeCents,
+      "q23_tumbling_daily" ->
+        """SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*) AS n,
+          |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c2
+          |FROM events GROUP BY 1""".stripMargin,
+      "q44_rolling_metrics" ->
+        """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          |       count(*) OVER w AS n_24h,
+          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_value_24h_c2
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+          |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+      "q47_gap_fill" ->
+        """WITH daily AS (
+          |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, count(*) AS n_events,
+          |         sum(CAST(round(value * 100) AS BIGINT)) AS v2
+          |  FROM events GROUP BY 1, 2),
+          |spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+          |alldays AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM spans),
+          |j AS (SELECT a.user_id, a.day, d.n_events, d.v2
+          |      FROM alldays a LEFT JOIN daily d USING (user_id, day))
+          |SELECT user_id, day AS day_idx,
+          |       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+          |       CAST(last_value(v2 IGNORE NULLS) OVER (
+          |              PARTITION BY user_id ORDER BY day
+          |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |         AS filled_value_c2
+          |FROM j""".stripMargin)
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

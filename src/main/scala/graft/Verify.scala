@@ -72,7 +72,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Switch-aware oracle map (ADVICE r17): a GRAFT_CENTS_OUT=1 run dumps
+    // cents-form output for q12/q73/q13/q16/q74, so their oracle texts must
+    // be the cents oracles or the compare reports 5 false failures.
+    val json = SparkEntry.oracleSqlFor(SparkEntry.centsOut(spark))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Overflow gate (SURVEY §4, mechanized): per-(family, grouping-class)
@@ -105,9 +108,10 @@ object Verify {
         crossed.map(h => s"${h.family}${h.queries.mkString(" [", ",", "]")}").mkString("; ") +
         ". Escapes: GRAFT_WIDE_SUMS=1 flips every xsum-swept grouped member to " +
         "decimal(38,0); q68's gate has the registered wide form q72_nation_value_wide; " +
-        "the cast_double:cents2 row (2^53 output-cast fidelity) is released by " +
-        "GRAFT_CENTS_OUT=1, which routes q12/q73 to q77's integer-cents form, " +
-        "q13 to q78's and q16/q74 to q79's (also registered always-on).")
+        "the three cast_double rows (2^53 output-cast fidelity) are released by " +
+        "GRAFT_CENTS_OUT=1, which routes every member to its integer-cents form: " +
+        "q12/q73->q77, q13->q78, q16/q74->q79, q48/q75->q80's form, q23->q81's, " +
+        "and q11/q30/q44/q47/q53/q55 in place (cents oracles via oracleSqlFor).")
     }
     if (dumpFailures > 0)
       System.err.println(s"[verify] $dumpFailures query dump(s) FAILED — artifacts incomplete")

@@ -155,7 +155,7 @@ object OverflowAudit {
       val qs = if (queries.isEmpty) "" else queries.mkString(" [", ",", "]")
       val cov = (if (wideSwitchCovers) " escape=GRAFT_WIDE_SUMS=1" else "") +
         (if (centsSwitchCovers)
-           " escape=GRAFT_CENTS_OUT=1 (integer-cents forms q77/q78/q79)"
+           " escape=GRAFT_CENTS_OUT=1 (integer-cents output forms; registered escapes q77-q81)"
          else "")
       val ceil = if (ceiling == Ceiling53) "2^53" else "2^63"
       worst match {
@@ -484,14 +484,19 @@ object OverflowAudit {
       else if (cr.getLong(cr.fieldIndex(s"null_$m")) != 0L) None
       else Option(cr.getDecimal(cr.fieldIndex(s"s_$m"))).map(BigDecimal(_))
     val castWorsts = castTerms.map { case (m, _, _) => castW(m) }
+    // r18 (VERDICT r17 item 3): both remaining cast rows are now fully
+    // covered by the cents switch — q48/q75 route to the q80 form and
+    // q53/q55 in place (value_sums); q23 routes to the q81 form and
+    // q11/q30/q44/q47 in place (event_value) — so a measured crossing
+    // releases under GRAFT_CENTS_OUT=1 like the cents2 row.
     val valueDouble = Headroom("cast_double:value_sums",
       if (castWorsts.exists(_.isEmpty)) None else Some(castWorsts.flatten.max),
       queries = Seq("q12", "q48", "q53", "q55", "q73", "q75"),
-      ceiling = Ceiling53, alarmAt = 1.0)
+      ceiling = Ceiling53, alarmAt = 1.0, centsSwitchCovers = true)
     val evDouble = sumHeadroom("cast_double:event_value",
       ev, round(col("value") * lit(100)),
       queries = Seq("q11", "q23", "q30", "q44", "q47"))
-      .copy(ceiling = Ceiling53, alarmAt = 1.0)
+      .copy(ceiling = Ceiling53, alarmAt = 1.0, centsSwitchCovers = true)
     Seq(revenue, nation, brand, yearly, suppkey, custkey, orderkey,
       orderyear, suppnation, priority, acctbal, qty, age, gate,
       centsDouble, valueDouble, evDouble)

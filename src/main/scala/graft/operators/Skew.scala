@@ -45,17 +45,21 @@ object Skew {
   /** Two-stage salted aggregation: sum/count-style partials per
     * (keys, salt), then final combine per keys. Returns
     * count/sum columns named n_rows / sum_<valueCol>.
+    * `wide=true` accumulates both stages in decimal(38,0) (the xsum rule) —
+    * the integer-cents output escape's always-wide sum contract.
     */
   def saltedSumCount(
       df: DataFrame,
       keys: Seq[String],
       valueCol: String,
       buckets: Int,
-      saltSource: Seq[String]): DataFrame = {
+      saltSource: Seq[String],
+      wide: Boolean = false): DataFrame = {
+    val term = if (wide) col(valueCol).cast("decimal(38,0)") else col(valueCol)
     val stage1 = df
       .withColumn("_salt", salt(buckets, saltSource.map(col): _*))
       .groupBy((keys.map(col) :+ col("_salt")): _*)
-      .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
+      .agg(count(lit(1)).as("_n"), sum(term).as("_s"))
     stage1
       .groupBy(keys.map(col): _*)
       .agg(sum(col("_n")).as("n_rows"), sum(col("_s")).as(s"sum_$valueCol"))

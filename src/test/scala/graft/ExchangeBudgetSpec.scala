@@ -81,6 +81,8 @@ class ExchangeBudgetSpec extends SparkSpec {
     "q73_pricing_summary_wide" -> 1, "q77_pricing_summary_cents" -> 1,
     // r17 cents escapes: q13/q16's plans with a different output projection
     "q78_region_revenue_cents" -> 1, "q79_brand_volume_cents" -> 1,
+    // r18 cents escapes: q48/q23's plans with a different output projection
+    "q80_revenue_forecast_cents" -> 1, "q81_tumbling_daily_cents" -> 1,
     "q74_brand_volume_wide" -> 1,
     "q75_revenue_forecast_wide" -> 1, "q76_promo_share_wide" -> 1,
     "q70_decile_bins" -> 4, "q71_sketch_bins" -> 1, "d01_dedup_exact" -> 1,

@@ -165,7 +165,7 @@ class OverflowAuditSpec extends SparkSpec {
     assert(centsCovered.gates(wideSumsOn = true, centsOutOn = false),
       "without the cents switch the cents2 crossing keeps gating")
     assert(crossed.gates(wideSumsOn = false, centsOutOn = true),
-      "the cents switch must NOT release rows it does not cover (value_sums/event_value)")
+      "the cents switch must NOT release rows it does not cover (centsSwitchCovers=false)")
     assert(centsCovered.copy(worst = None).gates(wideSumsOn = false, centsOutOn = true),
       "an unmeasurable row must keep gating under the cents switch — fail closed")
   }
@@ -211,12 +211,14 @@ class OverflowAuditSpec extends SparkSpec {
     assert(rows.filterNot(_.getBoolean(5)).map(_.getString(0)).toSet == Set(
       "gate_cross_mult", "cast_double:cents2", "cast_double:value_sums",
       "cast_double:event_value"))
-    // rows released by the integer-cents output switch (r17): exactly the
-    // cents2 row — every member (q12/q13/q16/q73/q74) has a registered
-    // cents form (q77/q78/q79) the switch routes to; value_sums/event_value
-    // members do not, so the switch must not release them
-    assert(rows.filter(_.getBoolean(6)).map(_.getString(0)).toSet ==
-      Set("cast_double:cents2"))
+    // rows released by the integer-cents output switch: all THREE cast
+    // rows (r18, VERDICT r17 item 3) — cents2 members route to q77/q78/q79,
+    // value_sums members to the q80 form or in place (q53/q55), event_value
+    // members to the q81 form or in place (q11/q30/q44/q47); every routed
+    // member has a cents oracle (oracleSqlFor), so the switch may release
+    // any measured crossing among them
+    assert(rows.filter(_.getBoolean(6)).map(_.getString(0)).toSet == Set(
+      "cast_double:cents2", "cast_double:value_sums", "cast_double:event_value"))
   }
 
   test("Verify exit-code contract: 1=dumps incomplete, 2=gate tripped, 0=clean") {

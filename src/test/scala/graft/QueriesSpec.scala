@@ -388,7 +388,13 @@ class QueriesSpec extends SparkSpec {
       "q13_region_revenue" -> "q78_region_revenue_cents",
       "q16_brand_volume" -> "q79_brand_volume_cents",
       "q73_pricing_summary_wide" -> "q77_pricing_summary_cents",
-      "q74_brand_volume_wide" -> "q79_brand_volume_cents")
+      "q74_brand_volume_wide" -> "q79_brand_volume_cents",
+      // r18 (VERDICT r17 item 3): the value_sums / event_value registered
+      // representatives — the switch must route their members to EXACTLY
+      // the registered form
+      "q48_revenue_forecast" -> "q80_revenue_forecast_cents",
+      "q75_revenue_forecast_wide" -> "q80_revenue_forecast_cents",
+      "q23_tumbling_daily" -> "q81_tumbling_daily_cents")
     def shape(name: String): (Int, Int) = {
       val p = SparkEntry.queries(name)(spark, sfDir).queryExecution
         .executedPlan.toString
@@ -397,7 +403,8 @@ class QueriesSpec extends SparkSpec {
     try {
       spark.conf.set("spark.graft.centsOut", "true")
       assert(SparkEntry.centsOut(spark))
-      val centsShape = Seq("q13_region_revenue", "q16_brand_volume").map(shape)
+      val centsShape = Seq("q13_region_revenue", "q16_brand_volume",
+        "q48_revenue_forecast", "q23_tumbling_daily").map(shape)
       val flipped = pairs.map(_._1).distinct.map { m =>
         val df = SparkEntry.queries(m)(spark, sfDir)
         m -> (df.schema, df.collect().toSet)
@@ -407,7 +414,8 @@ class QueriesSpec extends SparkSpec {
       // the escape must be an OUTPUT-form change only: same exchanges,
       // same joins — pushdown/broadcast/partial-final agg shape untouched
       // (the wide-switch precedent's shape pin, applied to cents mode)
-      val narrowShape = Seq("q13_region_revenue", "q16_brand_volume").map(shape)
+      val narrowShape = Seq("q13_region_revenue", "q16_brand_volume",
+        "q48_revenue_forecast", "q23_tumbling_daily").map(shape)
       assert(centsShape == narrowShape,
         s"cents mode changed the plan SHAPE (exchanges/joins), not just the " +
           s"output form: cents=$centsShape narrow=$narrowShape")
@@ -430,6 +438,45 @@ class QueriesSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
       assert(dollars.nonEmpty && cents == dollars,
         "q78 revenue_c2 != 100× q13 revenue below 2^53 — the escape changed the value, not just the form")
+    } finally spark.conf.unset("spark.graft.centsOut")
+  }
+
+  test("cents switch: in-place-routed value_sums/event_value members stay exact") {
+    // r18 (VERDICT r17 item 3): q53/q55 (value_sums) and q11/q30/q44/q47
+    // (event_value) have no separate registered query — the switch rewrites
+    // their output column to BIGINT cents IN PLACE. Pins per member, below
+    // 2^53: (a) the cents column is LongType under the switch; (b) every
+    // row equals the narrow row with <dollar> replaced by its exact cents
+    // round(dollar*100) (null stays null — q47's leading LOCF gap); (c) all
+    // other columns are untouched.
+    val members = Seq(
+      ("q11_salted_agg", "sum_value", "sum_value_c2"),
+      ("q23_tumbling_daily", "sum_value", "sum_value_c2"),
+      ("q30_incremental_agg", "sum_value", "sum_value_c2"),
+      ("q44_rolling_metrics", "sum_value_24h", "sum_value_24h_c2"),
+      ("q47_gap_fill", "filled_value", "filled_value_c2"),
+      ("q53_small_order_revenue", "below_avg_revenue", "below_avg_revenue_c2"),
+      ("q55_disjunctive_revenue", "revenue", "revenue_c2"))
+    try {
+      spark.conf.set("spark.graft.centsOut", "false")
+      val narrow = members.map { case (m, d, c) =>
+        val df = SparkEntry.queries(m)(spark, sfDir)
+        val cols = df.columns.map(n =>
+          if (n == d) round(col(d) * 100).cast("long").as(c) else col(n))
+        m -> df.select(cols.toIndexedSeq: _*).collect().toSet
+      }.toMap
+      spark.conf.set("spark.graft.centsOut", "true")
+      members.foreach { case (m, d, c) =>
+        val df = SparkEntry.queries(m)(spark, sfDir)
+        assert(!df.columns.contains(d) && df.columns.contains(c),
+          s"$m under centsOut must rename $d -> $c")
+        assert(df.schema(c).dataType == org.apache.spark.sql.types.LongType,
+          s"$m under centsOut: $c must be BIGINT")
+        val rows = df.collect().toSet
+        assert(rows.nonEmpty, s"$m returned no rows at test SF")
+        assert(rows == narrow(m),
+          s"$m under centsOut: rows != exact cents of the narrow form")
+      }
     } finally spark.conf.unset("spark.graft.centsOut")
   }
 
