@@ -36,7 +36,10 @@ import org.apache.spark.sql.SparkSession
   * residual: its N·2√k assignment only deserves the log-depth descent
   * (the r14 negative result) if a decade measurement shows
   * assign_wall, not prune_wall, dominating at production k — a number
-  * in the artifact, not a judgment call.
+  * in the artifact, not a judgment call. The recorded (assign_wall,
+  * prune_wall) come from ONE pass (the tA+tP minimizer), so their sum is
+  * a real observed wall; assign_min/prune_min carry the per-phase minima
+  * separately (ADVICE r17).
   *
   * Usage: runMain graft.DedupRegimeProbe <sfDir> [eps] [passes] [variantsCsv]
   * Env: SPARK_GRAFT_CPUS, SPARK_GRAFT_SHUFFLE_PARTITIONS
@@ -105,7 +108,11 @@ object DedupRegimeProbe {
     // materialized by the SAME eager localCheckpoint the operator itself
     // uses (semanticDedupFromAssign re-checkpoints a checkpointed plan for
     // one cheap cached pass), so assign_wall + prune_wall decomposes the
-    // full-operator wall, it doesn't re-model it
+    // full-operator wall, it doesn't re-model it. The RECORDED pair is the
+    // single pass minimizing tA+tP (ADVICE r17: independent per-phase
+    // minima can mix passes, breaking the decomposition claim when phase
+    // noise is anti-correlated); the per-phase minima ride along as
+    // assign_min/prune_min for dispersion reading.
     val splits = splitVariants.map { v =>
       val ts = (1 to passes).map { p =>
         val t0 = System.nanoTime()
@@ -116,18 +123,24 @@ object DedupRegimeProbe {
           .write.format("noop").mode("overwrite").save()
         val tP = (System.nanoTime() - t1) / 1e9
         System.err.println(f"[regime-probe] pass$p $v assign=$tA%.2fs prune=$tP%.2fs")
-        assign.unpersist(blocking = true)
+        // ADVICE r17: semanticDedupFromAssign re-checkpoints internally and
+        // that inner checkpoint outlives the pass — unpersist EVERYTHING
+        // this pass cached (not just our outer handle), or later passes at
+        // sf100 time under inflated memory pressure
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         (tA, tP)
       }
-      v -> ((ts.map(_._1).min, ts.map(_._2).min))
+      val best = ts.minBy { case (a, pr) => a + pr }
+      v -> ((best, ts.map(_._1).min, ts.map(_._2).min))
     }
     spark.stop()
     val qs = mins.map { case (v, t) => f""""$v":$t%.3f""" }.mkString(",")
     val cs = cells.map { case (v, (sq, mx, n, ku)) =>
       s""""$v":{"sumsq":$sq,"max_cell":$mx,"n":$n,"cells_used":$ku}"""
     }.mkString(",")
-    val ss = splits.map { case (v, (a, pr)) =>
-      f""""$v":{"assign_wall":$a%.3f,"prune_wall":$pr%.3f}"""
+    val ss = splits.map { case (v, ((a, pr), aMin, pMin)) =>
+      f""""$v":{"assign_wall":$a%.3f,"prune_wall":$pr%.3f,""" +
+        f""""assign_min":$aMin%.3f,"prune_min":$pMin%.3f}"""
     }.mkString(",")
     println(s"""{"metric":"dedup_regime_probe","sf":"$sfDir","eps":$eps,""" +
       s""""passes":$passes,"queries":{$qs},"cells":{$cs},"split":{$ss}}""")
