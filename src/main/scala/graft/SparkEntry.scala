@@ -195,11 +195,15 @@ object SparkEntry {
     * garbage, and still hash-identical cross-engine, but no longer the
     * exact ledger amount. Flipping `GRAFT_CENTS_OUT=1` (env; GraftSettings)
     * or `spark.graft.centsOut` (runtime conf, takes precedence) routes
-    * EVERY member of OverflowAudit's three `cast_double` rows to its
+    * EVERY member of OverflowAudit's `cast_double` rows to its
     * integer-cents output form: the `cents2` row (q12, q13, q16 and their
-    * forced-wide forms q73, q74), and — r18, VERDICT r17 item 3 — the
+    * forced-wide forms q73, q74); — r18, VERDICT r17 item 3 — the
     * `value_sums` row (q48/q75, q53, q55) and the `event_value` row (q11,
-    * q23, q30, q44, q47). The form is HALF_UP cents as BIGINT (exact to
+    * q22, q23, q30, q44, q47); and — r18 wave 2 — the `grouped_revenue`
+    * row (q34, q40, q41, q49/q76 — these cross 2^53 FIRST, ~sf19-60), the
+    * `entity_revenue` row (q08, q29, q32, q35, q56 — constant per entity,
+    * alarm = key skew), the `acctbal` row (q18, q43) and the `qty` row
+    * (q54, q59). The form is HALF_UP cents as BIGINT (exact to
     * 2^63 cents ≈ $9.2e16, ~10^3× the 2^53 line), sums always wide where
     * the internal scale exceeds 2 (the escape exists precisely for
     * deployments past the narrow regime; q30's fold state is already the
@@ -227,6 +231,14 @@ object SparkEntry {
     val k = math.pow(10, scale - 2).toLong
     idiv(sumI.cast("decimal(38,0)") + lit(k / 2), lit(k)).cast("long")
   }
+
+  /** Sign-symmetric [[centsI]] (HALF_UP away from zero — Spark `round`'s
+    * rule) for sums that can be NEGATIVE (q41's profit): Spark's floor
+    * division and DuckDB's truncating `//` disagree on negative
+    * numerators, so both engines compute on |S| and reapply the sign
+    * (the m05 restructure-to-nonnegative rule). */
+  private def centsIS(sumI: Column, scale: Int): Column =
+    when(sumI < 0, -centsI(-sumI, scale)).otherwise(centsI(sumI, scale))
 
   // The revenue_sum family (q12/q16/q48/q49-class global scaled-integer
   // sums), width-parameterized: registered narrow under the original names
@@ -344,11 +356,14 @@ object SparkEntry {
         round(sum(c2(col("value"))).cast("double") / lit(100.0), 2).as("sum_value"))
   }
 
-  private def promoShare(s: SparkSession, dir: String, wide: Boolean): DataFrame = {
+  private def promoShare(s: SparkSession, dir: String, wide: Boolean,
+      cents: Boolean = false): DataFrame = {
     // TPC-H Q14 shape: promo revenue share by ship year — the part dim
     // broadcasts into the fact scan and the share is a ratio of two
     // exact scaled-integer conditional sums (the q40 rule), so the one
-    // FP op is the final division.
+    // FP op is the final division. cents=true swaps the revenue CAST for
+    // HALF_UP BIGINT cents (the share is rdiv-exact in every mode) —
+    // the grouped_revenue 2^53 escape, routed in place for q49/q76.
     val li = Tables.lineitem(s, dir)
       .select(col("l_partkey"), year(col("l_shipdate")).cast("long").as("l_year"),
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
@@ -357,11 +372,12 @@ object SparkEntry {
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_year"))
       .agg(
-        xsum(when(col("p_type") === "PROMO", col("vol4")).otherwise(0L), wide).as("p4"),
-        xsum(col("vol4"), wide).as("a4"))
+        xsum(when(col("p_type") === "PROMO", col("vol4")).otherwise(0L), wide || cents).as("p4"),
+        xsum(col("vol4"), wide || cents).as("a4"))
       .select(col("l_year"),
         rdiv(col("p4"), col("a4"), 6).as("promo_share"),
-        (col("p4").cast("double") / 10000.0).as("promo_revenue"))
+        (if (cents) centsI(col("p4"), 4).as("promo_revenue_c2")
+         else (col("p4").cast("double") / 10000.0).as("promo_revenue")))
   }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -428,7 +444,14 @@ object SparkEntry {
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(
           count(col("o_orderkey")).as("n_orders"),
-          round(coalesce(sum(c2(col("o_totalprice"))), lit(0L)).cast("double") / lit(100.0), 2).as("total_spend"),
+          // centsOut (r18): spend as BIGINT cents — the 2^53 cast escape,
+          // in place (cast_double:entity_revenue row)
+          (if (centsOut(s))
+             coalesce(xsum(c2(col("o_totalprice")), wide = true).cast("long"), lit(0L))
+               .as("total_spend_c2")
+           else
+             round(coalesce(sum(c2(col("o_totalprice"))), lit(0L)).cast("double") / lit(100.0), 2)
+               .as("total_spend")),
           coalesce(max(unix_millis(col("o_orderdate").cast("timestamp"))), lit(0L)).as("last_order_ms"))
     },
     "q09_graph_degree" -> q { (s, dir) =>
@@ -498,7 +521,12 @@ object SparkEntry {
         dim, "l_suppkey", buckets = 8, saltSource = Seq("l_orderkey", "l_linenumber"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("n_items"),
-          round(xsum(c2(col("l_extendedprice")), wideSums(s)).cast("double") / lit(100.0), 2).as("sum_price"))
+          // centsOut (r18): per-supplier price cents as BIGINT, in place
+          (if (centsOut(s))
+             xsum(c2(col("l_extendedprice")), wide = true).cast("long").as("sum_price_c2")
+           else
+             round(xsum(c2(col("l_extendedprice")), wideSums(s)).cast("double") / lit(100.0), 2)
+               .as("sum_price")))
     },
     "q16_brand_volume" -> q((s, dir) =>
       brandVolume(s, dir, wide = wideSums(s), cents = centsOut(s))),
@@ -517,11 +545,18 @@ object SparkEntry {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_customers"),
-          round(xsum(c2(col("c_acctbal")), wideSums(s)).cast("double") / lit(100.0), 2).as("sum_acctbal"))
+          // centsOut (r18): acctbal is already cents — BIGINT direct, no
+          // division (negative balances stay exact; cast_double:acctbal)
+          (if (centsOut(s))
+             xsum(c2(col("c_acctbal")), wide = true).cast("long").as("sum_acctbal_c2")
+           else
+             round(xsum(c2(col("c_acctbal")), wideSums(s)).cast("double") / lit(100.0), 2)
+               .as("sum_acctbal")))
         .select(
           coalesce(col("r_name"), lit("(all)")).as("r_name"),
           coalesce(col("n_name"), lit("(all)")).as("n_name"),
-          col("n_customers"), col("sum_acctbal"))
+          col("n_customers"),
+          col(if (centsOut(s)) "sum_acctbal_c2" else "sum_acctbal"))
     },
     "q57_sync_checksum" -> q { (s, dir) =>
       // order-independent content checksum of the merged current state —
@@ -607,7 +642,11 @@ object SparkEntry {
       TemporalJoins.rangeJoin(Tables.events(s, dir), ranges, "value", "lo", "hi")
         .groupBy(col("band_id"))
         .agg(count(lit(1)).as("n"),
-          round(sum(c2(col("value"))).cast("double") / lit(100.0), 2).as("sum_value"))
+          // centsOut (r18): band sums join the event_value cents family
+          (if (centsOut(s))
+             xsum(c2(col("value")), wide = true).cast("long").as("sum_value_c2")
+           else
+             round(sum(c2(col("value"))).cast("double") / lit(100.0), 2).as("sum_value")))
     },
     "q24_scd2_intervals" -> q { (s, dir) =>
       // SCD2 history: every event version with its validity window
@@ -954,7 +993,9 @@ object SparkEntry {
         .orderBy(col("rev4i").desc, col("o_orderkey").asc)
         .limit(10)
         .select(col("o_orderkey"), col("o_orderdate").cast("date").cast("string").as("o_date"),
-          cents2(col("rev4i"), 4).as("revenue"))
+          // centsOut (r18): the cents2 rounding minus its double cast
+          (if (centsOut(s)) centsI(col("rev4i"), 4).as("revenue_c2")
+           else cents2(col("rev4i"), 4).as("revenue")))
     },
     "q34_nation_trade" -> q { (s, dir) =>
       // TPC-H Q7 shape: bidirectional trade volume between a nation pair by
@@ -987,7 +1028,14 @@ object SparkEntry {
         .where((col("supp_nation") === pair.head && col("cust_nation") === pair(1)) ||
           (col("supp_nation") === pair(1) && col("cust_nation") === pair.head))
         .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
-        .agg((xsum(col("vol4"), wideSums(s)).cast("double") / 10000.0).as("revenue"), count(lit(1)).as("n_items"))
+        .agg(
+          // centsOut (r18): grouped_revenue cents escape — this class
+          // crosses 2^53 near sf60 (nation-group worst at sf0.01 → ×6e3)
+          (if (centsOut(s))
+             centsI(xsum(col("vol4"), wide = true), 4).as("revenue_c2")
+           else
+             (xsum(col("vol4"), wideSums(s)).cast("double") / 10000.0).as("revenue")),
+          count(lit(1)).as("n_items"))
     },
     "q35_returned_items" -> q { (s, dir) =>
       // TPC-H Q10 shape, Spark-first: aggregate revenue per CUSTOMER KEY
@@ -1009,7 +1057,8 @@ object SparkEntry {
       // AND the top-20 ordering are engine-exact
       val byCust = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey"))
-        .agg(xsum(round(col("rev") * 10000).cast("long"), wideSums(s)).as("rev4"), count(lit(1)).as("n_items"))
+        .agg(xsum(round(col("rev") * 10000).cast("long"), wideSums(s) || centsOut(s)).as("rev4"),
+          count(lit(1)).as("n_items"))
       val cust = Tables.customer(s, dir)
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
@@ -1019,8 +1068,11 @@ object SparkEntry {
         // no display rounding: the sum is exactly .xxxx, and round(x, 2) of
         // a true .xx5 midpoint disagrees between engines (Spark rounds the
         // shortest decimal repr, DuckDB the binary value); the division of
-        // the same integer is bitwise identical on both sides
-        .select(col("c_custkey"), col("c_name"), (col("rev4") / 10000.0).as("revenue"),
+        // the same integer is bitwise identical on both sides.
+        // centsOut (r18): per-customer revenue as HALF_UP BIGINT cents
+        .select(col("c_custkey"), col("c_name"),
+          (if (centsOut(s)) centsI(col("rev4"), 4).as("revenue_c2")
+           else (col("rev4") / 10000.0).as("revenue")),
           col("c_acctbal"), col("n_name"), col("n_items"))
     },
     "q31_profile" -> q { (s, dir) =>
@@ -1220,11 +1272,15 @@ object SparkEntry {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_year"))
         .agg(
-          xsum(when(col("supp_nation") === target, col("vol4")).otherwise(0L), wideSums(s)).as("t4"),
-          xsum(col("vol4"), wideSums(s)).as("a4"))
+          xsum(when(col("supp_nation") === target, col("vol4")).otherwise(0L),
+            wideSums(s) || centsOut(s)).as("t4"),
+          xsum(col("vol4"), wideSums(s) || centsOut(s)).as("a4"))
         .select(col("o_year"),
+          // mkt_share is rdiv-exact in every mode; only the revenue CAST
+          // carries 2^53 exposure (grouped_revenue row: ~sf19 crossing)
           rdiv(col("t4"), col("a4"), 6).as("mkt_share"),
-          (col("a4").cast("double") / 10000.0).as("total_revenue"))
+          (if (centsOut(s)) centsI(col("a4"), 4).as("total_revenue_c2")
+           else (col("a4").cast("double") / 10000.0).as("total_revenue")))
     },
     "q41_product_profit" -> q { (s, dir) =>
       // TPC-H Q9 shape: profit by supplier nation × order year for a part
@@ -1251,7 +1307,13 @@ object SparkEntry {
             .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("nation"), col("o_year"))
-        .agg((xsum(col("profit4"), wideSums(s)).cast("double") / 10000.0).as("profit"),
+        .agg(
+          // centsOut (r18): profit can be NEGATIVE — the sign-symmetric
+          // centsIS (HALF_UP away from zero on both engines)
+          (if (centsOut(s))
+             centsIS(xsum(col("profit4"), wide = true), 4).as("profit_c2")
+           else
+             (xsum(col("profit4"), wideSums(s)).cast("double") / 10000.0).as("profit")),
           count(lit(1)).as("n_items"))
     },
     "q42_cust_order_dist" -> q { (s, dir) =>
@@ -1290,7 +1352,10 @@ object SparkEntry {
         .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_cust"),
-          (sum(bal2).cast("double") / 100.0).as("total_bal"))
+          // centsOut (r18): segment balances as BIGINT cents, no division
+          (if (centsOut(s))
+             xsum(bal2, wide = true).cast("long").as("total_bal_c2")
+           else (sum(bal2).cast("double") / 100.0).as("total_bal")))
     },
     "q44_rolling_metrics" -> q { (s, dir) =>
       // trailing-24h per-user metrics over the event stream: a RANGE window
@@ -1394,7 +1459,8 @@ object SparkEntry {
     },
     "q48_revenue_forecast" -> q((s, dir) =>
       revenueForecast(s, dir, wide = wideSums(s), cents = centsOut(s))),
-    "q49_promo_share" -> q((s, dir) => promoShare(s, dir, wide = wideSums(s))),
+    "q49_promo_share" -> q((s, dir) =>
+      promoShare(s, dir, wide = wideSums(s), cents = centsOut(s))),
     "q50_rolling_active" -> q { (s, dir) =>
       // DAU / rolling-7-day WAU: count-DISTINCT over a sliding window has
       // no incremental form, so each distinct user-day is exploded onto the
@@ -1456,13 +1522,18 @@ object SparkEntry {
         .groupBy(col("l_orderkey"))
         .agg(xsum(col("q2"), wideSums(s)).as("sumq2"), count(lit(1)).as("n_items"))
         .where(col("sumq2") > 20000L)
+      // centsOut (r18): qty is already 1e-2-scaled — BIGINT direct; the
+      // sort key is the same exact integer either way
+      val qtyOut =
+        if (centsOut(s)) col("sumq2").cast("long").as("total_qty_c2")
+        else (col("sumq2").cast("double") / 100.0).as("total_qty")
       big.join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("o_custkey").as("custkey"), col("l_orderkey").as("orderkey"),
-          (col("sumq2").cast("double") / 100.0).as("total_qty"), col("n_items"))
-        .orderBy(col("total_qty").desc, col("orderkey").asc)
+          qtyOut, col("n_items"))
+        .orderBy(col(if (centsOut(s)) "total_qty_c2" else "total_qty").desc, col("orderkey").asc)
         .limit(20)
     },
     "q55_disjunctive_revenue" -> q { (s, dir) =>
@@ -1515,7 +1586,10 @@ object SparkEntry {
         .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_name"), col("l_suppkey").as("suppkey"),
-          (col("rev4").cast("double") / 10000.0).as("total_revenue"))
+          // centsOut (r18): the max/tie logic stays on the exact integer;
+          // only the output cast swaps for HALF_UP BIGINT cents
+          (if (centsOut(s)) centsI(col("rev4"), 4).as("total_revenue_c2")
+           else (col("rev4").cast("double") / 10000.0).as("total_revenue")))
     },
     "q58_event_pivot" -> q { (s, dir) =>
       // per-user event-type activity matrix — the pivot surface. EXPLICIT
@@ -1542,10 +1616,14 @@ object SparkEntry {
           round(col("l_quantity") * 100).cast("long").as("q2"))
       li.cube(col("p_brand"), col("l_year"))
         .agg(count(lit(1)).as("n_items"),
-          (sum(col("q2")).cast("double") / 100.0).as("total_qty"))
+          // centsOut (r18): the global cube cell is the whole-table qty
+          // sum — BIGINT direct in cents mode (cast_double:qty row)
+          (if (centsOut(s))
+             xsum(col("q2"), wide = true).cast("long").as("total_qty_c2")
+           else (sum(col("q2")).cast("double") / 100.0).as("total_qty")))
         .select(coalesce(col("p_brand"), lit("ALL")).as("brand"),
           coalesce(col("l_year").cast("string"), lit("ALL")).as("year"),
-          col("n_items"), col("total_qty"))
+          col("n_items"), col(if (centsOut(s)) "total_qty_c2" else "total_qty"))
     },
     "q46_retention_cohorts" -> q { (s, dir) =>
       // signup-cohort retention matrix: users bucketed by signup week,
@@ -2031,7 +2109,8 @@ object SparkEntry {
       brandVolume(s, dir, wide = true, cents = centsOut(s))),
     "q75_revenue_forecast_wide" -> q((s, dir) =>
       revenueForecast(s, dir, wide = true, cents = centsOut(s))),
-    "q76_promo_share_wide" -> q(promoShare(_, _, wide = true)),
+    "q76_promo_share_wide" -> q((s, dir) =>
+      promoShare(s, dir, wide = true, cents = centsOut(s))),
     // q77–q79: the INTEGER-CENTS escapes for the 2^53 cast-fidelity
     // boundary (OverflowAudit's `cast_double:cents2` row, ADVICE r15 /
     // VERDICT r16 task 1). The wide switch moves where the SUM lives; the
@@ -2425,7 +2504,8 @@ object SparkEntry {
       // r18: the value_sums / event_value members the switch routes in
       // place — each verifies against its own cents oracle text
       centsOracleSql ++ Map(
-        "q75_revenue_forecast_wide" -> centsOracleSql("q48_revenue_forecast"))
+        "q75_revenue_forecast_wide" -> centsOracleSql("q48_revenue_forecast"),
+        "q76_promo_share_wide" -> centsOracleSql("q49_promo_share"))
   }
 
   /** Cents-form oracle texts for the [[centsOut]]-routed members of the
@@ -2501,7 +2581,180 @@ object SparkEntry {
           |              PARTITION BY user_id ORDER BY day
           |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
           |         AS filled_value_c2
-          |FROM j""".stripMargin)
+          |FROM j""".stripMargin,
+      // --- r18 wave 2: the grouped/entity/acctbal/qty cast families ------
+      "q08_profiles_view" ->
+        """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+          |       CAST(coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT)), 0) AS BIGINT) AS total_spend_c2,
+          |       coalesce(max(epoch_ms(o_orderdate)), 0) AS last_order_ms
+          |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          |GROUP BY c_custkey, c_name""".stripMargin,
+      "q18_nation_rollup" ->
+        """SELECT coalesce(r_name, '(all)') AS r_name, coalesce(n_name, '(all)') AS n_name,
+          |       count(*) AS n_customers,
+          |       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_acctbal_c2
+          |FROM customer
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+      "q22_range_join" ->
+        """SELECT CAST(band_id AS BIGINT) AS band_id, count(*) AS n,
+          |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c2
+          |FROM events
+          |JOIN (VALUES (0,0.0,50.0),(1,50.0,100.0),(2,100.0,150.0),(3,150.0,200.0),(4,200.0,1000000000.0))
+          |  AS r(band_id, lo, hi)
+          |ON value >= lo AND value < hi
+          |GROUP BY band_id""".stripMargin,
+      "q29_salted_join" ->
+        """SELECT s_name, count(*) AS n_items,
+          |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c2
+          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          |GROUP BY s_name""".stripMargin,
+      "q32_ship_priority" ->
+        """SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date,
+          |  CAST((rev4i + 50) // 100 AS BIGINT) AS revenue_c2
+          |FROM (
+          |  SELECT o_orderkey, o_orderdate,
+          |         sum(CAST(round(l_extendedprice*100) AS BIGINT)
+          |             * (100 - CAST(round(l_discount*100) AS BIGINT))) AS rev4i
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  WHERE c_mktsegment = 'BUILDING'
+          |    AND o_orderdate < TIMESTAMP '1998-01-01'
+          |    AND l_shipdate > TIMESTAMP '1998-01-01'
+          |  GROUP BY o_orderkey, o_orderdate
+          |  ORDER BY rev4i DESC, o_orderkey ASC LIMIT 10)""".stripMargin,
+      "q34_nation_trade" ->
+        """SELECT supp_nation, cust_nation, l_year,
+          |       CAST((sum(vol4) + 50) // 100 AS BIGINT) AS revenue_c2, count(*) AS n_items
+          |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+          |             CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT) AS vol4
+          |      FROM lineitem
+          |      JOIN supplier ON l_suppkey = s_suppkey
+          |      JOIN orders ON l_orderkey = o_orderkey
+          |      JOIN customer ON o_custkey = c_custkey
+          |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          |      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          |        AND l_shipdate >= TIMESTAMP '1995-01-01'
+          |        AND l_shipdate < TIMESTAMP '1997-01-01')
+          |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+      "q35_returned_items" ->
+        """SELECT c_custkey, c_name, CAST((rev4 + 50) // 100 AS BIGINT) AS revenue_c2,
+          |       c_acctbal, n_name, n_items
+          |FROM (SELECT c_custkey, c_name, c_acctbal, n_name,
+          |             sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)) AS rev4,
+          |             count(*) AS n_items
+          |      FROM lineitem
+          |      JOIN orders ON l_orderkey = o_orderkey
+          |      JOIN customer ON o_custkey = c_custkey
+          |      JOIN nation ON c_nationkey = n_nationkey
+          |      WHERE l_returnflag = 'R'
+          |        AND o_orderdate >= TIMESTAMP '1996-01-01'
+          |        AND o_orderdate < TIMESTAMP '1996-04-01'
+          |      GROUP BY c_custkey, c_name, c_acctbal, n_name
+          |      ORDER BY rev4 DESC, c_custkey ASC LIMIT 20)""".stripMargin,
+      "q40_market_share" ->
+        """SELECT o_year,
+          |       CAST((2*CAST(t4 AS HUGEINT)*1000000 + a4) // (2*a4) AS DOUBLE) / 1000000.0 AS mkt_share,
+          |       CAST((a4 + 50) // 100 AS BIGINT) AS total_revenue_c2
+          |FROM (
+          |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          |         CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+          |                       THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)
+          |                       ELSE 0 END) AS BIGINT) AS t4,
+          |         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS a4
+          |  FROM lineitem
+          |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+          |  GROUP BY 1)""".stripMargin,
+      // q41's profit sums can be NEGATIVE: DuckDB's // truncates toward
+      // zero where Spark floors, so both engines divide |S| and reapply
+      // the sign (HALF_UP away from zero — the centsIS kernel)
+      "q41_product_profit" ->
+        """SELECT nation, o_year,
+          |       CAST(CASE WHEN s4 < 0 THEN -((-s4 + 50) // 100)
+          |                 ELSE (s4 + 50) // 100 END AS BIGINT) AS profit_c2,
+          |       n_items
+          |FROM (
+          |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          |         sum(CAST(round((l_extendedprice * (1.0 - l_discount)
+          |                   - 0.1 * p_retailprice * l_quantity) * 10000) AS BIGINT)) AS s4,
+          |         count(*) AS n_items
+          |  FROM lineitem
+          |  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN nation ON s_nationkey = n_nationkey
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  GROUP BY 1, 2)""".stripMargin,
+      "q43_idle_customers" ->
+        """WITH s AS (
+          |  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum2,
+          |         count(*) AS n_pos
+          |  FROM customer WHERE c_acctbal > 0.0),
+          |rich AS (
+          |  SELECT c.c_mktsegment, CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal2
+          |  FROM customer c, s
+          |  WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * s.n_pos > s.sum2
+          |    AND NOT EXISTS (SELECT 1 FROM orders
+          |                    WHERE o_custkey = c.c_custkey
+          |                      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'))
+          |SELECT c_mktsegment, count(*) AS n_cust,
+          |       CAST(sum(bal2) AS BIGINT) AS total_bal_c2
+          |FROM rich GROUP BY 1""".stripMargin,
+      "q49_promo_share" ->
+        """SELECT l_year,
+          |       CAST((2*CAST(p4 AS HUGEINT)*1000000 + a4) // (2*a4) AS DOUBLE) / 1000000.0 AS promo_share,
+          |       CAST((p4 + 50) // 100 AS BIGINT) AS promo_revenue_c2
+          |FROM (
+          |  SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+          |         CAST(sum(CASE WHEN p_type = 'PROMO'
+          |                       THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)
+          |                       ELSE 0 END) AS BIGINT) AS p4,
+          |         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS a4
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey
+          |  GROUP BY 1)""".stripMargin,
+      "q54_large_orders" ->
+        """WITH big AS (
+          |  SELECT l_orderkey, CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sumq2,
+          |         count(*) AS n_items
+          |  FROM lineitem GROUP BY 1
+          |  HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 20000)
+          |SELECT c_name, o_custkey AS custkey, l_orderkey AS orderkey,
+          |       CAST(sumq2 AS BIGINT) AS total_qty_c2, n_items
+          |FROM big
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |ORDER BY total_qty_c2 DESC, orderkey ASC
+          |LIMIT 20""".stripMargin,
+      "q56_top_supplier" ->
+        """WITH rev AS (
+          |  SELECT l_suppkey,
+          |         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS rev4
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          |  GROUP BY 1)
+          |SELECT s_name, l_suppkey AS suppkey, CAST((rev4 + 50) // 100 AS BIGINT) AS total_revenue_c2
+          |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+          |WHERE rev4 = (SELECT max(rev4) FROM rev)""".stripMargin,
+      "q59_cube_volume" ->
+        """SELECT coalesce(p_brand, 'ALL') AS brand,
+          |       coalesce(CAST(l_year AS VARCHAR), 'ALL') AS year,
+          |       count(*) AS n_items,
+          |       CAST(sum(q2) AS BIGINT) AS total_qty_c2
+          |FROM (SELECT p_brand, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+          |             CAST(round(l_quantity * 100) AS BIGINT) AS q2
+          |      FROM lineitem JOIN part ON l_partkey = p_partkey)
+          |GROUP BY CUBE(p_brand, l_year)""".stripMargin)
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

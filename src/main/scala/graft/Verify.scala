@@ -108,10 +108,11 @@ object Verify {
         crossed.map(h => s"${h.family}${h.queries.mkString(" [", ",", "]")}").mkString("; ") +
         ". Escapes: GRAFT_WIDE_SUMS=1 flips every xsum-swept grouped member to " +
         "decimal(38,0); q68's gate has the registered wide form q72_nation_value_wide; " +
-        "the three cast_double rows (2^53 output-cast fidelity) are released by " +
+        "every cast_double row (2^53 output-cast fidelity) is released by " +
         "GRAFT_CENTS_OUT=1, which routes every member to its integer-cents form: " +
         "q12/q73->q77, q13->q78, q16/q74->q79, q48/q75->q80's form, q23->q81's, " +
-        "and q11/q30/q44/q47/q53/q55 in place (cents oracles via oracleSqlFor).")
+        "and q08/q11/q18/q22/q29/q30/q32/q34/q35/q40/q41/q43/q44/q47/q49/q53/" +
+        "q54/q55/q56/q59/q76 in place (cents oracles via oracleSqlFor).")
     }
     if (dumpFailures > 0)
       System.err.println(s"[verify] $dumpFailures query dump(s) FAILED — artifacts incomplete")

@@ -495,11 +495,50 @@ object OverflowAudit {
       ceiling = Ceiling53, alarmAt = 1.0, centsSwitchCovers = true)
     val evDouble = sumHeadroom("cast_double:event_value",
       ev, round(col("value") * lit(100)),
-      queries = Seq("q11", "q23", "q30", "q44", "q47"))
+      queries = Seq("q11", "q22", "q23", "q30", "q44", "q47"))
       .copy(ceiling = Ceiling53, alarmAt = 1.0, centsSwitchCovers = true)
+    // --- r18 wave 2: the remaining grouped/entity output casts ----------
+    // Each row REUSES a grouped worst already measured for the 2^63 sum
+    // audit above (zero extra scan cost) and compares it to 2^53 — the
+    // grouped revenue classes (fixed group counts, linearly growing sums)
+    // cross FIRST of all cast families: orderyear 4.8e12 at sf0.01 →
+    // ~sf19; suppnation ~sf28; nation ~sf60. Every member routes to an
+    // integer-cents output under GRAFT_CENTS_OUT (in place, oracles via
+    // oracleSqlFor), so measured crossings release like the other rows.
+    def maxWorst(hs: Headroom*): Option[BigDecimal] =
+      if (hs.exists(_.worst.isEmpty)) None else Some(hs.flatMap(_.worst).max)
+    val groupedRevDouble = Headroom("cast_double:grouped_revenue",
+      maxWorst(nation, orderyear, suppnation, yearly),
+      queries = Seq("q34", "q40", "q41", "q49", "q76"),
+      ceiling = Ceiling53, alarmAt = 1.0, centsSwitchCovers = true)
+    // entity classes (per-customer/order/supplier sums) are CONSTANT in SF
+    // on this geometry — per-entity row counts don't grow with volume — so
+    // this row alarms only under genuine key skew, which is exactly when
+    // its members' casts really drift. The 1e-4-scale worsts dominate the
+    // 1e-2-scale members (q08's spend, q29's price ≤ vol4-scale / ~90), so
+    // one max bounds all five.
+    val entityRevDouble = Headroom("cast_double:entity_revenue",
+      maxWorst(custkey, orderkey, suppkey),
+      queries = Seq("q08", "q29", "q32", "q35", "q56"),
+      ceiling = Ceiling53, alarmAt = 1.0, centsSwitchCovers = true)
+    // q18's rollup grand-total IS the global acctbal sum (tight); q43's
+    // segments partition a filtered subset of the same rows (≤ global)
+    val acctbalDouble = acctbal
+      .copy(family = "cast_double:acctbal", queries = Seq("q18", "q43"),
+        ceiling = Ceiling53, alarmAt = 1.0,
+        // a cast row: the WIDE switch must not release it (inherited true
+        // from the sum row would — widening cannot un-round the cast)
+        wideSwitchCovers = false, centsSwitchCovers = true)
+    // q59's ALL/ALL cube cell is exactly the global qty sum; q54's
+    // per-order frames sit far under it
+    val qtyDouble = qty
+      .copy(family = "cast_double:qty", queries = Seq("q54", "q59"),
+        ceiling = Ceiling53, alarmAt = 1.0,
+        wideSwitchCovers = false, centsSwitchCovers = true)
     Seq(revenue, nation, brand, yearly, suppkey, custkey, orderkey,
       orderyear, suppnation, priority, acctbal, qty, age, gate,
-      centsDouble, valueDouble, evDouble)
+      centsDouble, valueDouble, evDouble,
+      groupedRevDouble, entityRevDouble, acctbalDouble, qtyDouble)
   }
 
   /** Table rendering of [[audit]] for ops surfaces: one row per

@@ -20,7 +20,9 @@ class OverflowAuditSpec extends SparkSpec {
       "revenue_sum:orderyear_group", "revenue_sum:suppnation_group",
       "totalprice_sum:priority_group", "acctbal_sum", "qty_sum",
       "age_sum:eventtype_group", "gate_cross_mult",
-      "cast_double:cents2", "cast_double:value_sums", "cast_double:event_value"))
+      "cast_double:cents2", "cast_double:value_sums", "cast_double:event_value",
+      "cast_double:grouped_revenue", "cast_double:entity_revenue",
+      "cast_double:acctbal", "cast_double:qty"))
     // grouping soundness (ADVICE r14): q40 (o_year only) and q41 (supplier
     // nation) are NOT refinements of customer nation — each is bounded by
     // a row measuring its OWN grouping, never by the nation row
@@ -201,24 +203,25 @@ class OverflowAuditSpec extends SparkSpec {
 
   test("auditDf: one row per (family, grouping-class) with verdict and members") {
     val rows = OverflowAudit.auditDf(spark, sfDir).collect()
-    assert(rows.length == 17)
+    assert(rows.length == 21)
     assert(rows.forall(_.getBoolean(3)))
     assert(rows.forall(_.getString(4).nonEmpty), "every row must name its queries")
+    val castRows = Set(
+      "cast_double:cents2", "cast_double:value_sums", "cast_double:event_value",
+      "cast_double:grouped_revenue", "cast_double:entity_revenue",
+      "cast_double:acctbal", "cast_double:qty")
     // rows NOT released by the wide-sums switch: q68's gate (escape = the
-    // registered q72 decimal form) and the 2^53 cast-fidelity rows
-    // (escape = the registered integer-cents forms — widening the SUM
-    // buffer cannot un-round the output cast)
-    assert(rows.filterNot(_.getBoolean(5)).map(_.getString(0)).toSet == Set(
-      "gate_cross_mult", "cast_double:cents2", "cast_double:value_sums",
-      "cast_double:event_value"))
-    // rows released by the integer-cents output switch: all THREE cast
-    // rows (r18, VERDICT r17 item 3) — cents2 members route to q77/q78/q79,
-    // value_sums members to the q80 form or in place (q53/q55), event_value
-    // members to the q81 form or in place (q11/q30/q44/q47); every routed
-    // member has a cents oracle (oracleSqlFor), so the switch may release
-    // any measured crossing among them
-    assert(rows.filter(_.getBoolean(6)).map(_.getString(0)).toSet == Set(
-      "cast_double:cents2", "cast_double:value_sums", "cast_double:event_value"))
+    // registered q72 decimal form) and every 2^53 cast-fidelity row
+    // (escape = the integer-cents forms — widening the SUM buffer cannot
+    // un-round the output cast)
+    assert(rows.filterNot(_.getBoolean(5)).map(_.getString(0)).toSet ==
+      castRows + "gate_cross_mult")
+    // rows released by the integer-cents output switch: ALL cast rows
+    // (r17/r18) — every member routes to an integer-cents output form
+    // under GRAFT_CENTS_OUT (registered q77-q81 or in place) and has a
+    // cents oracle (oracleSqlFor), so the switch may release any measured
+    // crossing among them
+    assert(rows.filter(_.getBoolean(6)).map(_.getString(0)).toSet == castRows)
   }
 
   test("Verify exit-code contract: 1=dumps incomplete, 2=gate tripped, 0=clean") {

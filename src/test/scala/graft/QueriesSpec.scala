@@ -404,7 +404,8 @@ class QueriesSpec extends SparkSpec {
       spark.conf.set("spark.graft.centsOut", "true")
       assert(SparkEntry.centsOut(spark))
       val centsShape = Seq("q13_region_revenue", "q16_brand_volume",
-        "q48_revenue_forecast", "q23_tumbling_daily").map(shape)
+        "q48_revenue_forecast", "q23_tumbling_daily",
+        "q34_nation_trade", "q18_nation_rollup").map(shape)
       val flipped = pairs.map(_._1).distinct.map { m =>
         val df = SparkEntry.queries(m)(spark, sfDir)
         m -> (df.schema, df.collect().toSet)
@@ -415,7 +416,8 @@ class QueriesSpec extends SparkSpec {
       // same joins — pushdown/broadcast/partial-final agg shape untouched
       // (the wide-switch precedent's shape pin, applied to cents mode)
       val narrowShape = Seq("q13_region_revenue", "q16_brand_volume",
-        "q48_revenue_forecast", "q23_tumbling_daily").map(shape)
+        "q48_revenue_forecast", "q23_tumbling_daily",
+        "q34_nation_trade", "q18_nation_rollup").map(shape)
       assert(centsShape == narrowShape,
         s"cents mode changed the plan SHAPE (exchanges/joins), not just the " +
           s"output form: cents=$centsShape narrow=$narrowShape")
@@ -456,7 +458,18 @@ class QueriesSpec extends SparkSpec {
       ("q44_rolling_metrics", "sum_value_24h", "sum_value_24h_c2"),
       ("q47_gap_fill", "filled_value", "filled_value_c2"),
       ("q53_small_order_revenue", "below_avg_revenue", "below_avg_revenue_c2"),
-      ("q55_disjunctive_revenue", "revenue", "revenue_c2"))
+      ("q55_disjunctive_revenue", "revenue", "revenue_c2"),
+      // r18 wave 2 members whose narrow output is an EXACT 1e-2 rendering
+      // (2-decimal rounded or S2/100), so round(dollar*100) recovers the
+      // cents integer exactly — the same recovery the q78 pin relies on
+      ("q08_profiles_view", "total_spend", "total_spend_c2"),
+      ("q18_nation_rollup", "sum_acctbal", "sum_acctbal_c2"),
+      ("q22_range_join", "sum_value", "sum_value_c2"),
+      ("q29_salted_join", "sum_price", "sum_price_c2"),
+      ("q32_ship_priority", "revenue", "revenue_c2"),
+      ("q43_idle_customers", "total_bal", "total_bal_c2"),
+      ("q54_large_orders", "total_qty", "total_qty_c2"),
+      ("q59_cube_volume", "total_qty", "total_qty_c2"))
     try {
       spark.conf.set("spark.graft.centsOut", "false")
       val narrow = members.map { case (m, d, c) =>
@@ -476,6 +489,60 @@ class QueriesSpec extends SparkSpec {
         assert(rows.nonEmpty, s"$m returned no rows at test SF")
         assert(rows == narrow(m),
           s"$m under centsOut: rows != exact cents of the narrow form")
+      }
+    } finally spark.conf.unset("spark.graft.centsOut")
+  }
+
+  test("cents switch: 1e-4-scale in-place members within half-cent of the dollar form") {
+    // r18 wave 2, the 1e-4-scale members (q34/q35/q40/q41/q49/q56): their
+    // narrow dollars carry 4 decimals, so re-deriving cents from the
+    // DOUBLE via round(dollar*100) can flip at a true .5 midpoint — this
+    // pin therefore asserts (a) identical group-key sets, (b) every
+    // non-value column identical, (c) |cents_c2 − round(dollar*100)| ≤ 1.
+    // EXACTNESS of the cents values is the DuckDB cents sweeps' job
+    // (CORRECTNESS_CENTS / CORRECTNESS_SF1_CENTS — the real gate).
+    val tolMembers = Seq(
+      ("q34_nation_trade", "revenue", "revenue_c2", Seq("supp_nation", "cust_nation", "l_year")),
+      ("q35_returned_items", "revenue", "revenue_c2", Seq("c_custkey")),
+      ("q40_market_share", "total_revenue", "total_revenue_c2", Seq("o_year")),
+      ("q41_product_profit", "profit", "profit_c2", Seq("nation", "o_year")),
+      ("q49_promo_share", "promo_revenue", "promo_revenue_c2", Seq("l_year")),
+      ("q56_top_supplier", "total_revenue", "total_revenue_c2", Seq("suppkey")))
+    def keyed(df: org.apache.spark.sql.DataFrame, valueCol: String, keys: Seq[String])
+        : Map[Seq[Any], (Seq[Any], Long)] =
+      df.collect().map { r =>
+        val k = keys.map(c => r.get(r.fieldIndex(c)))
+        val others = df.columns.filterNot(c => keys.contains(c) || c == valueCol)
+          .sorted.toSeq.map(c => r.get(r.fieldIndex(c)))
+        val v = r.get(r.fieldIndex(valueCol)) match {
+          case d: Double => math.round(d * 100)
+          case l: Long => l
+          case x => fail(s"unexpected $valueCol type: $x")
+        }
+        k -> ((others, v))
+      }.toMap
+    try {
+      spark.conf.set("spark.graft.centsOut", "false")
+      // q34's nation-pair × shipdate filter is empty at sf0.001 — fall back
+      // to sf0.01 per member so the pin always bites (the wide-pin pattern)
+      val dirs = tolMembers.map { case (m, d, _, ks) =>
+        val at001 = keyed(SparkEntry.queries(m)(spark, sfDir), d, ks)
+        if (at001.nonEmpty) m -> ((sfDir, at001))
+        else m -> ((TestSession.sfDir01,
+          keyed(SparkEntry.queries(m)(spark, TestSession.sfDir01), d, ks)))
+      }.toMap
+      spark.conf.set("spark.graft.centsOut", "true")
+      tolMembers.foreach { case (m, _, c, ks) =>
+        val (dir, n) = dirs(m)
+        val cents = keyed(SparkEntry.queries(m)(spark, dir), c, ks)
+        assert(cents.nonEmpty, s"$m returned no rows at test SF ($dir)")
+        assert(cents.keySet == n.keySet, s"$m under centsOut: group keys differ")
+        cents.foreach { case (k, (others, v)) =>
+          val (nOthers, nv) = n(k)
+          assert(others == nOthers, s"$m/$k under centsOut: non-value columns differ")
+          assert(math.abs(v - nv) <= 1L,
+            s"$m/$k under centsOut: cents $v vs dollar-derived $nv — off by more than the .5-midpoint band")
+        }
       }
     } finally spark.conf.unset("spark.graft.centsOut")
   }
