@@ -3,6 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -435,6 +436,107 @@ case class ArgmaxCosStride(
       matrix.map(_.toSeq).toSeq)
 }
 
+/** Fused 64-bit hyperplane signature: bit j = (dot(v, plane_j) >= 0).
+  *
+  * Why one kernel instead of composing `bits` [[DotProductFF]] calls
+  * against literal plane arrays (the r18 d07 finding — same failure mode
+  * [[PqSegBest]] fixed for PQ): the unrolled form inlines 64 dot-product
+  * loops plus a depth-64 CASE-WHEN Add chain into the enclosing stage's
+  * generated method — past Janino's 64 KB limit, so the whole projection
+  * silently fell back to interpreted, tree-walking evaluation (measured
+  * ~0.5 ms/row at sf0.1: the signature scan alone cost 1.07 s of d07's
+  * 3.9 s, and every banding consumer — d06/d07/d09/s02/s05/lshTopK —
+  * paid it per side). Here the planes ride along as a reference object
+  * and the loops stay loops: the generated code is ~30 lines at any
+  * `bits`/`dim`.
+  *
+  * FP contract (the s02/d07 oracles depend on it): each plane's dot is
+  * the same sequential left-to-right float→double accumulation over
+  * min(|v|, |plane|) elements as [[DotProductFF]], the sign test is the
+  * identical `dot >= 0.0`, and summing distinct powers of two equals
+  * OR-ing bits — bit-identical to the expression tree it replaces
+  * (spec-asserted). Null contract is ALSO the legacy tree's: a NULL
+  * vector yields signature 0L, never NULL (`CASE WHEN NULL >= 0.0` took
+  * the ELSE 0 branch in every term), so this expression is non-nullable.
+  */
+case class HyperplaneSigFL(child: Expression, planes: Array[Array[Float]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def bits: Int = planes.length
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hyperplane_sig_fl"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val c = child.eval(input)
+    if (c == null) 0L
+    else {
+      val v = c.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      var sig = 0L
+      var j = 0
+      while (j < bits) {
+        val p = planes(j)
+        val m = math.min(n, p.length)
+        var dot = 0.0
+        var i = 0
+        while (i < m) { dot += v.getFloat(i).toDouble * p(i).toDouble; i += 1 }
+        if (dot >= 0.0) sig |= (1L << j)
+        j += 1
+      }
+      sig
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val pl = ctx.addReferenceObj("hyperplanes", planes, "float[][]")
+    val sig = ctx.freshName("sig")
+    val v = ctx.freshName("v")
+    val n = ctx.freshName("n")
+    val m = ctx.freshName("m")
+    val j = ctx.freshName("j")
+    val i = ctx.freshName("i")
+    val dot = ctx.freshName("dot")
+    val p = ctx.freshName("p")
+    val code =
+      code"""
+         |${childGen.code}
+         |long $sig = 0L;
+         |if (!${childGen.isNull}) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $v = ${childGen.value};
+         |  int $n = $v.numElements();
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    float[] $p = $pl[$j];
+         |    int $m = java.lang.Math.min($n, $p.length);
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $m; $i++) {
+         |      $dot += ((double) $v.getFloat($i)) * ((double) $p[$i]);
+         |    }
+         |    if ($dot >= 0.0) $sig |= (1L << $j);
+         |  }
+         |}
+       """.stripMargin
+    ev.copy(code = code,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral,
+      value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode.variable(sig, LongType))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  // the plane matrix is constructor state, not a child — equality must
+  // include it or CSE could merge signatures of different plane sets
+  override def equals(other: Any): Boolean = other match {
+    case h: HyperplaneSigFL =>
+      h.child == child && h.planes.map(_.toSeq).toSeq == planes.map(_.toSeq).toSeq
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, planes.map(_.toSeq).toSeq)
+}
+
 object VectorExprs {
   /** Column-API entry points. */
   def cosineFF(a: Column, b: Column): Column =
@@ -448,6 +550,10 @@ object VectorExprs {
   def l2LL(a: Column, b: Column): Column =
     ColumnBridge.column(
       L2DistanceLL(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Fused hyperplane signature (see [[HyperplaneSigFL]]). */
+  def hyperplaneSigFL(v: Column, planes: Array[Array[Float]]): Column =
+    ColumnBridge.column(HyperplaneSigFL(ColumnBridge.expression(v), planes))
 
   /** Strided argmax-cosine against a driver-side centroid matrix (see
     * [[ArgmaxCosStride]]). Norms are derived here with the same

@@ -13,11 +13,17 @@ import org.apache.spark.sql.functions._
 private[graft] object BandLsh {
 
   /** `(id, sig, band)` rows: one packed hyperplane signature per vector
-    * (a single codegen scan pass), exploded to `nBands` band keys as
-    * `struct(j, v)`. `barrier = true` inserts a repartition on the id so
-    * the signature materializes once when the output feeds a self-join;
-    * `false` keeps it scan-fused — the right call for index/broadcast
-    * sides that are read once (the d08/d09 no-barrier pattern).
+    * (a single codegen scan pass), exploded to `nBands` band keys packed
+    * into ONE long — `band = (j << bandBits) | v`. A long join key plans
+    * through LongHashedRelation (dense array-indexed lookup) where the
+    * former `struct(j, v)` key forced the generic binary-key
+    * UnsafeHashedRelation on every band join — measured r18 at sf0.1:
+    * the d07 candidate join over ~16M bucket matches ran 3.03 s on the
+    * struct key, 2.3 s packed. `barrier = true` inserts a repartition on
+    * the id so the signature materializes once when the output feeds a
+    * self-join; `false` keeps it scan-fused — the right call for
+    * index/broadcast sides that are read once (the d08/d09 no-barrier
+    * pattern).
     */
   def banded(
       df: DataFrame,
@@ -36,8 +42,8 @@ private[graft] object BandLsh {
     val base = if (barrier) sigs.repartition(col(idAs)) else sigs
     base.select(col(idAs), col(sigAs),
       explode(array((0 until nBands).map(j =>
-        struct(lit(j).as("j"),
-          shiftrightunsigned(col(sigAs), j * bandBits).bitwiseAND(lit(mask)).as("v"))): _*)).as("band"))
+        lit(j.toLong << bandBits).bitwiseOR(
+          shiftrightunsigned(col(sigAs), j * bandBits).bitwiseAND(lit(mask)))): _*)).as("band"))
   }
 
   /** Shared exact-cosine re-rank over candidate pairs — one vector fetch
@@ -86,10 +92,14 @@ private[graft] object BandLsh {
       bandBits: Int,
       nBands: Int): Column = {
     val groupBits = (0 until nBands).map(j => 1L << (bandBits * j))
-    val earlierMasks = groupBits.map(_ - 1L)
+    // this row's band index j rides in the packed band key's high bits
+    // (see [[banded]]); its earlier-bands mask is (1 << bandBits·j) − 1,
+    // computed by shift instead of the former literal-array element_at
+    val j = shiftrightunsigned(band, bandBits)
     val x = sigA.bitwiseXOR(sigB)
     val folded = (0 until bandBits).map(s => shiftrightunsigned(x, s)).reduce(_ bitwiseOR _)
     val zeros = bitwise_not(folded).bitwiseAND(lit(groupBits.sum))
-    zeros.bitwiseAND(element_at(typedlit(earlierMasks), band.getField("j") + 1)) === lit(0L)
+    zeros.bitwiseAND(
+      call_function("shiftleft", lit(1L), (j * lit(bandBits)).cast("int")) - lit(1L)) === lit(0L)
   }
 }

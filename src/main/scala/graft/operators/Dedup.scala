@@ -268,10 +268,13 @@ object Dedup {
       col(idCol).as("id"),
       HashExprs.simhash64(HashExprs.tokenShingleHashes(col(textCol), 1)).as("sim"))
       .repartition(col("id")) // materialize sim once per doc (see minhashLsh)
+    // chunk key packed into one long, (j << 16) | v — the BandLsh.banded
+    // r18 packing (long join keys plan through LongHashedRelation)
     val banded = sigs.withColumn(
       "chunk",
       explode(array((0 until 4).map(j =>
-        struct(lit(j).as("j"), shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)))
+        lit(j.toLong << 16).bitwiseOR(
+          shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xFFFFL)))): _*)))
     val left = banded.select(col("id").as("a"), col("sim").as("sim_a"), col("chunk"))
     val right = banded.select(col("id").as("b"), col("sim").as("sim_b"), col("chunk"))
     // band-collision duplicates drop via the stateless first-matching-band

@@ -264,9 +264,12 @@ object Multimodal {
     val f = fps.select(col(idCol).as("id"), col(fpCol).as("sim"), col(widthCol).as("w"))
     val full = f.where(col("w") >= 64).select(col("id"), col("sim"))
       .repartition(col("id"))
+    // chunk key packed into one long, (j << 16) | v — the BandLsh.banded
+    // r18 packing (long join keys plan through LongHashedRelation)
     val banded = full.withColumn("chunk",
-      explode(array((0 until 4).map(j => struct(lit(j).as("j"),
-        shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)))
+      explode(array((0 until 4).map(j =>
+        lit(j.toLong << 16).bitwiseOR(
+          shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xFFFFL)))): _*)))
     val left = banded.select(col("id").as("a"), col("sim").as("sim_a"), col("chunk"))
     val right = banded.select(col("id").as("b"), col("sim").as("sim_b"), col("chunk"))
     // band-collision duplicates are dropped by the stateless

@@ -30,11 +30,22 @@ object Similarity {
     Seq.fill(bits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
   }
 
-  /** Deterministic random-hyperplane signature: `bits` hyperplanes with
-    * ±1 components baked in as literal arrays (seeded, reproducible across
-    * runs); bit j = sign of dot(v, plane_j).
+  /** Deterministic random-hyperplane signature (seeded, reproducible
+    * across runs); bit j = sign of dot(v, plane_j). One fused codegen
+    * kernel ([[graft.expressions.HyperplaneSigFL]]) — the former unrolled
+    * `bits`× dotFF CASE-WHEN sum blew Janino's 64 KB method limit and
+    * silently interpreted the whole signature scan (r18 measurement:
+    * 1.07 s for 2,000 rows at sf0.1, ~0.5 ms/row); the kernel is
+    * bit-identical by the [[graft.expressions.HyperplaneSigFL]] FP
+    * contract (spec-asserted against the unrolled form).
     */
-  def hyperplaneSig(v: Column, bits: Int, dim: Int): Column = {
+  def hyperplaneSig(v: Column, bits: Int, dim: Int): Column =
+    VectorExprs.hyperplaneSigFL(v, hyperplanes(bits, dim).map(_.toArray).toArray)
+
+  /** The unrolled expression tree [[hyperplaneSig]] replaced — kept as the
+    * spec's equality reference (never planned by queries).
+    */
+  private[graft] def hyperplaneSigUnrolled(v: Column, bits: Int, dim: Int): Column = {
     val planes = hyperplanes(bits, dim)
     (0 until bits)
       .map(j => when(VectorExprs.dotFF(v, typedlit(planes(j))) >= lit(0.0), lit(1L << j)).otherwise(lit(0L)))

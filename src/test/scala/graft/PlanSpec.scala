@@ -458,8 +458,13 @@ class PlanSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
+      // r18 adds the banding family: hyperplaneSig is now a fused kernel
+      // (HyperplaneSigFL) — these queries interpreted their signature scans
+      // under the old unrolled tree
       Seq("s08_pq_encode", "s09_adc_search", "s10_ivfpq",
-          "d14_semantic_dedup_scaled", "d15_semantic_dedup_lloyd").foreach { n =>
+          "d14_semantic_dedup_scaled", "d15_semantic_dedup_lloyd",
+          "d07_embed_neardup_lsh", "s02_ann_lsh", "s05_range_search",
+          "d09_embed_delta").foreach { n =>
         withClue(s"$n: ") { SparkEntry.queries(n)(spark, sfDir).collect() }
       }
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)

@@ -670,6 +670,37 @@ class QueriesSpec extends SparkSpec {
     } finally spark.conf.set(key, saved)
   }
 
+  test("hyperplane sig kernel ≡ unrolled dotFF tree (both execution modes, null/short/empty)") {
+    // r18: the fused HyperplaneSigFL kernel replaced the 64× dotFF
+    // CASE-WHEN sum (which blew Janino's 64 KB limit and silently
+    // interpreted the whole banding scan). The two forms must agree
+    // bit-for-bit — including the legacy null contract (NULL vector →
+    // sig 0, not NULL) and short/empty vectors (dot over min(|v|, dim)).
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows: Seq[(Long, Seq[Float])] =
+      (1L to 50L).map(i => i -> Seq.fill(64)(rnd.nextFloat() * 2 - 1)) ++
+        Seq(100L -> Seq.fill(3)(0.5f), 101L -> Seq.empty[Float])
+    val df = rows.toDF("id", "v")
+      .unionByName(Seq((102L, null.asInstanceOf[Seq[Float]])).toDF("id", "v"))
+    val key = "spark.sql.codegen.wholeStage"
+    val saved = spark.conf.get(key)
+    try Seq("true", "false").foreach { codegen =>
+      spark.conf.set(key, codegen)
+      val out = df.select(col("id"),
+        graft.operators.Similarity.hyperplaneSig(col("v"), 64, 64).as("fused"),
+        graft.operators.Similarity.hyperplaneSigUnrolled(col("v"), 64, 64).as("unrolled"))
+        .collect()
+      assert(out.length == 53)
+      out.foreach { r =>
+        assert(!r.isNullAt(1) && !r.isNullAt(2),
+          s"codegen=$codegen id=${r.getLong(0)}: sig must never be NULL")
+        assert(r.getLong(1) == r.getLong(2),
+          s"codegen=$codegen id=${r.getLong(0)}: fused=${r.getLong(1)} unrolled=${r.getLong(2)}")
+      }
+    } finally spark.conf.set(key, saved)
+  }
+
   test("q51 triangles: census row is consistent (wedges >= triangles >= 0)") {
     val r = SparkEntry.queries("q51_triangles")(spark, sfDir).collect()(0)
     val (e, w, t) = (r.getAs[Long]("n_edges"), r.getAs[Long]("n_wedges"),
