@@ -69,7 +69,14 @@ class ExchangeBudgetSpec extends SparkSpec {
     "q42_cust_order_dist" -> 2, "q43_idle_customers" -> 3, "q44_rolling_metrics" -> 1,
     "q45_funnel" -> 2, "q46_retention_cohorts" -> 3, "q47_gap_fill" -> 2,
     "q48_revenue_forecast" -> 1, "q49_promo_share" -> 1, "q50_rolling_active" -> 5,
-    "q51_triangles" -> 3, "q52_pagerank" -> 0, "q53_small_order_revenue" -> 2,
+    // q52: 0 → 6 (r18). The old 0 was an ARTIFACT of per-iteration
+    // checkpointing: the final plan hung off the last checkpoint leaf and
+    // the ~4 exchanges × 5 iterations ran in separate, unobserved jobs —
+    // with the edge set re-shuffled EVERY round. The unrolled fixed-5
+    // plan composes one execution: 5 per-round aggregation exchanges +
+    // the edge exchange ONCE (ReusedExchange across rounds), so 6 is the
+    // whole query's true shuffle count, down from ~20 hidden ones.
+    "q51_triangles" -> 3, "q52_pagerank" -> 6, "q53_small_order_revenue" -> 2,
     "q54_large_orders" -> 1, "q55_disjunctive_revenue" -> 1, "q56_top_supplier" -> 1,
     "q58_event_pivot" -> 2, "q59_cube_volume" -> 1, "q60_sole_shipper" -> 2,
     "q61_part_variety" -> 3, "q62_shipmode_priority" -> 1, "q63_kmv_distinct" -> 1,

@@ -324,13 +324,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), "chunk explode missing:\n" + p)
   }
 
-  test("q52: pagerank iterations reuse checkpointed lineage (no deep plans)") {
+  test("q52: unrolled pagerank is linear in iterations and reuses the edge exchange") {
+    // r18: the fixed-5-iteration loop composes into ONE plan (no
+    // per-iteration checkpoint in local mode) — growth must stay LINEAR
+    // (2 joins per round: the rank×edge join and the dangling left join)
+    // and the edge set's exchange must be shared across rounds instead of
+    // re-shuffled per round (the whole point of the unroll)
     val df = SparkEntry.queries("q52_pagerank")(spark, sfDir)
-    val p = df.queryExecution.executedPlan.toString
-    // the returned plan hangs off the LAST iteration's checkpoint: joins
-    // from earlier iterations must not accumulate in the final plan tree
-    assert("SortMergeJoin|BroadcastHashJoin".r.findAllIn(p).length <= 2,
-      "iteration lineage not cut:\n" + p)
+    df.collect()
+    // the adaptive plan's toString renders Final AND Initial plans — count
+    // joins in the final section only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r.findAllIn(p).length
+    assert(joins <= 2 * 5 + 1, s"iteration growth not linear ($joins joins):\n" + p)
+    assert(p.contains("ReusedExchange"),
+      "edge/node exchanges must be reused across iterations:\n" + p)
   }
 
   test("q53: per-part aggregate is scoped by the brand semi-join") {
