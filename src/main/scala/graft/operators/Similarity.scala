@@ -121,12 +121,21 @@ object Similarity {
     var out = argmax(pool, col("rel"), 1)
     for (step <- 2 to k) {
       val sel = out.select(col("q_id"), col("cid").as("sid"), col("cv").as("sv"))
-      val remaining = pool
-        .join(out.select(col("q_id"), col("cid")), Seq("q_id", "cid"), "left_anti")
-      val withPen = remaining.join(sel, Seq("q_id"))
+      // one q_id-keyed join + one grouped aggregate per step (r18): the
+      // former separate (q_id, cid) LEFT ANTI against the selected set
+      // cost its own exchange pair per step — fused here into the penalty
+      // aggregation, which already sees every (candidate × selected) row:
+      // a candidate that IS selected joins itself (cid = sid), so
+      // max(cid = sid) marks it and the post-aggregate filter drops it.
+      // Identical semantics: pen is unchanged by computing it for
+      // selected rows and discarding them after.
+      val withPen = pool.join(sel, Seq("q_id"))
         .groupBy(col("q_id"), col("cid"))
         .agg(first(col("cv")).as("cv"), first(col("rel")).as("rel"),
-          max(VectorExprs.cosineFF(col("cv"), col("sv"))).as("pen"))
+          max(VectorExprs.cosineFF(col("cv"), col("sv"))).as("pen"),
+          max(when(col("cid") === col("sid"), 1).otherwise(0)).as("_is_sel"))
+        .where(col("_is_sel") === 0)
+        .drop("_is_sel")
       out = out.union(
         argmax(withPen, lit(lamRel) * col("rel") - lit(lamDiv) * col("pen"), step))
     }
