@@ -57,33 +57,38 @@ object Dedup {
     // the pair generator's last stage was laid out (a single-task
     // upstream otherwise pins every iteration to one partition), and AQE
     // sizes the width to the pair graph's actual volume
+    // SELF-LOOPS ride in the symmetrized edge set (r18): with (u, u) for
+    // every node, each iteration's grouped min over neighbors ALREADY
+    // covers the node's own label — the former per-iteration dangling
+    // LEFT JOIN against the full label table (its own exchange + join
+    // every round) disappears, and the node's previous label falls out
+    // of the same aggregate (the v = u row). Initial labels keep their
+    // fused first propagation step: label₀(u) = min over {v : (u,v)} =
+    // min(u, min neighbor), exactly as before.
     val sym = ckpt(p
       .union(p.select(col("v").as("u"), col("u").as("v")))
+      .union(p.select(col("u"), col("u").as("v")))
+      .union(p.select(col("v").as("u"), col("v")))
       .distinct()
       .repartition(col("v")), true)
     release(p)
-    // initial labels FUSE the first propagation step: label₀(u) =
-    // min(u, min neighbor) comes out of the same one-shuffle aggregate
-    // that would otherwise just enumerate nodes — one full loop iteration
-    // (join + agg + checkpoint + convergence action) saved for free
     var labels = ckpt(sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
-      .select(col("u").as("node"), least(col("u"), col("mn")).as("label")), true)
+      .select(col("u").as("node"), col("mn").as("label")), true)
     var iter = 0
     var converged = false
     // previous iteration's checkpoint blocks, released once the next
     // iteration materializes (never the frame we're about to return)
     var prevCkpt = labels
     while (!converged && iter < maxIter) {
-      // each node takes min(own label, neighbors' labels)
-      val viaNeighbors = sym
+      // each node takes min(own label, neighbors' labels) — the self-loop
+      // contributes the own label, and the v = u row carries it out as
+      // prev for the convergence filter
+      val propagated = sym
         .join(labels.withColumnRenamed("node", "v").withColumnRenamed("label", "vlab"), Seq("v"))
         .groupBy(col("u").as("node"))
-        .agg(min(col("vlab")).as("nlab"))
-      val propagated = labels
-        .join(viaNeighbors, Seq("node"), "left")
-        .select(
-          col("node"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nlab"), col("label"))).as("label"))
+        .agg(
+          min(col("vlab")).as("label"),
+          max(when(col("v") === col("u"), col("vlab"))).as("prev"))
         .transform(d => ckpt(d, false)) // lazy: materializes once at the convergence action
       // pointer jumping: replace each label by ITS current label (labels are
       // always node ids, so self-join resolves one chain hop) — iterations
