@@ -73,6 +73,55 @@ object OptProbe {
         time("q52 pagerank") {
           SparkEntry.queries("q52_pagerank")(spark, sfDir)
         }
+      case "sum128" =>
+        val base = spark.range(0, 10000000).select(
+          (col("id") % 32).as("g"), (col("id") * 3 - 5000000L).as("x"))
+          .localCheckpoint(true)
+        time("sum(long)") { base.groupBy(col("g")).agg(sum(col("x"))) }
+        time("sum(decimal38)") { base.groupBy(col("g")).agg(sum(col("x").cast("decimal(38,0)"))) }
+        time("sum128") {
+          base.groupBy(col("g")).agg(
+            org.apache.spark.sql.graft.ColumnBridge.column(
+              graft.expressions.Sum128(
+                org.apache.spark.sql.graft.ColumnBridge.expression(col("x")))
+                .toAggregateExpression()))
+        }
+      case "sum128b" =>
+        // q74-shaped child: double round + cast arithmetic per row
+        val base = spark.range(0, 10000000).select(
+          (col("id") % 32).as("g"),
+          (col("id") % 1000).cast("double").divide(7.0).as("p"),
+          (col("id") % 97).cast("double").divide(100.0).as("d"))
+          .localCheckpoint(true)
+        val term = (round(col("p") * 100).cast("long")) * (lit(100L) - round(col("d") * 100).cast("long"))
+        time("sum(decimal38) q74-term") { base.groupBy(col("g")).agg(sum(term.cast("decimal(38,0)"))) }
+        time("sum128 q74-term") {
+          base.groupBy(col("g")).agg(
+            org.apache.spark.sql.graft.ColumnBridge.column(
+              graft.expressions.Sum128(
+                org.apache.spark.sql.graft.ColumnBridge.expression(term.cast("long")))
+                .toAggregateExpression()))
+        }
+      case "cgmini" =>
+        val base = spark.range(0, 1000).select((col("id") % 8).as("g"), col("id").as("x"))
+        val s128 = base.groupBy(col("g")).agg(
+          org.apache.spark.sql.graft.ColumnBridge.column(
+            graft.expressions.Sum128(
+              org.apache.spark.sql.graft.ColumnBridge.expression(col("x")))
+              .toAggregateExpression()))
+        s128.write.format("noop").mode("overwrite").save()
+        println("=== sum128 mini ===")
+        org.apache.spark.sql.execution.debug.DebugQuery(s128).debugCodegen()
+        val sdec = base.groupBy(col("g")).agg(sum(col("x").cast("decimal(38,0)")))
+        sdec.write.format("noop").mode("overwrite").save()
+        println("=== decimal mini ===")
+        org.apache.spark.sql.execution.debug.DebugQuery(sdec).debugCodegen()
+      case "codegen" =>
+        // print the executed plan with codegen spans + generated-code sizes
+        val df = SparkEntry.queries(args(1))(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        println(df.queryExecution.executedPlan.toString)
+        org.apache.spark.sql.execution.debug.DebugQuery(df).debugCodegen()
       case "one" =>
         // time any single declared query: OptProbe one <name>
         val n = args(1)

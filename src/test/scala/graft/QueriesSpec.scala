@@ -319,18 +319,20 @@ class QueriesSpec extends SparkSpec {
       // the final PROJECTION (cents2/rdiv's exact-integer HALF_UP of the
       // already-computed long sum) is NOT an aggregate buffer and does not
       // register here
-      def sumInputTypes(name: String): Set[org.apache.spark.sql.types.DataType] = {
+      // r18: the wide buffer is the Sum128 two-long aggregate (it replaced
+      // sum(cast(x as decimal(38,0))) — same exact decimal(38,0) result,
+      // primitive codegen buffer), so its presence IS the liveness marker
+      def hasWideSum(name: String): Boolean = {
         import org.apache.spark.sql.catalyst.plans.logical.Aggregate
-        import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
         SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan.collect {
           case a: Aggregate => a.aggregateExpressions.flatMap(_.collect {
             case ae: AggregateExpression => ae.aggregateFunction
-          }).collect { case su: Sum => su.child.dataType }
-        }.flatten.toSet
+          }).collect { case s: graft.expressions.Sum128 => s }
+        }.flatten.nonEmpty
       }
-      import org.apache.spark.sql.types.DecimalType
-      assert(sumInputTypes("q13_region_revenue").exists(_.isInstanceOf[DecimalType]),
-        "wide flag on, but q13's plan has no decimal(38,0) aggregate buffer — the switch is dead")
+      assert(hasWideSum("q13_region_revenue"),
+        "wide flag on, but q13's plan has no Sum128 aggregate buffer — the switch is dead")
       // the flip must be a pure BUFFER change: same exchanges, same joins —
       // only the agg buffer widens 8→16 bytes (the q72/q73 precedent,
       // asserted instead of narrated)
@@ -347,8 +349,8 @@ class QueriesSpec extends SparkSpec {
       // the test environment — the spec must not depend on the process env)
       spark.conf.set("spark.graft.wideSums", "false")
       assert(!SparkEntry.wideSums(spark))
-      assert(!sumInputTypes("q13_region_revenue").exists(_.isInstanceOf[DecimalType]),
-        "wide flag off, but q13's plan still aggregates in decimal — the narrow fast path is gone")
+      assert(!hasWideSum("q13_region_revenue"),
+        "wide flag off, but q13's plan still aggregates through Sum128 — the narrow fast path is gone")
       val narrowShape = Seq("q13_region_revenue", "q40_market_share").map(shape)
       assert(wideShape == narrowShape,
         s"wide mode changed the plan SHAPE (exchanges/joins), not just the buffer: " +
