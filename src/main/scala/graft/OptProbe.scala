@@ -116,6 +116,16 @@ object OptProbe {
         sdec.write.format("noop").mode("overwrite").save()
         println("=== decimal mini ===")
         org.apache.spark.sql.execution.debug.DebugQuery(sdec).debugCodegen()
+      case "round" =>
+        val base = spark.range(0, 20000000).select(
+          (col("id") % 100000).cast("double").divide(7.0).as("x"))
+          .localCheckpoint(true)
+        time("round(x*100) [BigDecimal]") {
+          base.agg(sum(round(col("x") * 100).cast("long")))
+        }
+        time("floor(x*100+0.5) [double]") {
+          base.agg(sum(floor(col("x") * 100 + lit(0.5d)).cast("long")))
+        }
       case "codegen" =>
         // print the executed plan with codegen spans + generated-code sizes
         val df = SparkEntry.queries(args(1))(spark, sfDir)
