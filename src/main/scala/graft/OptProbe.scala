@@ -116,6 +116,19 @@ object OptProbe {
         sdec.write.format("noop").mode("overwrite").save()
         println("=== decimal mini ===")
         org.apache.spark.sql.execution.debug.DebugQuery(sdec).debugCodegen()
+      case "rank" =>
+        // decompose t14's rankInClass: how much is the range-partition
+        // sort alone vs the mapPartitions external-Row running-rank hop?
+        val docs = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("source"), col("text"))
+        val p = spark.sessionState.conf.numShufflePartitions
+        time("ranged sort only") {
+          docs.repartitionByRange(p, col("source").asc, col("doc_id").asc, col("doc_id").asc)
+            .sortWithinPartitions(col("source").asc, col("doc_id").asc, col("doc_id").asc)
+        }
+        time("rankInClass (sort + mapPartitions + offsets)") {
+          graft.operators.Binning.rankInClass(docs, "source", "doc_id", "doc_id")
+        }
       case "round" =>
         val base = spark.range(0, 20000000).select(
           (col("id") % 100000).cast("double").divide(7.0).as("x"))

@@ -108,9 +108,22 @@ object Sampling {
     val lam = stats.agg(min(col("_ratio")).as("_lam"))
     val keeps = stats.crossJoin(broadcast(lam))
       .select(col("_src"), expr("(_lam * _w2) div 10000").as("_keep"))
-    Binning.rankInClass(d, sourceCol, idCol, idCol)
+    // r18: rank the SKINNY (source, id) projection, not the full frame —
+    // rankInClass's running-rank pass is an opaque mapPartitions, so
+    // Spark can neither prune columns through it nor keep them out of
+    // its range exchange: every payload byte (document text) rode the
+    // shuffle AND the per-row external-Row encoder hop. Ranking the
+    // two-column projection and joining the kept ids back by `idCol`
+    // moves only ids through the rank pipeline; the payload meets one
+    // ordinary equi-join (broadcast when the keep set fits, AQE's call
+    // at scale), and column pruning from the CALLER's projection now
+    // reaches the parquet scan. Same rows out: `idCol` is unique, the
+    // keep decision is a pure function of (source, id, weight).
+    val keptIds = Binning.rankInClass(
+        d.select(col(sourceCol), col(idCol)), sourceCol, idCol, idCol)
       .join(broadcast(keeps), col(sourceCol) === col("_src"))
       .where(col("rn") <= col("_keep"))
-      .drop("_src", "_keep", "rn", "n", "_wt")
+      .select(col(idCol).as("_keep_id"))
+    docs.join(keptIds, col(idCol) === col("_keep_id")).drop("_keep_id")
   }
 }
