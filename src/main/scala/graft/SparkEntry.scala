@@ -1828,15 +1828,28 @@ object SparkEntry {
     "t09_repetition" -> q { (s, dir) =>
       // Gopher-style repetition signals — the filters an LLM corpus applies
       // alongside quality scoring (t02): duplicate-token fraction and
-      // top-token fraction per document. Explode + two bounded groupBys
-      // (map-side partials), no interpreted lambdas anywhere.
-      val toks = Tables.documents(s, dir).select(col("doc_id"),
-        explode(TextFns.tokens(col("text"))).as("tok"))
-      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("n_tokens"),
-          count(lit(1)).as("n_distinct"),
-          max(col("c")).as("top_count"))
+      // top-token fraction per document. r18: one fused kernel pass (the
+      // t01/t02 pattern) instead of explode + two groupBys — every token of
+      // a document originates in that document's own row, so the per-doc
+      // stats never needed the two token-string shuffles the explode
+      // formulation paid (at 100 TB: two exchanges of O(tokens) strings →
+      // zero). Kernel ≡ the explode form by TextFnsSpec equality test.
+      //
+      // The zero-token filter runs BELOW the kernel as its cheap exact
+      // equivalent — explode() emits no row for a tokenless doc, and
+      // n_tokens > 0 ⟺ trim(text) is non-empty (split's empty-string
+      // result is filtered, any non-whitespace char yields a token).
+      // Filtering on the kernel output instead would let predicate
+      // pushdown substitute the kernel INTO the scan filter and evaluate
+      // it twice per row (the guide §4.4 duplication).
+      val st = graft.expressions.TextKernels.repetitionStats(col("text"))
+      Tables.documents(s, dir)
+        .where(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id"), st.as("_st"))
+        .select(col("doc_id"),
+          element_at(col("_st"), 1).as("n_tokens"),
+          element_at(col("_st"), 2).as("n_distinct"),
+          element_at(col("_st"), 3).as("top_count"))
         .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
           // 1 − d/n ≡ (n−d)/n exactly in the rationals, so the integer
           // form preserves the documented semantics while deciding ties

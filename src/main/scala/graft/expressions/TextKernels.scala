@@ -106,6 +106,39 @@ object TextKernels {
       copy(child = newChild)
   }
 
+  /** Repetition statistics in one pass: [n_tokens, n_distinct, top_count]
+    * — the Gopher duplicate-token inputs (t09). Every token of a document
+    * originates in that document's own row, so the per-doc aggregation the
+    * explode + groupBy(doc, tok) formulation SHUFFLES for (twice — once
+    * per grouping — with the token strings as the shuffle key) is
+    * computable where the document already is: one hash map per row, zero
+    * exchanges, and a 100 TB documents scan stays a scan.
+    */
+  case class RepetitionStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "repetition_stats"
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenize(input.asInstanceOf[UTF8String])
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      var top = 0L
+      var i = 0
+      while (i < toks.length) {
+        val prev = m.get(toks(i))
+        val c = if (prev == null) 1L else prev.longValue() + 1L
+        m.put(toks(i), c)
+        if (c > top) top = c
+        i += 1
+      }
+      new GenericArrayData(Array(toks.length.toLong, m.size.toLong, top))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03) in one pass:
     * hash all char k-grams of lower(trim(text)), slide a `window`-gram
     * window keeping each window's minimum, emit the distinct minima in
@@ -178,6 +211,9 @@ object TextKernels {
 
   def tokenStats(text: Column, stopwords: Seq[String]): Column =
     ColumnBridge.column(TokenStats(ColumnBridge.expression(text), stopwords))
+
+  def repetitionStats(text: Column): Column =
+    ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text)))
 
   def winnowFingerprint(text: Column, k: Int, window: Int): Column =
     ColumnBridge.column(WinnowFingerprint(ColumnBridge.expression(text), k, window))

@@ -116,7 +116,10 @@ class ExchangeBudgetSpec extends SparkSpec {
     "m03_resize_plan" -> 0, "m06_frame_phash" -> 0, "m07_frame_neardup" -> 1,
     "t01_langid" -> 0, "t02_quality" -> 0, "t03_tokens" -> 0,
     "t04_fingerprint" -> 0, "t05_normalize" -> 0, "t06_stratified_sample" -> 1,
-    "t07_cap_per_source" -> 1, "t08_contamination" -> 3, "t09_repetition" -> 2,
+    // t09: 2 → 0 (r18): the fused repetition_stats kernel computes the
+    // per-doc token stats where the document already is — the explode +
+    // two groupBy(doc, tok) token-string shuffles are gone entirely
+    "t07_cap_per_source" -> 1, "t08_contamination" -> 3, "t09_repetition" -> 0,
     "t10_pii_redact" -> 0, "t11_curation" -> 1, "t12_sequence_pack" -> 4,
     "t13_url_domains" -> 2, "t14_mixture_sample" -> 7, "t15_chunk_plan" -> 0,
     "t16_vocab_top" -> 1, "t17_bloom_contamination" -> 3, "t18_gopher_rules" -> 0)

@@ -168,4 +168,33 @@ class TextFnsSpec extends SparkSpec {
       .collect().map(_.getSeq[Long](0).toSeq)
     assert(kernel.toSeq == declarative.toSeq)
   }
+
+  test("repetition-stats kernel matches the explode + groupBy token counts") {
+    import graft.expressions.TextKernels
+    // covers: repeats, all-distinct, single token, unicode whitespace
+    // handling via \s+, case folding, and the zero-token shapes (empty,
+    // whitespace-only) the query's pre-filter must drop identically
+    val docs = Seq(
+      "the cat the hat the", "a bb ccc dddd", "solo", "x X x X",
+      "tab\tand\nnewline tab", "", "   ", "a a a a a a a a b")
+      .toDF("text").withColumn("doc_id", monotonically_increasing_id())
+    val kernel = docs
+      .where(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), TextKernels.repetitionStats(col("text")).as("st"))
+      .select(col("doc_id"), element_at(col("st"), 1), element_at(col("st"), 2),
+        element_at(col("st"), 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val declarative = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("d"), max(col("c")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(kernel == declarative)
+    // the pre-filter is EXACTLY the explode row-dropping rule: both sides
+    // must have dropped the empty and whitespace-only docs
+    assert(kernel.size == 6)
+  }
 }
