@@ -102,6 +102,161 @@ object OptProbe {
                 org.apache.spark.sql.graft.ColumnBridge.expression(term.cast("long")))
                 .toAggregateExpression()))
         }
+      case "sum128ab" =>
+        // INTERLEAVED single-JVM A/B on the real q74 shape (brandVolume
+        // wide): Sum128 vs sum(cast decimal(38,0)), alternating time()
+        // blocks so a climate window can't poison one variant's every
+        // sample. Child term and join are identical; only the aggregate
+        // buffer differs.
+        val li = Tables.lineitem(spark, sfDir)
+        val p = Tables.part(spark, sfDir)
+        def c2l(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+        val disc = c2l(col("l_extendedprice")) * (lit(100L) - c2l(col("l_discount")))
+        def q74(wideSum: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+          li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+            .groupBy(col("p_brand"))
+            .agg(wideSum(c2l(col("l_quantity"))).as("sq"),
+              wideSum(disc).as("rev"), count(lit(1)).as("n"))
+        def s128(c: org.apache.spark.sql.Column) =
+          org.apache.spark.sql.graft.ColumnBridge.column(
+            graft.expressions.Sum128(
+              org.apache.spark.sql.graft.ColumnBridge.expression(c.cast("long")))
+              .toAggregateExpression())
+        def sdec(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
+        for (r <- 1 to 3) {
+          time(s"q74-shape decimal38 (round $r)") { q74(sdec) }
+          time(s"q74-shape sum128   (round $r)") { q74(s128) }
+        }
+        // post-execution codegen-span check: count WholeStageCodegen
+        // markers in the FINAL adaptive plan of each variant
+        // .collect() executes THIS df's QueryExecution (a noop write runs
+        // a separate copy and leaves df.queryExecution un-finalized), so
+        // the adaptive final plan's *(n) codegen spans are inspectable
+        for ((nm, df) <- Seq("decimal38" -> q74(sdec), "sum128" -> q74(s128))) {
+          df.collect()
+          val s = df.queryExecution.executedPlan.toString
+          val spans = "\\*\\(\\d+\\)".r.findAllIn(s).toSet.size
+          println(s"[probe] q74-shape $nm codegen spans=$spans")
+          if (args.length > 1 && args(1) == "plan") println(s)
+        }
+      case "sum128c" =>
+        // separate plan-construction cost from execution: build each
+        // variant's DataFrame ONCE, then alternate executions pass by pass.
+        // SPARK_GRAFT_TWOLEVEL=0 disables the generated two-level fast
+        // hash map (the attribution knob for the sum128 A/B).
+        sys.env.get("SPARK_GRAFT_TWOLEVEL").foreach { v =>
+          spark.conf.set("spark.sql.codegen.aggregate.map.twolevel.enabled",
+            (v != "0").toString)
+          println(s"[probe] twolevel fast map enabled=${v != "0"}")
+        }
+        val li = Tables.lineitem(spark, sfDir)
+        val p = Tables.part(spark, sfDir)
+        def c2l(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+        val disc = c2l(col("l_extendedprice")) * (lit(100L) - c2l(col("l_discount")))
+        def q74(wideSum: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+          li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+            .groupBy(col("p_brand"))
+            .agg(wideSum(c2l(col("l_quantity"))).as("sq"),
+              wideSum(disc).as("rev"), count(lit(1)).as("n"))
+        def s128(c: org.apache.spark.sql.Column) =
+          org.apache.spark.sql.graft.ColumnBridge.column(
+            graft.expressions.Sum128(
+              org.apache.spark.sql.graft.ColumnBridge.expression(c.cast("long")))
+              .toAggregateExpression())
+        def sdec(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
+        val dfDec = q74(sdec)
+        val dfS = q74(s128)
+        dfDec.write.format("noop").mode("overwrite").save() // warmups
+        dfS.write.format("noop").mode("overwrite").save()
+        for (r <- 1 to 6) {
+          for ((nm, df) <- Seq("decimal38" -> dfDec, "sum128  " -> dfS)) {
+            val t0 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            println(f"[probe] exec-only $nm pass$r ${(System.nanoTime() - t0) / 1e9}%.3f")
+          }
+        }
+      case "sum128d" =>
+        // isolate the stage: aggregate straight off the parquet scan (no
+        // join) — does the gap follow the scan+agg stage or the join?
+        val li = Tables.lineitem(spark, sfDir)
+        def c2l(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+        val disc = c2l(col("l_extendedprice")) * (lit(100L) - c2l(col("l_discount")))
+        def aggOnly(wideSum: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+          li.groupBy(col("l_returnflag"))
+            .agg(wideSum(c2l(col("l_quantity"))).as("sq"),
+              wideSum(disc).as("rev"), count(lit(1)).as("n"))
+        def s128(c: org.apache.spark.sql.Column) =
+          org.apache.spark.sql.graft.ColumnBridge.column(
+            graft.expressions.Sum128(
+              org.apache.spark.sql.graft.ColumnBridge.expression(c.cast("long")))
+              .toAggregateExpression())
+        def sdec(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
+        val dfDec = aggOnly(sdec)
+        val dfS = aggOnly(s128)
+        dfDec.write.format("noop").mode("overwrite").save()
+        dfS.write.format("noop").mode("overwrite").save()
+        for (r <- 1 to 6) {
+          for ((nm, df) <- Seq("decimal38" -> dfDec, "sum128  " -> dfS)) {
+            val t0 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            println(f"[probe] scanagg $nm pass$r ${(System.nanoTime() - t0) / 1e9}%.3f")
+          }
+        }
+      case "sum128e" =>
+        // the fix candidate: PRE-PROJECT the money term so the aggregate
+        // child is a bare long attribute — Sum128's multi-slot update
+        // re-expands its child per slot and per codegen path, so an
+        // expensive child (the round()/BigDecimal chain) is what actually
+        // regressed; with an attribute child the re-reads are free.
+        val li = Tables.lineitem(spark, sfDir)
+        def c2l(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+        val disc = c2l(col("l_extendedprice")) * (lit(100L) - c2l(col("l_discount")))
+        def s128(c: org.apache.spark.sql.Column) =
+          org.apache.spark.sql.graft.ColumnBridge.column(
+            graft.expressions.Sum128(
+              org.apache.spark.sql.graft.ColumnBridge.expression(c.cast("long")))
+              .toAggregateExpression())
+        def sdec(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
+        def preproj(wideSum: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+          li.select(col("l_returnflag"), c2l(col("l_quantity")).as("_t1"), disc.as("_t2"))
+            .groupBy(col("l_returnflag"))
+            .agg(wideSum(col("_t1")).as("sq"), wideSum(col("_t2")).as("rev"),
+              count(lit(1)).as("n"))
+        val dfDec = preproj(sdec)
+        val dfS = preproj(s128)
+        dfDec.write.format("noop").mode("overwrite").save()
+        dfS.write.format("noop").mode("overwrite").save()
+        for (r <- 1 to 6) {
+          for ((nm, df) <- Seq("decimal38" -> dfDec, "sum128  " -> dfS)) {
+            val t0 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            println(f"[probe] preproj $nm pass$r ${(System.nanoTime() - t0) / 1e9}%.3f")
+          }
+        }
+      case "cgq74" =>
+        // generated-method sizes of the real q74 partial-agg stage, AQE
+        // off so debugCodegen sees the compiled subtrees directly
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val li = Tables.lineitem(spark, sfDir)
+        val p = Tables.part(spark, sfDir)
+        def c2l(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+        val disc = c2l(col("l_extendedprice")) * (lit(100L) - c2l(col("l_discount")))
+        def q74(wideSum: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+          li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+            .groupBy(col("p_brand"))
+            .agg(wideSum(c2l(col("l_quantity"))).as("sq"),
+              wideSum(disc).as("rev"), count(lit(1)).as("n"))
+        def s128(c: org.apache.spark.sql.Column) =
+          org.apache.spark.sql.graft.ColumnBridge.column(
+            graft.expressions.Sum128(
+              org.apache.spark.sql.graft.ColumnBridge.expression(c.cast("long")))
+              .toAggregateExpression())
+        def sdec(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
+        println("=== q74 sum128 ===")
+        org.apache.spark.sql.execution.debug.DebugQuery(q74(s128)).debugCodegen()
+        println("=== q74 decimal ===")
+        org.apache.spark.sql.execution.debug.DebugQuery(q74(sdec)).debugCodegen()
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
       case "cgmini" =>
         val base = spark.range(0, 1000).select((col("id") % 8).as("g"), col("id").as("x"))
         val s128 = base.groupBy(col("g")).agg(

@@ -65,12 +65,20 @@ case class Sum128(child: Expression)
   }
 
   override lazy val updateExpressions: Seq[Expression] = {
-    val x = child
-    val (nHi, nLo) = add128(hi, lo, ShiftRight(x, Literal(63)), x)
-    Seq(
-      If(IsNull(x), hi, nHi),
-      If(IsNull(x), lo, nLo),
-      And(isEmpty, IsNull(x)))
+    // Null handling via coalesce-to-zero, NOT If(IsNull(x), keep, add):
+    // adding 0 is the 128-bit identity, so the value semantics are the
+    // same — but the codegen consequences are not. Whole-stage common-
+    // subexpression elimination only hoists subtrees in ALWAYS-EVALUATED
+    // positions; an If buries the child in conditional branches, so each
+    // buffer slot (and each generated map path) re-expanded the child —
+    // measured r18 on the real q74 shape as a consistent ~1.5× stage
+    // regression whenever the child is an expensive term (the money
+    // round() chains), reversing the kernel's own microbench win. With
+    // `y` as coalesce's first (unconditional) child, the term codegens
+    // once per row and the (hi, lo) updates are pure primitive ops.
+    val y = Coalesce(Seq(child, Literal(0L)))
+    val (nHi, nLo) = add128(hi, lo, ShiftRight(y, Literal(63)), y)
+    Seq(nHi, nLo, And(isEmpty, IsNull(child)))
   }
 
   override lazy val mergeExpressions: Seq[Expression] = {
