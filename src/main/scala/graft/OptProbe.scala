@@ -233,6 +233,28 @@ object OptProbe {
             println(f"[probe] preproj $nm pass$r ${(System.nanoTime() - t0) / 1e9}%.3f")
           }
         }
+      case "mround" =>
+        // single-JVM interleaved A/B: the q12 money-scan shape with the
+        // builtin round(x*100).cast(long) vs the guarded MoneyRound kernel
+        val li = Tables.lineitem(spark, sfDir)
+        def shape(c2v: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+          li.where(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+            .groupBy(col("l_returnflag"), col("l_linestatus"))
+            .agg(sum(c2v(col("l_quantity"))).as("sq"),
+              sum(c2v(col("l_extendedprice"))).as("sp"),
+              sum(c2v(col("l_extendedprice")) * (lit(100L) - c2v(col("l_discount")))).as("sd"),
+              count(lit(1)).as("n"))
+        val dfOld = shape(c => round(c * lit(100)).cast("long"))
+        val dfNew = shape(c => graft.expressions.MoneyRound.scaledLong(c, 100))
+        dfOld.write.format("noop").mode("overwrite").save()
+        dfNew.write.format("noop").mode("overwrite").save()
+        for (r <- 1 to 6) {
+          for ((nm, df) <- Seq("builtin-round" -> dfOld, "moneyround   " -> dfNew)) {
+            val t0 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            println(f"[probe] q12-shape $nm pass$r ${(System.nanoTime() - t0) / 1e9}%.3f")
+          }
+        }
       case "cgq74" =>
         // generated-method sizes of the real q74 partial-agg stage, AQE
         // off so debugCodegen sees the compiled subtrees directly

@@ -78,7 +78,12 @@ object SparkEntry {
     * reached ~230k rows (sf1), while the integer form is bit-identical at
     * any scale, partitioning, or retry.
     */
-  private def c2(c: Column): Column = round(c * lit(100)).cast("long")
+  // r18: the scaling runs through the guarded fast-round kernel
+  // (MoneyRound.scala) — bit-identical to round(c*100).cast("long") for
+  // every input (MoneyRoundSpec), without the per-row BigDecimal/string
+  // conversion Spark's Round pays on doubles
+  private def c2(c: Column): Column =
+    graft.expressions.MoneyRound.scaledLong(c, 100)
 
   /** Exact HALF_UP of a scaled-integer sum to 2 decimals, decided in
     * INTEGER arithmetic — the determinism rule's missing last step. The
@@ -340,7 +345,7 @@ object SparkEntry {
       .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
-    val disc4 = round(col("l_extendedprice") * col("l_discount") * 10000).cast("long")
+    val disc4 = graft.expressions.MoneyRound.scaledLong(col("l_extendedprice") * col("l_discount"), 10000)
     if (cents)
       base.agg(centsI(xsum(disc4, wide = true), 4).as("revenue_c2"),
         count(lit(1)).as("n_items"))
@@ -375,8 +380,8 @@ object SparkEntry {
     // the grouped_revenue 2^53 escape, routed in place for q49/q76.
     val li = Tables.lineitem(s, dir)
       .select(col("l_partkey"), year(col("l_shipdate")).cast("long").as("l_year"),
-        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
-          .cast("long").as("vol4"))
+        graft.expressions.MoneyRound
+          .scaledLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000).as("vol4"))
     li.join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_type"))),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_year"))
@@ -580,7 +585,7 @@ object SparkEntry {
       val st = MergeOps
         .latestByKey(Tables.events(s, dir), Seq("user_id"), Seq("ts_us", "event_id"))
         .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"),
-          round(col("value") * 100).cast("long").as("v2"))
+          graft.expressions.MoneyRound.scaledLong(col("value"), 100).as("v2"))
       st.select(conv(substring(md5(concat_ws("|",
           col("user_id"), col("event_id"), col("ts_us"), col("event_type"), col("v2"))),
           1, 15), 16, 10).cast("long").as("digest"))
@@ -1029,7 +1034,7 @@ object SparkEntry {
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
         .select(col("l_orderkey"), col("l_suppkey"),
           year(col("l_shipdate")).cast("long").as("l_year"),
-          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000).cast("long").as("vol4"))
+          graft.expressions.MoneyRound.scaledLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000).as("vol4"))
       val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -1066,7 +1071,7 @@ object SparkEntry {
       // AND the top-20 ordering are engine-exact
       val byCust = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey"))
-        .agg(xsum(round(col("rev") * 10000).cast("long"), wideSums(s) || centsOut(s)).as("rev4"),
+        .agg(xsum(graft.expressions.MoneyRound.scaledLong(col("rev"), 10000), wideSums(s) || centsOut(s)).as("rev4"),
           count(lit(1)).as("n_items"))
       val cust = Tables.customer(s, dir)
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
@@ -1271,7 +1276,7 @@ object SparkEntry {
         .select(col("s_suppkey"), col("supp_nation"))
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000).cast("long").as("vol4"))
+          graft.expressions.MoneyRound.scaledLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000).as("vol4"))
         .join(broadcast(partF), col("l_partkey") === col("p_partkey"))
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       val ord = Tables.orders(s, dir)
@@ -1309,9 +1314,9 @@ object SparkEntry {
         .join(broadcast(partF), col("l_partkey") === col("p_partkey"))
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
         .select(col("l_orderkey"), col("nation"),
-          round((col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
-            lit(0.1) * col("p_retailprice") * col("l_quantity")) * 10000)
-            .cast("long").as("profit4"))
+          graft.expressions.MoneyRound.scaledLong(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+            lit(0.1) * col("p_retailprice") * col("l_quantity"), 10000).as("profit4"))
       li.join(Tables.orders(s, dir)
             .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year")),
           col("l_orderkey") === col("o_orderkey"))
@@ -1350,7 +1355,7 @@ object SparkEntry {
       // against (sum, count) — zero FP in the filter, so the kept set is
       // bit-identical across engines (a double avg is order-dependent).
       val cust = Tables.customer(s, dir)
-      val bal2 = round(col("c_acctbal") * 100).cast("long")
+      val bal2 = graft.expressions.MoneyRound.scaledLong(col("c_acctbal"), 100)
       val stats = cust.where(col("c_acctbal") > 0.0)
         .agg(sum(bal2).as("sum2"), count(lit(1)).as("n_pos"))
       val recent = Tables.orders(s, dir)
@@ -1375,7 +1380,7 @@ object SparkEntry {
       // sliding-window accumulation order can't skew it. RANGE (not ROWS)
       // makes ts ties frame-identical across engines.
       val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
-        col("ts_us"), round(col("value") * 100).cast("long").as("v2"))
+        col("ts_us"), graft.expressions.MoneyRound.scaledLong(col("value"), 100).as("v2"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
         .rangeBetween(-86400000000L, 0L)
       // centsOut (r18): frame sum as BIGINT cents (wide window accumulate,
@@ -1452,7 +1457,7 @@ object SparkEntry {
       val daily = Tables.events(s, dir)
         .groupBy(col("user_id"), expr("ts_us div 86400000000").as("day"))
         .agg(count(lit(1)).as("n_events"),
-          xsum(round(col("value") * 100).cast("long"), wide = cents).as("v2"))
+          xsum(graft.expressions.MoneyRound.scaledLong(col("value"), 100), wide = cents).as("v2"))
       val spans = daily.groupBy(col("user_id"))
         .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       val allDays = spans.select(col("user_id"),
@@ -1497,8 +1502,8 @@ object SparkEntry {
       // below-avg cut is integer cross-multiplication on 1e2-scaled
       // quantities (q < avg/5 ⟺ 5·q·cnt < sum) — zero FP in the filter.
       val li = Tables.lineitem(s, dir).select(col("l_partkey"),
-        round(col("l_quantity") * 100).cast("long").as("q2"),
-        round(col("l_extendedprice") * 100).cast("long").as("p2"))
+        graft.expressions.MoneyRound.scaledLong(col("l_quantity"), 100).as("q2"),
+        graft.expressions.MoneyRound.scaledLong(col("l_extendedprice"), 100).as("p2"))
       val brandParts = Tables.part(s, dir)
         .where(col("p_brand") === "Brand#1")
         .select(col("p_partkey").as("l_partkey"))
@@ -1527,7 +1532,7 @@ object SparkEntry {
       // quantity gate is an exact scaled-integer HAVING; top-20 is a
       // bounded TakeOrdered, never a global sort.
       val big = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), round(col("l_quantity") * 100).cast("long").as("q2"))
+        .select(col("l_orderkey"), graft.expressions.MoneyRound.scaledLong(col("l_quantity"), 100).as("q2"))
         .groupBy(col("l_orderkey"))
         .agg(xsum(col("q2"), wideSums(s)).as("sumq2"), count(lit(1)).as("n_items"))
         .where(col("sumq2") > 20000L)
@@ -1552,9 +1557,9 @@ object SparkEntry {
       // still broadcasts and the disjunction evaluates post-join in one
       // codegen stage. Quantities compare as exact scaled integers.
       val li = Tables.lineitem(s, dir).select(col("l_partkey"),
-        round(col("l_quantity") * 100).cast("long").as("q2"),
-        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
-          .cast("long").as("vol4"))
+        graft.expressions.MoneyRound.scaledLong(col("l_quantity"), 100).as("q2"),
+        graft.expressions.MoneyRound
+          .scaledLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000).as("vol4"))
       val matched = li.join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_size"))),
           col("l_partkey") === col("p_partkey"))
         .where(
@@ -1586,8 +1591,8 @@ object SparkEntry {
         .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .select(col("l_suppkey"),
-          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
-            .cast("long").as("vol4"))
+          graft.expressions.MoneyRound
+            .scaledLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000).as("vol4"))
         .groupBy(col("l_suppkey")).agg(xsum(col("vol4"), wideSums(s)).as("rev4"))
         .localCheckpoint(true)
       rev.join(broadcast(rev.agg(max(col("rev4")).as("mx4"))))
@@ -1622,7 +1627,7 @@ object SparkEntry {
         .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
         .select(col("p_brand"), year(col("l_shipdate")).cast("long").as("l_year"),
-          round(col("l_quantity") * 100).cast("long").as("q2"))
+          graft.expressions.MoneyRound.scaledLong(col("l_quantity"), 100).as("q2"))
       li.cube(col("p_brand"), col("l_year"))
         .agg(count(lit(1)).as("n_items"),
           // centsOut (r18): the global cube cell is the whole-table qty

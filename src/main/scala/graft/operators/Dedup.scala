@@ -531,7 +531,10 @@ object Dedup {
       .groupBy(col("cluster_id"), col("dim"))
       .agg(
         count(lit(1)).as("n_members"),
-        sum(round(col("v").cast("double") * lit(1000000L)).cast("long")).as("sum6"))
+        // r18: per-element scaling through the guarded fast-round kernel
+        // (bit-identical to round(x*1e6).cast(long) — MoneyRoundSpec)
+        sum(graft.expressions.MoneyRound.scaledLong(
+          col("v").cast("double"), 1000000L)).as("sum6"))
       .select(col("cluster_id"), col("dim").cast("long").as("dim"), col("n_members"),
         (col("sum6").cast("double") / (col("n_members") * lit(1000000L))).as("centroid"))
 
