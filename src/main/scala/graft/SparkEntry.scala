@@ -1842,14 +1842,17 @@ object SparkEntry {
       //
       // The zero-token filter runs BELOW the kernel as its cheap exact
       // equivalent — explode() emits no row for a tokenless doc, and
-      // n_tokens > 0 ⟺ trim(text) is non-empty (split's empty-string
-      // result is filtered, any non-whitespace char yields a token).
+      // n_tokens > 0 ⟺ text has a non-whitespace char: rlike("\\S") is
+      // the SAME Java regex class the tokenizer splits on (ADVICE r18:
+      // the former length(trim(text)) > 0 passed tab/newline-ONLY docs —
+      // SQL trim strips 0x20 only — emitting an n_tokens = 0 row the
+      // explode form never produced).
       // Filtering on the kernel output instead would let predicate
       // pushdown substitute the kernel INTO the scan filter and evaluate
       // it twice per row (the guide §4.4 duplication).
       val st = graft.expressions.TextKernels.repetitionStats(col("text"))
       Tables.documents(s, dir)
-        .where(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .where(col("text").isNotNull && col("text").rlike("\\S"))
         .select(col("doc_id"), st.as("_st"))
         .select(col("doc_id"),
           element_at(col("_st"), 1).as("n_tokens"),

@@ -30,11 +30,14 @@ class MoneyRoundSpec extends SparkSpec {
   }
 
   test("kernel equals round(x*factor).cast(long) on adversarial inputs") {
-    val ulp = java.lang.Math.ulp(0.5)
+    // ulp-adjacent probes per boundary value t (ADVICE r18: a fixed
+    // ulp(0.5) added to |t| >= 1 rounds back to t under ties-to-even, so
+    // those cases degenerated to the exact tie — nextUp/nextDown are the
+    // true ulp-neighbors of EVERY t)
     val boundary: Seq[java.lang.Double] = (-3 to 3).flatMap { k =>
       val t = k + 0.5
-      Seq[java.lang.Double](t, t - ulp, t + ulp, t - 1e-6, t + 1e-6,
-        t - 1e-4, t + 1e-4, t - 2e-5, t + 2e-5)
+      Seq[java.lang.Double](t, java.lang.Math.nextDown(t), java.lang.Math.nextUp(t),
+        t - 1e-6, t + 1e-6, t - 1e-4, t + 1e-4, t - 2e-5, t + 2e-5)
     }
     val money: Seq[java.lang.Double] =
       Seq(0.01, 0.005, 1234.56, -1234.56, 99999.99, -0.005, 949.5, -949.5)

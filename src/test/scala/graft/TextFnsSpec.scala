@@ -172,14 +172,18 @@ class TextFnsSpec extends SparkSpec {
   test("repetition-stats kernel matches the explode + groupBy token counts") {
     import graft.expressions.TextKernels
     // covers: repeats, all-distinct, single token, unicode whitespace
-    // handling via \s+, case folding, and the zero-token shapes (empty,
-    // whitespace-only) the query's pre-filter must drop identically
+    // handling via \s+, case folding, and the zero-token shapes the
+    // query's pre-filter must drop identically — including the
+    // NON-SPACE whitespace-only docs (tab/newline, CR-space-FF) where
+    // the former length(trim(text)) > 0 filter diverged from explode
+    // semantics (ADVICE r18: SQL trim strips 0x20 only)
     val docs = Seq(
       "the cat the hat the", "a bb ccc dddd", "solo", "x X x X",
-      "tab\tand\nnewline tab", "", "   ", "a a a a a a a a b")
+      "tab\tand\nnewline tab", "", "   ", "\t\n", "\r \f",
+      "a a a a a a a a b")
       .toDF("text").withColumn("doc_id", monotonically_increasing_id())
     val kernel = docs
-      .where(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .where(col("text").isNotNull && col("text").rlike("\\S"))
       .select(col("doc_id"), TextKernels.repetitionStats(col("text")).as("st"))
       .select(col("doc_id"), element_at(col("st"), 1), element_at(col("st"), 2),
         element_at(col("st"), 3))
@@ -194,7 +198,8 @@ class TextFnsSpec extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(kernel == declarative)
     // the pre-filter is EXACTLY the explode row-dropping rule: both sides
-    // must have dropped the empty and whitespace-only docs
+    // must have dropped the empty and ALL whitespace-only docs (spaces,
+    // tab/newline, CR-space-FF)
     assert(kernel.size == 6)
   }
 }
