@@ -293,6 +293,74 @@ object OptProbe {
         sdec.write.format("noop").mode("overwrite").save()
         println("=== decimal mini ===")
         org.apache.spark.sql.execution.debug.DebugQuery(sdec).debugCodegen()
+      case "cc" =>
+        // paired vs sequential connected components, interleaved in one
+        // JVM: (a) the bench corpus (d07 pairs — shallow near-dup
+        // cliques), (b) a deep chain (worst-case diameter: pointer
+        // jumping needs O(log n) rounds, where halving the barriers
+        // actually compounds). Both variants see the SAME checkpointed
+        // pair input.
+        val emb = Tables.embeddings(spark, sfDir)
+        val d07pairs = Dedup.embeddingNearDupBucketed(
+          emb, "vec_id", "embedding", minCosine = 0.35, dim = 64)
+          .localCheckpoint(true)
+        for (r <- 1 to 3) {
+          time(s"cc d07pairs seq    (round $r)") {
+            Dedup.connectedComponentsSeq(d07pairs, "a", "b")
+          }
+          time(s"cc d07pairs paired (round $r)") {
+            Dedup.connectedComponents(d07pairs, "a", "b")
+          }
+        }
+      case "ccchain" =>
+        // deep-diameter corpus alone (arg 2 = chain length, default 50k):
+        // pointer jumping needs ~log2(n) materialized rounds here, the
+        // regime where halving the barriers compounds. maxIter raised so
+        // the loop actually converges rather than hitting the cut.
+        val chainN = if (args.length > 1) args(1).toLong else 50000L
+        val chain = spark.range(0, chainN - 1)
+          .select(col("id").as("a"), (col("id") + 1L).as("b"))
+          .localCheckpoint(true)
+        for (r <- 1 to 2) {
+          time(s"cc chain($chainN) seq    (round $r)") {
+            Dedup.connectedComponentsSeq(chain, "a", "b", maxIter = 64)
+          }
+          time(s"cc chain($chainN) paired (round $r)") {
+            Dedup.connectedComponents(chain, "a", "b", maxIter = 64)
+          }
+        }
+      case "ccplan" =>
+        // executed plan of ONE propagation round's materialized job (the
+        // per-iteration exchange count the static d06 dump can't show):
+        // rebuild the first hop's plan sans checkpoint and collect() it
+        val emb = Tables.embeddings(spark, sfDir)
+        val pairs = Dedup.embeddingNearDupBucketed(
+          emb, "vec_id", "embedding", minCosine = 0.35, dim = 64)
+        val p = pairs.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
+          .localCheckpoint(true)
+        val sym = p
+          .union(p.select(col("v").as("u"), col("u").as("v")))
+          .union(p.select(col("u"), col("u").as("v")))
+          .union(p.select(col("v").as("u"), col("v")))
+          .distinct()
+          .repartition(col("v"))
+          .localCheckpoint(true)
+        val labels = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+          .select(col("u").as("node"), col("mn").as("label"))
+          .localCheckpoint(true)
+        val propagated = sym
+          .join(labels.withColumnRenamed("node", "v").withColumnRenamed("label", "vlab"), Seq("v"))
+          .groupBy(col("u").as("node"))
+          .agg(min(col("vlab")).as("label"),
+            max(when(col("v") === col("u"), col("vlab"))).as("prev"))
+          .localCheckpoint(false)
+        val next = propagated
+          .join(propagated.select(col("node").as("label"), col("label").as("ll")),
+            Seq("label"), "left")
+          .select(col("node"), coalesce(col("ll"), col("label")).as("label"),
+            (coalesce(col("ll"), col("label")) =!= col("prev")).as("changed"))
+        next.collect()
+        println(next.queryExecution.executedPlan.toString)
       case "rank" =>
         // decompose t14's rankInClass: how much is the range-partition
         // sort alone vs the mapPartitions external-Row running-rank hop?

@@ -79,21 +79,104 @@ object Dedup {
     // previous iteration's checkpoint blocks, released once the next
     // iteration materializes (never the frame we're about to return)
     var prevCkpt = labels
+    // PAIRED iteration (r19): two label hops — each hop is EXACTLY the
+    // r18 per-iteration function (neighbor-min over the self-looped edge
+    // set, then one pointer jump) — compose into ONE linear plan that
+    // materializes and convergence-checks once. Per two hops this halves
+    // the job barriers and the label-table checkpoint write+read cycles;
+    // the label trajectory is (jump∘hop)^2k, identical to the sequential
+    // form at every hop count, so labels match the r18 implementation
+    // bit-for-bit even when maxIter cuts the loop off unconverged
+    // (spec-asserted against [[connectedComponentsSeq]]). Convergence is
+    // checked against the PAIR input (`prev` rides through both hops);
+    // every step is pointwise non-increasing, so pair-output = pair-input
+    // ⟺ both hops were no-ops — the sequential loop's exit decision is
+    // never missed, at worst one already-converged hop runs extra.
     while (!converged && iter < maxIter) {
-      // each node takes min(own label, neighbors' labels) — the self-loop
-      // contributes the own label, and the v = u row carries it out as
-      // prev for the convergence filter
+      val lazies = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      // one hop over (node, label[, prev]): each node takes min(own label,
+      // neighbors' labels) — the self-loop contributes the own label and
+      // the v = u row carries `prev` (the pair-input label) through —
+      // then one pointer jump (labels are always node ids, so the
+      // self-join resolves one chain hop; iterations drop from
+      // O(diameter) to O(log diameter)). Hop 1 derives prev from vlab
+      // itself (the pair input IS this hop's input — no duplicate column
+      // rides its exchange); hop 2 carries hop 1's prev through.
+      def hopJump(lbl: DataFrame, seedPrev: Boolean): DataFrame = {
+        val shipped =
+          if (seedPrev) lbl.select(col("node").as("v"), col("label").as("vlab"))
+          else lbl.select(col("node").as("v"), col("label").as("vlab"),
+            col("prev").as("vprev"))
+        val prevAgg =
+          max(when(col("v") === col("u"), if (seedPrev) col("vlab") else col("vprev")))
+        val propagated = sym
+          .join(shipped, Seq("v"))
+          .groupBy(col("u").as("node"))
+          .agg(min(col("vlab")).as("label"), prevAgg.as("prev"))
+          .transform(d => ckpt(d, false)) // lazy: the jump reads it twice
+        lazies += propagated
+        propagated
+          .join(
+            propagated.select(col("node").as("label"), col("label").as("ll")),
+            Seq("label"), "left")
+          .select(col("node"), coalesce(col("ll"), col("label")).as("label"),
+            col("prev"))
+      }
+      val pairOut = hopJump(hopJump(labels, seedPrev = true), seedPrev = false)
+      val next = pairOut
+        .select(col("node"), col("label"),
+          (col("label") =!= col("prev")).as("changed"))
+        .transform(d => ckpt(d, true))
+      converged = next.where(col("changed")).isEmpty
+      // next is materialized: the previous pair's label blocks and this
+      // pair's intermediate propagation blocks are dead weight — without
+      // this, storage grows O(iterations × |pairs|) until RDD GC
+      lazies.foreach(release)
+      release(prevCkpt)
+      prevCkpt = next
+      labels = next.select(col("node"), col("label"))
+      iter += 2
+    }
+    release(sym)
+    labels.select(col("node").as("node_id"), col("label").as("cluster_id"))
+  }
+
+  /** The r18 sequential (one hop per materialization) loop, retained as
+    * the paired form's equality reference — never planned by queries.
+    * Identical sym construction; per iteration: neighbor-min + pointer
+    * jump, eager checkpoint, convergence action.
+    */
+  private[graft] def connectedComponentsSeq(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ic = IterCkpt(pairs, checkpointDir)
+    def ckpt(df: DataFrame, eager: Boolean): DataFrame = ic(df, eager)
+    def release(df: DataFrame): Unit = ic.release(df)
+    val p = ckpt(pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")), true)
+    val sym = ckpt(p
+      .union(p.select(col("v").as("u"), col("u").as("v")))
+      .union(p.select(col("u"), col("u").as("v")))
+      .union(p.select(col("v").as("u"), col("v")))
+      .distinct()
+      .repartition(col("v")), true)
+    release(p)
+    var labels = ckpt(sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u").as("node"), col("mn").as("label")), true)
+    var iter = 0
+    var converged = false
+    var prevCkpt = labels
+    while (!converged && iter < maxIter) {
       val propagated = sym
         .join(labels.withColumnRenamed("node", "v").withColumnRenamed("label", "vlab"), Seq("v"))
         .groupBy(col("u").as("node"))
         .agg(
           min(col("vlab")).as("label"),
           max(when(col("v") === col("u"), col("vlab"))).as("prev"))
-        .transform(d => ckpt(d, false)) // lazy: materializes once at the convergence action
-      // pointer jumping: replace each label by ITS current label (labels are
-      // always node ids, so self-join resolves one chain hop) — iterations
-      // drop from O(diameter) to O(log diameter). The prev label rides along
-      // so convergence is a filter over the checkpointed blocks, not a join.
+        .transform(d => ckpt(d, false))
       val next = propagated
         .join(
           propagated.select(col("node").as("label"), col("label").as("ll")),
@@ -104,9 +187,6 @@ object Dedup {
           (coalesce(col("ll"), col("label")) =!= col("prev")).as("changed"))
         .transform(d => ckpt(d, true))
       converged = next.where(col("changed")).isEmpty
-      // next is materialized: the previous iteration's label blocks and this
-      // iteration's intermediate propagation blocks are dead weight — without
-      // this, storage grows O(iterations × |pairs|) until RDD GC
       release(propagated)
       release(prevCkpt)
       prevCkpt = next

@@ -273,6 +273,27 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("paired-iteration CC equals the sequential r18 loop, converged AND maxIter-cut") {
+    // the r19 paired loop's contract: label trajectory (jump∘hop)^2k is
+    // the sequential form composed — labels must match bit-for-bit not
+    // just at convergence but at ANY even hop-count cutoff. A 64-node
+    // chain with maxIter = 4 exercises the cutoff (4 hops are far from
+    // convergence); the mixed graph exercises the convergence exit.
+    def run(f: (org.apache.spark.sql.DataFrame, String, String, Int,
+        Option[String]) => org.apache.spark.sql.DataFrame,
+        pairs: Seq[(Long, Long)], maxIter: Int): Map[Long, Long] =
+      f(pairs.toDF("a", "b"), "a", "b", maxIter, None)
+        .as[(Long, Long)].collect().toMap
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val mixed = ((0L until 20L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (200L, 201L))).toSeq
+    for ((g, mi) <- Seq((chain, 4), (chain, 20), (mixed, 20), (mixed, 2))) {
+      val seq = run(Dedup.connectedComponentsSeq, g, mi)
+      val par = run(Dedup.connectedComponents, g, mi)
+      assert(par == seq, s"graph=${g.take(2)}... maxIter=$mi")
+    }
+  }
+
   test("ArgmaxCosStride matches the struct-max form it replaced; ties, strides, zero norms") {
     import graft.expressions.VectorExprs
     val rnd = new scala.util.Random(1106)
