@@ -361,6 +361,53 @@ object OptProbe {
             (coalesce(col("ll"), col("label")) =!= col("prev")).as("changed"))
         next.collect()
         println(next.queryExecution.executedPlan.toString)
+      case "cospre" =>
+        // interleaved single-JVM A/B: the SemDeDup prune's cell-local
+        // left-semi with the fused cosineFF kernel (3 accumulators/pair)
+        // vs precomputed norms + dot (1 loop/pair). One synthetic cell
+        // layout over the real embeddings, eps = 2.0 = keep-dominated
+        // (every vector probes its whole cell — the 100 TB curation
+        // regime BENCH_D15_SPLIT measured at 700 s prune walls).
+        // replicate the real vectors so the pair volume is compute-bound,
+        // not job-overhead-bound (rep=32, cells=8 → 64k vectors, 8k/cell,
+        // ~256M probe pairs — the keep-dominated cell-local shape)
+        val rep = if (args.length > 2) args(2).toInt else 32
+        val emb0 = Tables.embeddings(spark, sfDir)
+        val emb = emb0.crossJoin(spark.range(0, rep).select(col("id").as("_r")))
+          .select((col("vec_id") * rep + col("_r")).as("vec_id"), col("embedding"))
+        val cells = if (args.length > 1) args(1).toInt else 8
+        val eps = 2.0
+        val assignOld = emb.select(col("vec_id"), col("embedding").as("v"),
+            pmod(col("vec_id"), lit(cells)).as("cell"))
+          .repartition(32)
+          .localCheckpoint(true)
+        val assignNew = emb.select(col("vec_id"), col("embedding").as("v"),
+            pmod(col("vec_id"), lit(cells)).as("cell"),
+            graft.operators.Similarity.norm(col("embedding")).as("vn"))
+          .repartition(32)
+          .localCheckpoint(true)
+        val peersOld = assignOld.select(col("cell").as("pcell"),
+          col("vec_id").as("peer_id"), col("v").as("pv"))
+        val peersNew = assignNew.select(col("cell").as("pcell"),
+          col("vec_id").as("peer_id"), col("v").as("pv"), col("vn").as("pn"))
+        val dfOld = assignOld.join(peersOld,
+          col("cell") === col("pcell") && col("peer_id") < col("vec_id") &&
+            graft.expressions.VectorExprs.cosineFF(col("v"), col("pv")) >= eps,
+          "left_semi")
+        val dfNew = assignNew.join(peersNew,
+          col("cell") === col("pcell") && col("peer_id") < col("vec_id") &&
+            graft.operators.Similarity.cosinePre(col("v"), col("pv"),
+              col("vn"), col("pn")) >= eps,
+          "left_semi")
+        dfOld.write.format("noop").mode("overwrite").save()
+        dfNew.write.format("noop").mode("overwrite").save()
+        for (r <- 1 to 6) {
+          for ((nm, df) <- Seq("cosineFF " -> dfOld, "cosinePre" -> dfNew)) {
+            val t0 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            println(f"[probe] prune($cells cells) $nm pass$r ${(System.nanoTime() - t0) / 1e9}%.3f")
+          }
+        }
       case "rank" =>
         // decompose t14's rankInClass: how much is the range-partition
         // sort alone vs the mapPartitions external-Row running-rank hop?

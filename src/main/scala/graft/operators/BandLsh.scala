@@ -67,11 +67,18 @@ private[graft] object BandLsh {
       bCol: String,
       minCosine: Double,
       broadcastB: Boolean = false): DataFrame = {
-    val left = cand.join(aVecs.select(col("id").as(aCol), col("v").as("_va")), Seq(aCol))
-    val right = bVecs.select(col("id").as(bCol), col("v").as("_vb"))
+    // r19: per-row norms computed on each vector side BELOW the join — the
+    // per-PAIR score is one dot loop instead of the fused kernel's three
+    // accumulators (bit-identical by the cosinePre contract; pairs always
+    // outnumber the vectors that survive to a re-rank)
+    val left = cand.join(aVecs.select(col("id").as(aCol), col("v").as("_va"),
+      Similarity.norm(col("v")).as("_na")), Seq(aCol))
+    val right = bVecs.select(col("id").as(bCol), col("v").as("_vb"),
+      Similarity.norm(col("v")).as("_nb"))
     val joined = if (broadcastB) left.join(broadcast(right), Seq(bCol)) else left.join(right, Seq(bCol))
     joined
-      .select(col(aCol), col(bCol), Similarity.cosine(col("_va"), col("_vb")).as("cos"))
+      .select(col(aCol), col(bCol),
+        Similarity.cosinePre(col("_va"), col("_vb"), col("_na"), col("_nb")).as("cos"))
       .where(col("cos") >= lit(minCosine))
       .select(col(aCol), col(bCol), round(col("cos"), 4).as("cos"))
   }

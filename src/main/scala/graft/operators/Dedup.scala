@@ -577,11 +577,16 @@ object Dedup {
       idCol: String,
       vecCol: String,
       minCosine: Double): DataFrame = {
-    val a = embeddings.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val b = embeddings.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    // r19: per-side norms hoisted — the O(N²/2) compare pays one dot loop
+    // per pair (bit-identical by the cosinePre contract)
+    val a = embeddings.select(col(idCol).as("a"), col(vecCol).as("va"),
+      Similarity.norm(col(vecCol)).as("_na"))
+    val b = embeddings.select(col(idCol).as("b"), col(vecCol).as("vb"),
+      Similarity.norm(col(vecCol)).as("_nb"))
     a.crossJoin(b)
       .where(col("a") < col("b"))
-      .select(col("a"), col("b"), Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .select(col("a"), col("b"),
+        Similarity.cosinePre(col("va"), col("vb"), col("_na"), col("_nb")).as("cos"))
       .where(col("cos") >= lit(minCosine))
       .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
   }
@@ -654,14 +659,23 @@ object Dedup {
         .collect()
         .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq)
     }
-    // argmax by (cos, cid) struct ordering — no window, no shuffle (s03)
-    def cellScores(v: org.apache.spark.sql.Column) = array(centroids.zipWithIndex.map {
-      case ((_, cv), ci) =>
-        struct(VectorExprs.cosineFF(v, typedlit(cv)).as("cos"), lit(ci.toLong).as("cid"))
-    }: _*)
+    // argmax by (cos, cid) struct ordering — no window, no shuffle (s03).
+    // r19: literal centroid norms + one per-row norm (bit-identical; the
+    // ivfTopK pattern) — the k-way score array pays one dot loop per cell
+    val cnorm: Array[Double] = centroids.map { case (_, cv) =>
+      math.sqrt(cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    }
+    def cellScores(v: org.apache.spark.sql.Column, vn: org.apache.spark.sql.Column) =
+      array(centroids.zipWithIndex.map {
+        case ((_, cv), ci) =>
+          struct(Similarity.cosinePre(v, typedlit(cv), vn, lit(cnorm(ci))).as("cos"),
+            lit(ci.toLong).as("cid"))
+      }: _*)
     val assign = corpus.select(
-      col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"),
-      array_max(cellScores(col(vecCol))).getField("cid").as("cell"))
+        col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"),
+        Similarity.norm(col(vecCol)).as("_vn"))
+      .select(col("vec_id"), col("v"),
+        array_max(cellScores(col("v"), col("_vn"))).getField("cid").as("cell"))
     semanticDedupFromAssign(assign, eps)
   }
 
@@ -955,9 +969,18 @@ object Dedup {
     * vec, cell) once — read three times instead of recomputed.
     */
   private[graft] def semanticDedupFromAssign(assign0: DataFrame, eps: Double): DataFrame = {
-    import graft.expressions.VectorExprs
-    val assign = assign0.localCheckpoint(true)
-    val peers = assign.select(col("cell").as("pcell"), col("vec_id").as("peer_id"), col("v").as("pv"))
+    // r19: the vector norm is computed ONCE per row into the checkpoint
+    // (8 bytes/row) — the probe's per-PAIR work drops from the fused
+    // kernel's three accumulator loops to one dot loop (bit-identical by
+    // the cosinePre contract). The prune is the family's measured 100 TB
+    // bill (BENCH_D15_SPLIT: 700 s prune vs 59 s assign at sf100
+    // keep-dominated), and its inner loop is exactly this expression.
+    val assign = assign0
+      .select(col("vec_id"), col("v"), col("cell"),
+        Similarity.norm(col("v")).as("vn"))
+      .localCheckpoint(true)
+    val peers = assign.select(col("cell").as("pcell"), col("vec_id").as("peer_id"),
+      col("v").as("pv"), col("vn").as("pn"))
     // "duplicate" is an EXISTS, so the cell-local pass is a LEFT SEMI
     // join: the probe short-circuits at the FIRST lower-id in-cell match
     // and no matched-pair volume — which grows ~|cell|² per replica
@@ -971,7 +994,7 @@ object Dedup {
     val removed = assign.join(
         peers,
         col("cell") === col("pcell") && col("peer_id") < col("vec_id") &&
-          VectorExprs.cosineFF(col("v"), col("pv")) >= eps,
+          Similarity.cosinePre(col("v"), col("pv"), col("vn"), col("pn")) >= eps,
         "left_semi")
       .select(col("vec_id"))
     // the roster reads (vec_id, cell) off the same checkpoint — no third

@@ -21,6 +21,30 @@ object Similarity {
   def dot(a: Column, b: Column): Column = VectorExprs.dotFF(a, b)
   def cosine(a: Column, b: Column): Column = VectorExprs.cosineFF(a, b)
 
+  /** sqrt(Σ v²) — [[cosine]]'s per-row factor, hoisted (r19). dotFF(v, v)
+    * accumulates the identical left-to-right square sum CosineSimilarityFF
+    * interleaves, and Spark's Sqrt is the same java.lang.Math.sqrt — so a
+    * norm computed ONCE per row equals the one the fused kernel recomputes
+    * per PAIR, bit for bit.
+    */
+  def norm(v: Column): Column = sqrt(VectorExprs.dotFF(v, v))
+
+  /** cosineFF(a, b) recomposed from precomputed norms — bit-identical for
+    * equal-length arrays (every call site scores fixed-dim embeddings):
+    * same left-to-right dot, same zero-norm contract (sqrt(x) = 0 ⟺
+    * x = 0 on non-negatives), same null contract (null vector → null
+    * norm → null cosine), same dot / (na * nb) association. Per PAIR this
+    * evaluates one dot loop instead of the fused kernel's three
+    * accumulators — the §1.2 per-task-work lever for every operator whose
+    * pair count exceeds its row count (candidate re-ranks, cell-local
+    * prunes, query fan-outs). Spec-pinned against cosineFF on adversarial
+    * and real vectors (CosinePreSpec).
+    */
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    when(na.isNull || nb.isNull, lit(null).cast("double"))
+      .when(na === lit(0.0) || nb === lit(0.0), lit(0.0))
+      .otherwise(VectorExprs.dotFF(a, b) / (na * nb))
+
   /** The deterministic ±1 hyperplanes behind [[hyperplaneSig]] — public so
     * the SQL oracle generator embeds the IDENTICAL planes (one definition,
     * or the engine and its oracle could silently diverge).
@@ -62,11 +86,16 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val cand = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    // r19: norms hoisted to the per-row projections — the query fan-out
+    // (|corpus| × |queries| pairs) pays one dot loop per pair
+    val cand = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("_cn"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("_qn"))
     val scored = cand
       .join(broadcast(q), col("q_id") =!= col("neighbor_id"))
-      .select(col("q_id"), col("neighbor_id"), VectorExprs.cosineFF(col("qv"), col("cv")).as("cos"))
+      .select(col("q_id"), col("neighbor_id"),
+        cosinePre(col("qv"), col("cv"), col("_qn"), col("_cn")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -103,24 +132,29 @@ object Similarity {
       k: Int,
       lamRel: Double,
       lamDiv: Double): DataFrame = {
-    val qv = broadcast(queries.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("qv")))
-    val scored = corpus.select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+    // r19: norms ride the pool checkpoint (8 bytes/row) and the selected
+    // set — every penalty cosine is one dot loop per (candidate × selected)
+    val qv = broadcast(queries.select(col(idCol).cast("long").as("q_id"),
+      col(vecCol).as("qv"), norm(col(vecCol)).as("_qn")))
+    val scored = corpus.select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("_cn"))
       .join(qv, col("q_id") =!= col("cid"))
-      .select(col("q_id"), col("cid"), col("cv"),
-        VectorExprs.cosineFF(col("cv"), col("qv")).as("rel"))
+      .select(col("q_id"), col("cid"), col("cv"), col("_cn"),
+        cosinePre(col("cv"), col("qv"), col("_cn"), col("_qn")).as("rel"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("cid").asc)
     val pool = scored.withColumn("rn", row_number().over(w))
       .where(col("rn") <= kCand).drop("rn")
       .localCheckpoint(true)
     def argmax(df: DataFrame, score: org.apache.spark.sql.Column, pick: Int): DataFrame =
       df.groupBy(col("q_id"))
-        .agg(max_by(struct(col("cid"), col("cv"), col("rel")),
+        .agg(max_by(struct(col("cid"), col("cv"), col("rel"), col("_cn")),
           struct(score.as("s"), (-col("cid")).as("tie"))).as("best"))
         .select(col("q_id"), col("best.cid").as("cid"), col("best.cv").as("cv"),
-          col("best.rel").as("rel"), lit(pick.toLong).as("pick"))
+          col("best.rel").as("rel"), col("best._cn").as("_cn"), lit(pick.toLong).as("pick"))
     var out = argmax(pool, col("rel"), 1)
     for (step <- 2 to k) {
-      val sel = out.select(col("q_id"), col("cid").as("sid"), col("cv").as("sv"))
+      val sel = out.select(col("q_id"), col("cid").as("sid"), col("cv").as("sv"),
+        col("_cn").as("_sn"))
       // one q_id-keyed join + one grouped aggregate per step (r18): the
       // former separate (q_id, cid) LEFT ANTI against the selected set
       // cost its own exchange pair per step — fused here into the penalty
@@ -132,7 +166,8 @@ object Similarity {
       val withPen = pool.join(sel, Seq("q_id"))
         .groupBy(col("q_id"), col("cid"))
         .agg(first(col("cv")).as("cv"), first(col("rel")).as("rel"),
-          max(VectorExprs.cosineFF(col("cv"), col("sv"))).as("pen"),
+          first(col("_cn")).as("_cn"),
+          max(cosinePre(col("cv"), col("sv"), col("_cn"), col("_sn"))).as("pen"),
           max(when(col("cid") === col("sid"), 1).otherwise(0)).as("_is_sel"))
         .where(col("_is_sel") === 0)
         .drop("_is_sel")
@@ -312,15 +347,21 @@ object Similarity {
       .map(_.getSeq[Float](1).toSeq)
     val codewords = model.take(nCodes)
     val centroids = model.take(nCells)
-    def cellScores(v: Column): Column = array(centroids.zipWithIndex.map {
+    // r19: literal centroid norms + one per-row norm (same accumulation
+    // as the fused kernel — bit-identical; see ivfTopK)
+    val cnorm: Array[Double] = centroids.map { cv =>
+      math.sqrt(cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    }
+    def cellScores(v: Column, vn: Column): Column = array(centroids.zipWithIndex.map {
       case (cv, ci) =>
-        struct(VectorExprs.cosineFF(v, typedlit(cv)).as("cos"), lit(ci.toLong).as("cid"))
+        struct(cosinePre(v, typedlit(cv), vn, lit(cnorm(ci))).as("cos"), lit(ci.toLong).as("cid"))
     }: _*)
-    val codes = segCodes(col(vecCol), codewords, nSeg, segDim)
     // ONE fused scan assigns cell + codes; materialize before the fan-out
     val coded = corpus.select(col(idCol).cast("long").as("cid"),
-        array_max(cellScores(col(vecCol))).getField("cid").as("cell"),
-        codes.as("codes"))
+        col(vecCol).as("_v"), norm(col(vecCol)).as("_vn"))
+      .select(col("cid"),
+        array_max(cellScores(col("_v"), col("_vn"))).getField("cid").as("cell"),
+        segCodes(col("_v"), codewords, nSeg, segDim).as("codes"))
       .localCheckpoint(true)
     val luts: Seq[(Long, Seq[Seq[Double]])] = queries
       .select(col(idCol).cast("long"), col(vecCol)).collect().toSeq
@@ -340,7 +381,9 @@ object Similarity {
     // (descending (cos, cid) — ties resolve identically on both sides)
     val probes = queries
       .select(col(idCol).cast("long").as("q_id"),
-        slice(reverse(array_sort(cellScores(col(vecCol)))), 1, nProbe).as("_top"))
+        col(vecCol).as("_qv"), norm(col(vecCol)).as("_qn"))
+      .select(col("q_id"),
+        slice(reverse(array_sort(cellScores(col("_qv"), col("_qn")))), 1, nProbe).as("_top"))
       .select(col("q_id"), explode(col("_top").getField("cid")).as("cell"))
     val session = corpus.sparkSession
     import session.implicits._
@@ -476,23 +519,33 @@ object Similarity {
         .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq)
     }
     // per-centroid scores as an array<struct<cos,cid>>; struct ordering
-    // (cos first) makes array_max the argmax — no window, no shuffle
-    def cellScores(v: Column): Column = array(centroids.zipWithIndex.map {
+    // (cos first) makes array_max the argmax — no window, no shuffle.
+    // r19: the row norm is computed once per row and the centroid norms
+    // are driver-side literals (same left-to-right double accumulation +
+    // Math.sqrt as the fused kernel — bit-identical), so the k-way score
+    // array and the exact re-rank pay one dot loop per comparison
+    val cnorm: Array[Double] = centroids.map { case (_, cv) =>
+      math.sqrt(cv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    }
+    def cellScores(v: Column, vn: Column): Column = array(centroids.zipWithIndex.map {
       case ((_, cv), ci) =>
-        struct(VectorExprs.cosineFF(v, typedlit(cv)).as("cos"), lit(ci.toLong).as("cid"))
+        struct(cosinePre(v, typedlit(cv), vn, lit(cnorm(ci))).as("cos"), lit(ci.toLong).as("cid"))
     }: _*)
     val cells = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      array_max(cellScores(col(vecCol))).getField("cid").as("cell"))
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"), norm(col(vecCol)).as("_cn"))
+      .select(col("neighbor_id"), col("cv"), col("_cn"),
+        array_max(cellScores(col("cv"), col("_cn"))).getField("cid").as("cell"))
     val probes = queries
-      .select(col(idCol).as("q_id"), col(vecCol).as("qv"),
-        slice(reverse(array_sort(cellScores(col(vecCol)))), 1, nProbe).as("_top"))
-      .select(col("q_id"), col("qv"), explode(col("_top").getField("cid")).as("cell"))
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"), norm(col(vecCol)).as("_qn"))
+      .select(col("q_id"), col("qv"), col("_qn"),
+        slice(reverse(array_sort(cellScores(col("qv"), col("_qn")))), 1, nProbe).as("_top"))
+      .select(col("q_id"), col("qv"), col("_qn"), explode(col("_top").getField("cid")).as("cell"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     cells
       .join(broadcast(probes), Seq("cell"))
       .where(col("q_id") =!= col("neighbor_id"))
-      .select(col("q_id"), col("neighbor_id"), VectorExprs.cosineFF(col("qv"), col("cv")).as("cos"))
+      .select(col("q_id"), col("neighbor_id"),
+        cosinePre(col("qv"), col("cv"), col("_qn"), col("_cn")).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("q_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("rank"))
@@ -526,9 +579,12 @@ object Similarity {
       .where(BandLsh.firstMatchingBand(col("qs"), col("cs"), col("band"), bandBits, nBands))
       .select(col("q_id"), col("neighbor_id"))
     val scored = cand
-      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), Seq("neighbor_id"))
-      .join(broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))), Seq("q_id"))
-      .select(col("q_id"), col("neighbor_id"), VectorExprs.cosineFF(col("qv"), col("cv")).as("cos"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("_cn")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("_qn"))), Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        cosinePre(col("qv"), col("cv"), col("_qn"), col("_cn")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
