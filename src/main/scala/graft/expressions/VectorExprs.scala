@@ -1,10 +1,10 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 
@@ -537,8 +537,76 @@ case class HyperplaneSigFL(child: Expression, planes: Array[Array[Float]])
     java.util.Objects.hash(child, planes.map(_.toSeq).toSeq)
 }
 
+/** Fused `transform(v, x -> cast(round(cast(x as double) * factor) as
+  * bigint))` — the 1e-6 scaled-integer conversion the exact-arithmetic
+  * Lloyd loops run over every vector (kmeansTrain once per corpus row,
+  * lloydAssignment once per row PER ROUND). The higher-order `transform`
+  * lambda evaluates interpreted per ELEMENT (N×dim tree walks); this
+  * kernel is one generated loop per row delegating each element to
+  * [[MoneyRound.eval]], whose equality with `round(x·f).cast(long)` is
+  * the spec-pinned r18 contract (MoneyRoundSpec) — so the array is
+  * element-for-element identical to the lambda's, including null
+  * elements (null in → null out) and the null-array contract.
+  */
+case class ScaleRoundFL(child: Expression, factor: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, containsNull) => ArrayType(LongType, containsNull)
+    case _ => ArrayType(LongType, containsNull = true)
+  }
+  override def prettyName: String = "scale_round_fl"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"scale_round_fl requires array<float>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i))
+        out(i) = MoneyRound.eval(x.getFloat(i).toDouble, factor)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    $out[$i] = java.lang.Long.valueOf(graft.expressions.MoneyRound.eval(
+         |      (double) $a.getFloat($i), ${factor}L));
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Column-API entry points. */
+
+  /** Fused scaled-integer conversion (see [[ScaleRoundFL]]). */
+  def scaleRoundFL(v: Column, factor: Long): Column =
+    ColumnBridge.column(ScaleRoundFL(ColumnBridge.expression(v), factor))
   def cosineFF(a: Column, b: Column): Column =
     ColumnBridge.column(
       CosineSimilarityFF(ColumnBridge.expression(a), ColumnBridge.expression(b)))

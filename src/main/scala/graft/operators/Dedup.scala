@@ -895,7 +895,10 @@ object Dedup {
     val k = math.max(minCells.toLong, n / rowsPerCell).toInt
     val coarse = math.ceil(math.sqrt(k.toDouble)).toInt
     val gs = (k + coarse - 1) / coarse
-    val x6 = expr("transform(v, x -> cast(round(cast(x as double) * 1000000) as bigint))")
+    // r19: fused array kernel, not the per-element interpreted transform
+    // lambda — this expression runs once per corpus row PER LLOYD ROUND
+    // (element-identical by the ScaleRoundFL/MoneyRound contract)
+    val x6 = VectorExprs.scaleRoundFL(col("v"), 1000000L)
     // init = STRIDED by id (vec_id ≡ 0 mod ⌊N/k⌋, 0-based rank by id =
     // cid; bounded model read): d14's lowest-id stand-ins span only the
     // id-prefix of the corpus, and on replica-dense data that prefix

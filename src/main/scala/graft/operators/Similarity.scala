@@ -435,9 +435,12 @@ object Similarity {
       k: Int = 8,
       iters: Int = 3): DataFrame = {
     require(k > 0 && iters >= 1)
+    // r19: the scaled-integer conversion through the fused array kernel —
+    // the transform(...) higher-order lambda evaluated interpreted per
+    // ELEMENT (N×dim tree walks into this checkpoint); element-identical
+    // by the ScaleRoundFL/MoneyRound contract
     val v6 = corpus.select(col(idCol).cast("long").as("vec_id"),
-        expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1000000) as bigint))")
-          .as("v6"))
+        VectorExprs.scaleRoundFL(col(vecCol), 1000000L).as("v6"))
       .localCheckpoint(true)
     var cents: Array[Seq[Long]] = v6.orderBy(col("vec_id").asc).limit(k)
       .collect().map(_.getSeq[Long](1).toSeq)

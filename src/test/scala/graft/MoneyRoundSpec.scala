@@ -56,6 +56,38 @@ class MoneyRoundSpec extends SparkSpec {
       check(boundary ++ money ++ big ++ weird ++ fuzz, f)
   }
 
+  test("ScaleRoundFL array kernel equals the transform(round(x*f)) lambda") {
+    import graft.expressions.VectorExprs
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType),
+        nullable = true)))
+    val rnd = new scala.util.Random(19)
+    val rows: Seq[Seq[java.lang.Float]] =
+      Seq(null, Seq.empty[java.lang.Float],
+        Seq[java.lang.Float](1.5f, -1.5f, 0.0f, -0.0f, null,
+          Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity,
+          1.23456789f, -9.87654e-7f, 3.4e8f)) ++
+      Seq.fill(200)(Seq.fill(16)(
+        java.lang.Float.valueOf((rnd.nextFloat() - 0.5f) * 4f)): Seq[java.lang.Float])
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(org.apache.spark.sql.Row(_)): _*), schema)
+    for (f <- Seq(1000000L, 100L)) {
+      val diff = df.select(
+          VectorExprs.scaleRoundFL(col("v"), f).as("k"),
+          expr(s"transform(v, x -> cast(round(cast(x as double) * $f) as bigint))").as("l"))
+        .where(!(col("k") <=> col("l"))).count()
+      assert(diff == 0L, s"factor $f: $diff rows diverge")
+    }
+    // and on the real embeddings — the exact call shape the Lloyd loops run
+    val emb = Tables.embeddings(spark, sfDir)
+    val diff = emb.select(
+        VectorExprs.scaleRoundFL(col("embedding"), 1000000L).as("k"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))").as("l"))
+      .where(!(col("k") <=> col("l"))).count()
+    assert(diff == 0L, s"$diff embedding rows diverge")
+  }
+
   test("kernel matches c2's exact call shape on the real money columns") {
     val li = Tables.lineitem(spark, sfDir).limit(5000)
     for (c <- Seq("l_extendedprice", "l_discount", "l_quantity", "l_tax")) {
