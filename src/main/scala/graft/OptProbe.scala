@@ -408,6 +408,35 @@ object OptProbe {
             println(f"[probe] prune($cells cells) $nm pass$r ${(System.nanoTime() - t0) / 1e9}%.3f")
           }
         }
+      case "q61" =>
+        // dedup-first (3 exchanges: pair-distinct + countDistinct's two)
+        // vs direct countDistinct (2 exchanges; the grouped partial agg
+        // dedups (brand, size, suppkey) map-side, which is a SMALLER key
+        // set than the (partkey, suppkey) pair distinct shuffles)
+        val li = Tables.lineitem(spark, sfDir)
+        val excl = Tables.supplier(spark, sfDir)
+          .where(col("s_acctbal") < 0).select(col("s_suppkey"))
+        val pdim = Tables.part(spark, sfDir)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        val dfOld = li.select(col("l_partkey"), col("l_suppkey")).distinct()
+          .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(broadcast(pdim), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_size").cast("long").as("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        val dfNew = li.select(col("l_partkey"), col("l_suppkey"))
+          .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(broadcast(pdim), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_size").cast("long").as("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        dfOld.write.format("noop").mode("overwrite").save()
+        dfNew.write.format("noop").mode("overwrite").save()
+        for (r <- 1 to 6) {
+          for ((nm, df) <- Seq("dedup-first" -> dfOld, "direct     " -> dfNew)) {
+            val t0 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            println(f"[probe] q61 $nm pass$r ${(System.nanoTime() - t0) / 1e9}%.3f")
+          }
+        }
       case "rank" =>
         // decompose t14's rankInClass: how much is the range-partition
         // sort alone vs the mapPartitions external-Row running-rank hop?

@@ -1945,16 +1945,19 @@ object SparkEntry {
     "q61_part_variety" -> q { (s, dir) =>
       // TPC-H Q16 shape — supplier variety per part attribute, excluding
       // flagged suppliers (Q16's NOT IN complaint subquery → broadcast
-      // left-anti join). Dedup-first: lineitem reduces to DISTINCT
-      // (partkey, suppkey) pairs with map-side partial distinct BEFORE any
-      // join, so the join input is |catalog pairs|, not |lineitems|; both
-      // dims broadcast; the final count-distinct groups are bounded by
-      // |brands|×|sizes|.
-      val pairs = Tables.lineitem(s, dir)
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      // left-anti join). r19: the former DISTINCT (partkey, suppkey)
+      // pre-pass is gone — with both dims BROADCAST the join never
+      // shuffles lineitem, and countDistinct's own partial aggregate
+      // dedups (brand, size, suppkey) map-side before its exchange, a
+      // strictly SMALLER key set than the pair distinct shuffled (suppkey
+      // counting ignores partkey, so the pair dedup never affected the
+      // result — it was a volume reducer that cost one full extra
+      // exchange + aggregate pass). 3 exchanges → 2; interleaved A/B at
+      // sf0.1 wins every quiet pass (0.95 → 0.90 s min).
       val excl = Tables.supplier(s, dir)
         .where(col("s_acctbal") < 0).select(col("s_suppkey"))
-      pairs
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"))
         .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
         .join(broadcast(Tables.part(s, dir)
           .select(col("p_partkey"), col("p_brand"), col("p_size"))),

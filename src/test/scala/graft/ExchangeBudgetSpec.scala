@@ -79,7 +79,10 @@ class ExchangeBudgetSpec extends SparkSpec {
     "q51_triangles" -> 3, "q52_pagerank" -> 6, "q53_small_order_revenue" -> 2,
     "q54_large_orders" -> 1, "q55_disjunctive_revenue" -> 1, "q56_top_supplier" -> 1,
     "q58_event_pivot" -> 2, "q59_cube_volume" -> 1, "q60_sole_shipper" -> 2,
-    "q61_part_variety" -> 3, "q62_shipmode_priority" -> 1, "q63_kmv_distinct" -> 1,
+    // q61: 3 → 2 (r19) — the (partkey, suppkey) DISTINCT pre-pass dropped:
+    // countDistinct's partial aggregate dedups the smaller (brand, size,
+    // suppkey) key set map-side, so the pair-distinct exchange was waste
+    "q61_part_variety" -> 2, "q62_shipmode_priority" -> 1, "q63_kmv_distinct" -> 1,
     "q64_kmv_mergeable" -> 3, "q65_sketch_quantiles" -> 1, "q66_bfs_depths" -> 0,
     "q67_excess_shippers" -> 2, "q68_nation_value" -> 2, "q72_nation_value_wide" -> 2,
     "q69_kmv_intersection" -> 2,
