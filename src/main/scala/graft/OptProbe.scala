@@ -437,6 +437,72 @@ object OptProbe {
             println(f"[probe] q61 $nm pass$r ${(System.nanoTime() - t0) / 1e9}%.3f")
           }
         }
+      case "t14" =>
+        // VERDICT r18 item 3: measure the skinny-rank trade's crossover.
+        // old = pre-r18 mixtureSample (rank the FULL frame: document text
+        // rides the range exchange + the per-row external-Row encoder
+        // hop); new = r18 form (rank the (source, id) projection, join
+        // the keep set back — text never leaves the parquet reader for
+        // t14's downstream agg). Interleaved, same JVM, any SF via
+        // SPARK_GRAFT_SF_DIR.
+        val docs = Tables.documents(spark, sfDir)
+        val wt = (expr("substring(source, 4)").cast("long") % 4) * 10 + 10
+        def t14agg(df: DataFrame) = df.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars_kept"))
+        val dOld = docs.withColumn("_wt", wt.cast("long"))
+        val stats = dOld.groupBy(col("source"), col("_wt"))
+          .agg(count(lit(1)).as("_cnt"))
+          .select(col("source").as("_src"), col("_wt").as("_w2"),
+            expr("(_cnt * 10000) div _wt").as("_ratio"))
+        val lam = stats.agg(min(col("_ratio")).as("_lam"))
+        val keeps = stats.crossJoin(broadcast(lam))
+          .select(col("_src"), expr("(_lam * _w2) div 10000").as("_keep"))
+        val oldKept = graft.operators.Binning.rankInClass(dOld, "source", "doc_id", "doc_id")
+          .join(broadcast(keeps), col("source") === col("_src"))
+          .where(col("rn") <= col("_keep"))
+          .drop("_src", "_keep", "rn", "_wt")
+        val dfOld = t14agg(oldKept)
+        val dfNew = t14agg(graft.operators.Sampling.mixtureSample(docs, "source", wt, "doc_id"))
+        dfOld.write.format("noop").mode("overwrite").save()
+        dfNew.write.format("noop").mode("overwrite").save()
+        for (r <- 1 to 6) {
+          for ((nm, df) <- Seq("full-rank  " -> dfOld, "skinny-rank" -> dfNew)) {
+            val t0 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            println(f"[probe] t14 $nm pass$r ${(System.nanoTime() - t0) / 1e9}%.3f")
+          }
+        }
+      case "t11" =>
+        // decompose t11's scan chain: which kernel owns the per-byte bill?
+        import graft.functions.TextFns
+        val docs = Tables.documents(spark, sfDir)
+        time("scan text only") { docs.select(col("doc_id"), col("text")) }
+        time("+ normalize (5 regex passes)") {
+          docs.select(col("doc_id"), TextFns.normalize(col("text")).as("n"))
+        }
+        time("+ tokens size") {
+          docs.select(col("doc_id"),
+            size(TextFns.tokens(TextFns.normalize(col("text")))).as("nt"))
+        }
+        time("+ sha2 over norm_text") {
+          docs.select(col("doc_id"), sha2(TextFns.normalize(col("text")), 256).as("h"),
+            size(TextFns.tokens(TextFns.normalize(col("text")))).as("nt"))
+        }
+        time("full t11") { SparkEntry.queries("t11_curation")(spark, sfDir) }
+      case "t12" =>
+        import graft.functions.TextFns
+        val docs = Tables.documents(spark, sfDir)
+        time("tokens size scan") {
+          docs.select(col("doc_id"), col("source"),
+            size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+        }
+        time("+ packSequences (2-pass prefix sum)") {
+          graft.operators.Sampling.packSequences(
+            docs.select(col("doc_id"), col("source"),
+              size(TextFns.tokens(col("text"))).cast("long").as("n_tokens")),
+            "source", "doc_id", "n_tokens", budget = 512L)
+        }
+        time("full t12") { SparkEntry.queries("t12_sequence_pack")(spark, sfDir) }
       case "rank" =>
         // decompose t14's rankInClass: how much is the range-partition
         // sort alone vs the mapPartitions external-Row running-rank hop?
