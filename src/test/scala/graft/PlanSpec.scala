@@ -290,7 +290,9 @@ class PlanSpec extends SparkSpec {
 
   test("d11: quantizer evaluates once (checkpointed); pairwise join is cell-keyed, never cartesian") {
     val p = plan("d11_semantic_dedup")
-    assert(p.contains("cosine_similarity_ff"), "fused cosine kernel missing:\n" + p)
+    // r19: the prune scores pairs with the norm-hoisted form — one
+    // dot_product_ff per pair, norms precomputed into the checkpoint
+    assert(p.contains("dot_product_ff"), "per-pair dot kernel missing:\n" + p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "pairwise pass must stay cell-local (equi-join on cell):\n" + p)
     // the 32-cosine argmax must NOT appear in the query plan at all: it ran
